@@ -1,38 +1,192 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-join query at sf0.001;
+``queries()``/``oracle_sql()`` pair every implemented operator from
+SURVEY.md §2 (plus the LLM-data-pipeline extensions) with a DuckDB-runnable
+ANSI-SQL twin. Keys without an oracle entry (probabilistic LSH paths,
+Python-kernel SimHash) get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.operators.dedup import (
+    DEDUP_EXACT_SQL,
+    NGRAM_JACCARD_SQL_TEMPLATE,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from faers_datalakehouse_spark.operators.similarity import (
+    ANN_TOPK_SQL_TEMPLATE,
+    COSINE_NEARDUP_SQL_TEMPLATE,
+    QUANT,
+    cosine_neardup_pairs,
+    lsh_bucketed_neighbors,
+    topk_neighbors_bruteforce,
+)
+from faers_datalakehouse_spark.plans import analytics as A
+from faers_datalakehouse_spark.plans import showcase as S
+from faers_datalakehouse_spark.plans.date_dim import build_date_dim, date_dim_oracle
+from faers_datalakehouse_spark.plans.star import (
+    FACT_SALES_ORACLE_SQL,
+    build_fact_sales,
+    decode_ladders_demo,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+ANN_QUERY_MOD = 50  # vec_id % 50 == 0 → query subset
+ANN_K = 5
+NEARDUP_COS_THRESHOLD = 0.80
+JACCARD_K = 8
+JACCARD_THRESHOLD = 0.5
+JACCARD_BAND = 100
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: star-schema fact assembly + revenue rollup at sf0.001."""
+    fact = build_fact_sales(spark, SF0001)
+    return (
+        fact.groupBy("customer_region", "customer_nation", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            F.countDistinct("order_key").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_revenue"))
+    )
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return topk_neighbors_bruteforce(
+        emb, emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0), k=ANN_K
+    )
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucketed_neighbors(
+        emb, emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0), k=ANN_K
+    )
+
+
+def _docs(fn):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    return runner
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- core relational / star-schema suite (SURVEY §2) --
+        "pricing_summary": A.pricing_summary,
+        "topk_parts": partial(A.topk_parts, k=20),
+        "topk_by_group": partial(A.topk_by_group, k=3),
+        "pct_of_total": A.pct_of_total,
+        "global_summary": A.global_summary,
+        "latest_day_activity": A.latest_day_activity,
+        "temporal_trend": A.temporal_trend,
+        "sessionize": partial(A.sessionize, gap_minutes=30),
+        "json_extract_agg": A.json_extract_agg,
+        "date_dim": lambda spark, sf_dir: build_date_dim(spark),
+        "fact_sales": build_fact_sales,
+        "decode_ladders": decode_ladders_demo,
+        "scd2_merge": S.scd2_scenario,
+        "date_standardize": S.date_standardize_demo,
+        "numeric_standardize": S.numeric_standardize_demo,
+        # -- LLM-data-pipeline extensions --
+        "dedup_exact": _docs(dedup_exact),
+        "ngram_jaccard": _docs(
+            lambda df: ngram_jaccard_pairs(
+                df,
+                k=JACCARD_K,
+                threshold=JACCARD_THRESHOLD,
+                length_band=JACCARD_BAND,
+            )
+        ),
+        "minhash_lsh": _docs(
+            lambda df: minhash_lsh_pairs(df, threshold=JACCARD_THRESHOLD)
+        ),
+        "simhash_neardup": _docs(simhash_neardup_pairs),
+        "token_count": S.token_count_query,
+        "text_quality": S.text_quality_query,
+        "lang_id": S.lang_id_query,
+        "fingerprint_dedup": S.fingerprint_query,
+        "ann_topk": _ann_queries,
+        "ann_lsh_topk": _ann_lsh,
+        "cosine_neardup": lambda spark, sf_dir: cosine_neardup_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=NEARDUP_COS_THRESHOLD,
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": A.PRICING_SUMMARY_SQL,
+        "topk_parts": A.TOPK_PARTS_SQL.format(k=20),
+        "topk_by_group": A.TOPK_BY_GROUP_SQL.format(k=3),
+        "pct_of_total": A.PCT_OF_TOTAL_SQL,
+        "global_summary": A.GLOBAL_SUMMARY_SQL,
+        "latest_day_activity": A.LATEST_DAY_ACTIVITY_SQL,
+        "temporal_trend": A.TEMPORAL_TREND_SQL,
+        "sessionize": A.SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
+        "json_extract_agg": A.JSON_EXTRACT_AGG_SQL,
+        "date_dim": date_dim_oracle(),
+        "fact_sales": FACT_SALES_ORACLE_SQL,
+        "decode_ladders": DECODE_LADDERS_SQL,
+        "scd2_merge": S.SCD2_SCENARIO_SQL,
+        "date_standardize": S.DATE_STANDARDIZE_SQL,
+        "numeric_standardize": S.NUMERIC_STANDARDIZE_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "ngram_jaccard": NGRAM_JACCARD_SQL_TEMPLATE.format(
+            k=JACCARD_K, threshold=JACCARD_THRESHOLD, band=JACCARD_BAND
+        ),
+        # minhash_lsh / simhash_neardup / ann_lsh_topk: probabilistic or
+        # Python-kernel paths → rows-only check (no oracle entry).
+        "token_count": S.TOKEN_COUNT_SQL,
+        "text_quality": S.TEXT_QUALITY_SQL,
+        "lang_id": S.LANG_ID_SQL,
+        "fingerprint_dedup": S.FINGERPRINT_SQL,
+        "ann_topk": ANN_TOPK_SQL_TEMPLATE.format(
+            quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K
+        ),
+        "cosine_neardup": COSINE_NEARDUP_SQL_TEMPLATE.format(
+            quant=QUANT, threshold=NEARDUP_COS_THRESHOLD
+        ),
+    }
+
+
+DECODE_LADDERS_SQL = """
+SELECT
+  o.o_orderkey AS order_key,
+  CASE o.o_orderpriority WHEN '1-URGENT' THEN 'Critical' WHEN '2-HIGH' THEN 'High'
+       WHEN '3-MEDIUM' THEN 'Medium' WHEN '4-NOT SPECIFIED' THEN 'Unspecified'
+       WHEN '5-LOW' THEN 'Low' ELSE 'Unknown' END AS priority_tier,
+  CASE o.o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+       WHEN 'P' THEN 'Partial' ELSE 'Unknown' END AS order_status,
+  CASE c.c_mktsegment WHEN 'AUTOMOBILE' THEN 'Automotive'
+       WHEN 'BUILDING' THEN 'Construction' WHEN 'FURNITURE' THEN 'Home Goods'
+       WHEN 'HOUSEHOLD' THEN 'Consumer' WHEN 'MACHINERY' THEN 'Industrial'
+       ELSE 'Unknown' END AS market_segment,
+  CASE WHEN c.c_acctbal IS NULL THEN 'Unknown'
+       WHEN c.c_acctbal < 0.0 THEN 'Delinquent'
+       WHEN c.c_acctbal < 1000.0 THEN 'Low'
+       WHEN c.c_acctbal < 5000.0 THEN 'Medium'
+       ELSE 'High' END AS account_tier,
+  CASE WHEN o.o_totalprice IS NULL THEN 'Unknown'
+       WHEN o.o_totalprice < 50000.0 THEN 'Small'
+       WHEN o.o_totalprice < 150000.0 THEN 'Medium'
+       WHEN o.o_totalprice < 300000.0 THEN 'Large'
+       ELSE 'Jumbo' END AS order_size_tier
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""

@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query executes to completion with a count-style action (write-less but
+full-plan: aggregates collect, wide facts are counted) after a warm-up of the
+session itself; per-query wall time is reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from faers_datalakehouse_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the operator families that dominate 100 TB workloads.
+# Collect small results; count wide ones (avoids driver-side transfer noise).
+BENCH_QUERIES = {
+    "q1_pricing_summary": ("collect", "pricing_summary"),
+    "q2_topk_parts": ("collect", "topk_parts"),
+    "q3_fact_sales": ("count", "fact_sales"),
+    "q4_date_dim": ("count", "date_dim"),
+    "q5_scd2_merge": ("count", "scd2_merge"),
+    "q6_sessionize": ("count", "sessionize"),
+    "q7_dedup_exact": ("count", "dedup_exact"),
+    "q8_minhash_lsh": ("count", "minhash_lsh"),
+    "q9_ann_topk": ("count", "ann_topk"),
+    "q10_text_quality": ("count", "text_quality"),
+}
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+    # Warm the JVM + parquet footers with a trivial action.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for label, (action, key) in BENCH_QUERIES.items():
+        fn = queries[key]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        if action == "collect":
+            df.collect()
+        else:
+            df.count()
+        dt = time.time() - t0
+        timings[label] = round(dt, 3)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

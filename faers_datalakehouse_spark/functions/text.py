@@ -1,0 +1,122 @@
+"""Text-analysis expression library for LLM training-data pipelines.
+
+Everything here is built from ``pyspark.sql.functions`` (JVM-side, codegen'd,
+Arrow-free) so the hot path over billions of documents never leaves the JVM:
+language-ID, quality scoring, token counting, and fingerprinting all compile
+into one projection over the parquet scan.
+
+These operate on the driver's ``documents`` table (``doc_id, text, lang,
+source, n_chars`` — TESTDATA.md) but take Columns, so they apply to any corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword alternations for the n-gram/stopword heuristic.
+# Word-boundary anchored; RE2 (DuckDB) and java.util.regex both support \b.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|it|for|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|dans|que|pour|des)\b",
+    "es": r"\b(el|la|los|las|y|es|una|en|que|por)\b",
+}
+
+STOPWORD_RE = LANG_MARKERS["en"]
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words / numbers / punct
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str, mode: str = "whitespace") -> Column:
+    """Token count: ``whitespace`` split or a BPE-ish regex tokenizer."""
+    c = _c(col)
+    if mode == "whitespace":
+        t = F.trim(c)
+        return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    if mode == "regex":
+        return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def language_id(col: Column | str, markers: dict[str, str] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts.
+
+    Ties (and all-zero scores) resolve to the alphabetically-first language so
+    the result is deterministic and oracle-comparable.
+    """
+    markers = markers or LANG_MARKERS
+    lowered = F.lower(_c(col))
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in markers.items()
+    }
+    best_lang: Column | None = None
+    best_score: Column | None = None
+    for lang in sorted(markers):  # alphabetical → deterministic tiebreak
+        s = scores[lang]
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), s
+        else:
+            take = s > best_score
+            best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_score_cols(col: Column | str) -> dict[str, Column]:
+    """Document-quality signals + composite score.
+
+    - ``q_len``           — character length
+    - ``q_tokens``        — whitespace token count
+    - ``q_mean_tok_len``  — mean token length (spam/boilerplate signal)
+    - ``q_punct_ratio``   — punctuation chars / chars
+    - ``q_stop_ratio``    — English stopword hits / tokens
+    - ``q_alpha_ratio``   — alphabetic chars / chars
+    - ``q_score``         — composite in [0, 1]
+    """
+    c = _c(col)
+    n_chars = F.length(c).cast("double")
+    toks = token_count(c).cast("double")
+    safe_chars = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    safe_toks = F.when(toks > 0, toks).otherwise(F.lit(1.0))
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    stop_hits = F.regexp_count(F.lower(c), F.lit(STOPWORD_RE)).cast("double")
+    punct_ratio = punct / safe_chars
+    alpha_ratio = alpha / safe_chars
+    stop_ratio = stop_hits / safe_toks
+    mean_tok_len = F.when(toks > 0, n_chars / toks).otherwise(F.lit(0.0))
+    length_signal = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.25) * length_signal
+        + F.lit(0.25) * F.least(stop_ratio * 2.5, F.lit(1.0))
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0)))
+    )
+    return {
+        "q_len": n_chars.cast("long"),
+        "q_tokens": toks.cast("long"),
+        "q_mean_tok_len": F.round(mean_tok_len, 4),
+        "q_punct_ratio": F.round(punct_ratio, 4),
+        "q_stop_ratio": F.round(stop_ratio, 4),
+        "q_alpha_ratio": F.round(alpha_ratio, 4),
+        "q_score": F.round(score, 4),
+    }
+
+
+def doc_fingerprint(col: Column | str, n_words: int = 8) -> Column:
+    """Content fingerprint: md5 over the first ``n_words`` normalized words.
+
+    Normalization (lowercase, strip non-alphanumerics, collapse whitespace)
+    makes the fingerprint robust to formatting; restricting to a prefix makes
+    it a cheap near-head-dup blocker at corpus scale.
+    """
+    c = _c(col)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " ")
+    )
+    prefix = F.array_join(F.slice(F.split(norm, " "), 1, n_words), " ")
+    return F.md5(prefix)

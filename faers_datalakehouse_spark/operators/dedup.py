@@ -1,0 +1,386 @@
+"""Corpus deduplication operators (LLM training-data pipeline).
+
+Four tiers, all designed for 100 TB corpora:
+
+- ``dedup_exact``          — md5-of-normalized-text groupBy: one shuffle on the
+  hash, map-side partial agg; the canonical first pass.
+- ``ngram_jaccard_pairs``  — exact n-gram Jaccard within cheap blocks
+  (language + length band). Exact, oracle-verifiable; quadratic only within a
+  block, so the blocking key bounds the join fan-out at scale.
+- ``minhash_lsh_pairs``    — MinHash signatures + banded LSH: the scale path.
+  Cost is linear in corpus size + candidate pairs; only LSH candidates pay the
+  exact-Jaccard verification. Entirely built-in expressions (shingling via
+  ``sequence``+``transform``+``substring``, hashing via ``xxhash64``,
+  permutations as ``(a*h+b) mod p``) — no Python in the hot path.
+- ``simhash_64``           — 64-bit SimHash per document. Per-row (zero
+  shuffle), computed in an Arrow-batched ``mapInPandas`` because a 64-bit
+  sign-accumulator is the one shape Spark expressions don't express cleanly;
+  near-dup pairing then blocks on the top-16-bit prefix.
+
+All random parameters derive from a fixed seed so results are deterministic
+run-to-run (required by the oracle harness; also the right call for
+reproducible data pipelines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 31) - 1  # 2147483647, prime modulus for minhash permutations
+
+
+def _norm_text(col: Column) -> Column:
+    """lowercase, strip non-alphanumerics to space, collapse whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: keep the lowest id per content hash.
+
+    Output: one row per distinct content with ``n_copies`` and the survivor id.
+    """
+    hashed = df.select(
+        F.col(id_col), F.md5(_norm_text(F.col(text_col))).alias("content_hash")
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                          '\\s+', ' ', 'g'))) AS content_hash,
+  min(doc_id) AS keep_id,
+  count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_id
+"""
+
+
+def char_shingles(col: Column, k: int = 8) -> Column:
+    """Distinct k-char shingles of the normalized text (built-in exprs only)."""
+    norm = _norm_text(col)
+    n = F.length(norm)
+    return F.when(n < k, F.array(norm)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k) + 1),
+                lambda i: F.substring(norm, i, F.lit(k)),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang",),
+    length_band: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocks.
+
+    Blocking = equality on ``block_cols`` plus an optional length band
+    (docs whose lengths differ by ≥ band can't clear a 0.5 Jaccard anyway).
+    The self-join shuffles once on the block key; Jaccard is two array
+    kernels (intersect/union) per candidate pair, all JVM-side.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).alias(f"blk_{c}") for c in block_cols],
+        char_shingles(F.col(text_col), k).alias("shingles"),
+        F.length(_norm_text(F.col(text_col))).alias("norm_len"),
+    )
+    if length_band:
+        sh = sh.withColumn(
+            "len_band", (F.col("norm_len") / length_band).cast("int")
+        )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.blk_{c}") == F.col(f"b.blk_{c}"))
+    if length_band:
+        # adjacent bands too, so near-dups straddling a boundary aren't missed
+        cond = cond & (
+            F.abs(F.col("a.len_band") - F.col("b.len_band")) <= 1
+        )
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+NGRAM_JACCARD_SQL_TEMPLATE = """
+WITH sh AS (
+  SELECT doc_id AS id, lang,
+         list_distinct(CASE WHEN length(norm) < {k} THEN [norm] ELSE
+           list_transform(generate_series(1, length(norm) - {k} + 1),
+                          i -> norm[i : i + {k} - 1])
+         END) AS shingles,
+         length(norm) AS norm_len
+  FROM (
+    SELECT doc_id, lang,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS norm
+    FROM documents
+  )
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.id < b.id AND a.lang = b.lang
+ AND abs(CAST(a.norm_len / {band} AS INT) - CAST(b.norm_len / {band} AS INT)) <= 1
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    col: Column, k: int = 8, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint>) over k-char shingles.
+
+    Each permutation is ``(a * (xxhash64(shingle) mod p) + b) mod p`` — the
+    classic universal-hash family; ``pmod`` keeps everything in [0, p) so the
+    int64 products never overflow (ANSI-safe).
+
+    Implementation note: one ``aggregate`` pass folds every shingle into an
+    array accumulator of ``num_hashes`` running minima. The naive alternative
+    (``num_hashes`` separate ``array_min(transform(...))`` columns) inlines
+    the whole shingling subtree once per permutation after projection
+    collapse — a 64× plan blow-up that Catalyst cannot de-duplicate.
+    """
+    params = _minhash_params(num_hashes, seed)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in params
+        ]
+    )
+    hashes = F.transform(
+        char_shingles(col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+    )
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda mn, p: F.least(
+                mn, F.pmod(p["a"] * h + p["b"], F.lit(MERSENNE_P))
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
+
+    Pipeline: signature (per-row, no shuffle) → posexplode into ``bands``
+    band-hashes → self-join on (band, band_hash) → distinct candidate pairs →
+    verify with exact Jaccard on the shingle sets. Only candidates pay the
+    verification cost; at corpus scale this is the standard
+    shingle→minhash→band→bucket-join layout.
+    """
+    rows = num_hashes // bands
+    sigd = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, num_hashes, seed).alias("sig"),
+        char_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    banded = sigd.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        "-",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigd.select("id", "shingles")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sa"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _token_hash64(token: str) -> int:
+    """Stable 64-bit token hash (md5 prefix) — seed-free and portable."""
+    return struct.unpack(">Q", hashlib.md5(token.encode()).digest()[:8])[0]
+
+
+def simhash_64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document via Arrow-batched ``mapInPandas``.
+
+    Per-row and shuffle-free: each batch computes token hashes, accumulates
+    the 64 sign counters with numpy, and emits the fingerprint as both int64
+    and a 16-bit prefix for blocking. Python is acceptable here because the
+    op is embarrassingly parallel and Arrow-batched; the pairing join that
+    follows is pure Spark.
+    """
+    import numpy as np
+
+    out_schema = f"{id_col} long, simhash long, simhash_prefix int"
+    cache: dict[str, "np.ndarray"] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes, prefixes = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                acc = np.zeros(64, dtype=np.int64)
+                for t in toks:
+                    signs = cache.get(t)
+                    if signs is None:
+                        bits = (np.uint64(_token_hash64(t)) >> shifts) & np.uint64(1)
+                        signs = np.where(bits == 1, 1, -1).astype(np.int64)
+                        cache[t] = signs
+                    acc += signs
+                fp = 0
+                for b in range(64):
+                    if acc[b] > 0:
+                        fp |= 1 << b
+                signed = fp - (1 << 64) if fp >= 1 << 63 else fp
+                ids.append(doc_id)
+                hashes.append(signed)
+                prefixes.append(fp >> 48)
+            yield pd.DataFrame(
+                {id_col: ids, "simhash": hashes, "simhash_prefix": prefixes}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded blocking + exact Hamming filter.
+
+    The 64-bit fingerprint splits into four 16-bit bands; a pair with
+    Hamming distance ≤ 3 must agree on at least one band (pigeonhole), so
+    joining on (band_index, band_value) has **100% recall** at the default
+    threshold while touching only same-band buckets — the standard
+    fingerprint-table layout for corpus-scale simhash dedup. Hamming distance
+    itself is ``bit_count(a XOR b)``, one JVM intrinsic.
+    """
+    fp = simhash_64(df, id_col, text_col)
+    bands = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

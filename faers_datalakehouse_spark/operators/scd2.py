@@ -1,0 +1,150 @@
+"""Slowly Changing Dimension Type 2 — DataFrame-native merge.
+
+Parity: the reference implements SCD2 with two Delta ``MERGE INTO`` statements
+(``src/utils/scd_type2.py:111-226``): (1) ``ON business_keys AND
+target.is_current`` — close changed rows / insert brand-new keys; (2) an
+insert-only pass (``ON false``) adding the new versions of just-closed keys.
+Change detection is an md5 row-hash over tracked columns; surrogate keys are
+md5(business keys + effective date).
+
+Spark-first rewrite (SURVEY.md §2.9): Delta MERGE is not required — the same
+end-state is one full-outer join between the *current* slice of the target and
+the deduplicated source, split three ways (unchanged / closed+new-version /
+brand-new), unioned with untouched history. This is format-agnostic (works on
+plain Parquet), testable against a SQL oracle, and runs as a single shuffle
+on the business keys. At 100 TB you bucket the dimension by business key so
+each merge is a co-partitioned join; history rows never re-shuffle because
+they bypass the join entirely.
+
+Determinism: the reference stamps ``current_date()``/``current_timestamp()``
+inside the merge — untestable. Here the clock is an explicit
+``effective_date`` parameter (the production caller passes today).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.transforms import row_hash, surrogate_key
+
+HIGH_DATE = "9999-12-31"
+
+SCD2_META_COLS = ("dim_key", "row_hash", "effective_date", "end_date", "is_current")
+
+
+def add_scd2_metadata(
+    df: DataFrame,
+    business_keys: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_date: str,
+) -> DataFrame:
+    """Stamp SCD2 metadata on a source frame (reference ``scd_type2.py:19-89``)."""
+    eff = F.to_date(F.lit(effective_date))
+    return (
+        df.withColumn("row_hash", row_hash(list(tracked_cols)))
+        .withColumn("effective_date", eff)
+        .withColumn("end_date", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn(
+            "dim_key",
+            surrogate_key(list(business_keys), F.col("effective_date").cast("string")),
+        )
+    )
+
+
+def scd2_initial_load(
+    source: DataFrame,
+    business_keys: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_date: str,
+) -> DataFrame:
+    """First load: every (deduplicated) source row becomes a current version."""
+    return add_scd2_metadata(
+        source.dropDuplicates(list(business_keys)),
+        business_keys,
+        tracked_cols,
+        effective_date,
+    )
+
+
+def scd2_merge(
+    target: DataFrame,
+    source: DataFrame,
+    business_keys: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_date: str,
+) -> DataFrame:
+    """Apply one SCD2 merge; returns the full new dimension state.
+
+    Semantics (matching the reference's two MERGEs):
+    - source row matches a current target row with a different row_hash →
+      close the target row (end_date=effective_date, is_current=false) AND
+      insert the source row as the new current version;
+    - source row with no current target match → insert as new current row;
+    - source row with identical hash → no-op (idempotent re-runs);
+    - target rows absent from the source are left untouched (the reference
+      never closes missing keys);
+    - historical (non-current) target rows bypass the join entirely.
+    """
+    keys = list(business_keys)
+    attr_cols = [c for c in target.columns if c not in SCD2_META_COLS]
+
+    src = add_scd2_metadata(
+        source.dropDuplicates(keys), keys, tracked_cols, effective_date
+    ).select(*attr_cols, *SCD2_META_COLS)
+
+    current = target.filter(F.col("is_current"))
+    history = target.filter(~F.col("is_current"))
+
+    t = current.alias("t")
+    s = src.alias("s")
+    joined = t.join(s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full")
+
+    t_key = F.col(f"t.{keys[0]}")
+    s_key = F.col(f"s.{keys[0]}")
+    changed = (
+        t_key.isNotNull() & s_key.isNotNull()
+        & (F.col("t.row_hash") != F.col("s.row_hash"))
+    )
+
+    def _side(side: str) -> list[F.Column]:
+        return [F.col(f"{side}.{c}").alias(c) for c in [*attr_cols, *SCD2_META_COLS]]
+
+    # Target-side survivors: unchanged current rows as-is, changed rows closed.
+    kept = (
+        joined.filter(t_key.isNotNull())
+        .select(*_side("t"), changed.alias("_changed"))
+        .withColumn(
+            "end_date",
+            F.when(F.col("_changed"), F.to_date(F.lit(effective_date))).otherwise(
+                F.col("end_date")
+            ),
+        )
+        .withColumn("is_current", F.col("is_current") & ~F.col("_changed"))
+        .drop("_changed")
+    )
+    # Source-side inserts: new business keys + new versions of changed keys.
+    inserted = joined.filter(
+        (t_key.isNull() & s_key.isNotNull()) | changed
+    ).select(*_side("s"))
+
+    return history.select(*[*attr_cols, *SCD2_META_COLS]).unionByName(
+        kept
+    ).unionByName(inserted)
+
+
+def scd2_current_view(dim: DataFrame) -> DataFrame:
+    """Convenience: the current slice (reference's dead ``get_current_records``)."""
+    return dim.filter(F.col("is_current"))
+
+
+def scd2_history(dim: DataFrame, business_key_values: dict[str, object]) -> DataFrame:
+    """Full change history for one business key (``get_change_history`` analog)."""
+    cond = None
+    for k, v in business_key_values.items():
+        c = F.col(k) == F.lit(v)
+        cond = c if cond is None else (cond & c)
+    return dim.filter(cond).orderBy("effective_date")

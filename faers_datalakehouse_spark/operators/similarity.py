@@ -1,0 +1,239 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- ``topk_neighbors_bruteforce`` — exact top-k cosine neighbors. The query set
+  is broadcast against the corpus, the dot product runs as a JVM array kernel
+  (``zip_with`` + ``aggregate``), and per-query top-k is a ranked window. At
+  100 TB the corpus side stays partitioned and is scanned once per batch of
+  queries — the right baseline, and embarrassingly parallel.
+- ``lsh_bucketed_neighbors`` — random-hyperplane LSH: sign-bit signatures
+  bucket the corpus; each query searches only its bucket (plus the exact
+  kernel for ranking). Probabilistic recall, linear cost — the scale path.
+
+Determinism for the oracle harness: embeddings are quantized to integers
+(round(x*1000)) before the dot product, making scores exact integer sums that
+any engine reproduces bit-for-bit; cosine then divides by exact-integer norms
+with IEEE-rounded double ops (identical everywhere). Ranking ties break on
+neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def _quantized(col: Column) -> Column:
+    return F.transform(col, lambda x: F.round(x * QUANT).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def with_quantized_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    q = _quantized(F.col(emb_col))
+    return df.withColumn("q_emb", q).withColumn("q_norm2", _dot(F.col("q_emb"), F.col("q_emb")))
+
+
+def topk_neighbors_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector over the corpus."""
+    c = with_quantized_norm(corpus.select(id_col, emb_col), emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q_emb").alias("c_emb"),
+        F.col("q_norm2").alias("c_norm2"),
+    )
+    q = with_quantized_norm(queries.select(id_col, emb_col), emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q_emb").alias("qq_emb"),
+        F.col("q_norm2").alias("qq_norm2"),
+    )
+    dot = _dot(F.col("qq_emb"), F.col("c_emb"))
+    cosine = F.round(
+        dot.cast("double")
+        / (F.sqrt(F.col("qq_norm2").cast("double")) * F.sqrt(F.col("c_norm2").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_TOPK_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {quant}) AS BIGINT)) AS qe
+  FROM embeddings WHERE vec_id % {query_mod} = 0
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {quant}) AS BIGINT)) AS ce
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           CAST(list_sum(list_transform(list_zip(q.qe, c.ce),
+                                        p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(q.qe, x -> x*x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(c.ce, x -> x*x)) AS DOUBLE))),
+           6) AS cosine
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, self-join).
+
+    Quadratic — correct as the verification kernel; pair it with
+    ``lsh_bucketed_neighbors`` blocking for corpus-scale runs.
+    """
+    e = with_quantized_norm(corpus.select(id_col, emb_col), emb_col).select(
+        F.col(id_col).alias("id"), "q_emb", "q_norm2"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = _dot(F.col("a.q_emb"), F.col("b.q_emb"))
+    cosine = F.round(
+        dot.cast("double")
+        / (
+            F.sqrt(F.col("a.q_norm2").cast("double"))
+            * F.sqrt(F.col("b.q_norm2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+COSINE_NEARDUP_SQL_TEMPLATE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {quant}) AS BIGINT)) AS qe
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1] * p[2]))
+              AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.qe, x -> x*x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE))),
+         6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(
+        CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1] * p[2]))
+             AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(a.qe, x -> x*x)) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE))),
+        6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+# Fixed deterministic hyperplanes for the LSH path: plane p, dim d weight is
+# derived from xxhash64-style integer mixing of (p, d) — no RNG dependency.
+
+
+def _plane_weight(p: int, d: int) -> float:
+    h = (p * 2654435761 + d * 40503) & 0xFFFFFFFF
+    h ^= h >> 16
+    h = (h * 2246822519) & 0xFFFFFFFF
+    h ^= h >> 13
+    return ((h & 0xFFFF) / 65535.0) * 2.0 - 1.0
+
+
+def lsh_bucketed_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH bucketing + exact rescoring in-bucket.
+
+    Signature = ``n_planes`` sign bits of fixed pseudo-random hyperplane dot
+    products, built with ``zip_with``/``aggregate`` (JVM-side). The
+    query-corpus join is equi on the bucket id, so Catalyst plans a hash join
+    keyed by bucket instead of a cross product.
+    """
+
+    def signature(col: Column) -> Column:
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(col, plane, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    c = with_quantized_norm(corpus.select(id_col, emb_col), emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        signature(F.col(emb_col)).alias("bucket"),
+        F.col("q_emb").alias("c_emb"),
+        F.col("q_norm2").alias("c_norm2"),
+    )
+    q = with_quantized_norm(queries.select(id_col, emb_col), emb_col).select(
+        F.col(id_col).alias("query_id"),
+        signature(F.col(emb_col)).alias("bucket"),
+        F.col("q_emb").alias("qq_emb"),
+        F.col("q_norm2").alias("qq_norm2"),
+    )
+    dot = _dot(F.col("qq_emb"), F.col("c_emb"))
+    cosine = F.round(
+        dot.cast("double")
+        / (
+            F.sqrt(F.col("qq_norm2").cast("double"))
+            * F.sqrt(F.col("c_norm2").cast("double"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

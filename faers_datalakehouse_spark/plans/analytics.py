@@ -1,0 +1,442 @@
+"""Analytics query suite: groupBy/agg/top-k over the star schema.
+
+Parity: the reference's ``src/gold/facts/fact_analytics.py`` — multi-aggregate
+groupBys (A2), global single-row summaries (A3), percent-of-total with a
+collected scalar (A6), top-k via ``orderBy().limit()`` (O1), temporal trends
+grouped by ``year()``. We re-express percent-of-total with an unpartitioned
+window (no driver round-trip) and add top-k-per-group via a ranked window —
+the idiomatic replacements the reference lacked.
+
+Determinism rules for oracle comparison (SURVEY.md §7 risk 3):
+- all money columns in the testdata are exact 2-decimal values, so derived
+  measures are computed in **scaled-integer space** (``round(x*100)`` →
+  BIGINT): sums become exact integer arithmetic — order-independent at any
+  parallelism and bit-identical across engines — and only the final result is
+  divided back into a double (IEEE division of identical inputs is identical
+  everywhere);
+- every ORDER BY feeding a LIMIT carries a unique tiebreak column;
+- raw doubles read from parquet pass through untouched (same bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import read_events
+
+
+def cents(col: str | Column) -> Column:
+    """Exact scaled-integer representation of a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (A2: groupBy + 8 aggregates).
+
+    One shuffle on the two low-cardinality group keys; partial aggregation
+    (map-side combine) does nearly all the work before the exchange.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round("l_quantity").cast("long")
+    price_c = cents("l_extendedprice")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_e4 = price_c * (100 - disc_pct)  # 1e-4 dollars, exact
+    charge_e6 = price_c * (100 - disc_pct) * (100 + tax_pct)  # 1e-6 dollars
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_c).alias("base_c"),
+            F.sum(disc_price_e4).alias("disc_e4"),
+            F.sum(charge_e6).alias("charge_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            (F.col("base_c").cast("double") / 100.0).alias("sum_base_price"),
+            (F.col("disc_e4").cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.col("charge_e6").cast("double") / 1000000.0).alias("sum_charge"),
+            (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (
+                F.col("base_c").cast("double") / 100.0 / F.col("count_order")
+            ).alias("avg_price"),
+            "count_order",
+            "n_orders",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  sum_qty,
+  CAST(base_c AS DOUBLE) / 100.0        AS sum_base_price,
+  CAST(disc_e4 AS DOUBLE) / 10000.0     AS sum_disc_price,
+  CAST(charge_e6 AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+  CAST(base_c AS DOUBLE) / 100.0 / count_order AS avg_price,
+  count_order,
+  n_orders
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(round(l_quantity) AS BIGINT))        AS sum_qty,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS base_c,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS disc_e4,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))
+             * (100 + CAST(round(l_tax*100) AS BIGINT)))      AS charge_e6,
+         count(*)                    AS count_order,
+         count(DISTINCT l_orderkey)  AS n_orders
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def topk_parts(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k parts by shipment count (A2 + O1: TakeOrderedAndProject).
+
+    lineitem is pre-aggregated on its own join key (l_partkey) *before* the
+    broadcast join to part, so the join input is |parts| rows, not |lineitem|.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    by_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.round("l_quantity").cast("long")).alias("total_qty"),
+        F.sum(cents("l_extendedprice")).alias("price_c"),
+    )
+    return (
+        by_part.join(F.broadcast(part), by_part.l_partkey == part.p_partkey, "inner")
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("part_brand"),
+            "n_shipments",
+            "n_orders",
+            "total_qty",
+            (F.col("price_c").cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy(F.desc("n_shipments"), F.desc("total_price"), F.asc("part_key"))
+        .limit(k)
+    )
+
+
+TOPK_PARTS_SQL = """
+SELECT
+  p.p_partkey  AS part_key,
+  p.p_name     AS part_name,
+  p.p_brand    AS part_brand,
+  a.n_shipments, a.n_orders, a.total_qty,
+  CAST(a.price_c AS DOUBLE) / 100.0 AS total_price
+FROM (
+  SELECT l_partkey,
+         count(*)                                        AS n_shipments,
+         count(DISTINCT l_orderkey)                      AS n_orders,
+         sum(CAST(round(l_quantity) AS BIGINT))          AS total_qty,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_c
+  FROM lineitem GROUP BY l_partkey
+) a JOIN part p ON a.l_partkey = p.p_partkey
+ORDER BY n_shipments DESC, total_price DESC, part_key ASC
+LIMIT {k}
+"""
+
+
+def topk_by_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k suppliers per nation by account balance (ranked window)."""
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "inner"
+        )
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= k)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_acctbal").alias("acct_balance"),
+            "rank_in_nation",
+        )
+        .orderBy("nation_name", "rank_in_nation")
+    )
+
+
+TOPK_BY_GROUP_SQL = """
+SELECT nation_name, supplier_name, acct_balance,
+       CAST(rank_in_nation AS INTEGER) AS rank_in_nation
+FROM (
+  SELECT
+    n.n_name    AS nation_name,
+    s.s_name    AS supplier_name,
+    s.s_acctbal AS acct_balance,
+    row_number() OVER (PARTITION BY n.n_name
+                       ORDER BY s.s_acctbal DESC, s.s_suppkey ASC) AS rank_in_nation
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+WHERE rank_in_nation <= {k}
+ORDER BY nation_name, rank_in_nation
+"""
+
+
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type share of total (A6) — unpartitioned window, no collect."""
+    events = read_events(spark, sf_dir)
+    by_type = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("value_c"),
+    )
+    w = Window.partitionBy()
+    return by_type.select(
+        "event_type",
+        "n_events",
+        (F.col("value_c").cast("double") / 100.0).alias("total_value"),
+        (
+            F.col("n_events").cast("double") * 100.0
+            / F.sum("n_events").over(w).cast("double")
+        ).alias("pct_of_events"),
+    ).orderBy(F.desc("n_events"), F.asc("event_type"))
+
+
+PCT_OF_TOTAL_SQL = """
+SELECT
+  event_type,
+  n_events,
+  CAST(value_c AS DOUBLE) / 100.0 AS total_value,
+  CAST(n_events AS DOUBLE) * 100.0 / CAST(sum(n_events) OVER () AS DOUBLE)
+                                  AS pct_of_events
+FROM (
+  SELECT event_type, count(*) AS n_events,
+         sum(CAST(round(value*100) AS BIGINT)) AS value_c
+  FROM events GROUP BY event_type
+)
+ORDER BY n_events DESC, event_type ASC
+"""
+
+
+def global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row dataset profile (A3: global multi-aggregate)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        F.sum(cents("o_totalprice")).alias("value_c"),
+        F.count(F.lit(1)).alias("cnt2"),
+    ).select(
+        "n_orders",
+        "n_customers",
+        "first_order_date",
+        "last_order_date",
+        (F.col("value_c").cast("double") / 100.0).alias("total_order_value"),
+        (F.col("value_c").cast("double") / 100.0 / F.col("cnt2")).alias(
+            "avg_order_value"
+        ),
+    )
+
+
+GLOBAL_SUMMARY_SQL = """
+SELECT
+  n_orders,
+  n_customers,
+  first_order_date,
+  last_order_date,
+  CAST(value_c AS DOUBLE) / 100.0 AS total_order_value,
+  CAST(value_c AS DOUBLE) / 100.0 / n_orders AS avg_order_value
+FROM (
+  SELECT count(*)                  AS n_orders,
+         count(DISTINCT o_custkey) AS n_customers,
+         min(CAST(o_orderdate AS DATE)) AS first_order_date,
+         max(CAST(o_orderdate AS DATE)) AS last_order_date,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS value_c
+  FROM orders
+)
+"""
+
+
+def latest_day_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-partition incremental read (S3) re-expressed on events.
+
+    Reference semantics (``silver_transformations.py:21-45``): scalar MAX of
+    the partition column, then an equality filter. On a table partitioned by
+    day this is a metadata-only max + a single-partition scan.
+    """
+    events = read_events(spark, sf_dir)
+    events = events.withColumn("event_day", F.to_date("ts"))
+    latest = events.agg(F.max("event_day")).collect()[0][0]
+    return (
+        events.filter(F.col("event_day") == F.lit(latest))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            (F.col("value_c").cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LATEST_DAY_ACTIVITY_SQL = """
+SELECT event_type,
+       count(*)                AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def temporal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly trend (A2 temporal: groupBy year(date))."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(cents("o_totalprice")).alias("value_c"),
+        )
+        .select(
+            "order_year",
+            "n_orders",
+            "n_customers",
+            (F.col("value_c").cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy("order_year")
+    )
+
+
+TEMPORAL_TREND_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       count(*)                            AS n_orders,
+       count(DISTINCT o_custkey)           AS n_customers,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+                                           AS total_value
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user (window lag + running sum).
+
+    A classic stateful-looking operator expressed relationally: one shuffle
+    partitioned by user, two window passes over it, no Python. The streaming
+    twin (``session_window``) lives in streaming/.
+    """
+    events = read_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (unix_timestamp would truncate to seconds and
+    # disagree with the oracle's epoch_us on sub-second boundaries)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+    with_breaks = events.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "session_start",
+            "session_end",
+            (F.col("value_c").cast("double") / 100.0).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*)  AS n_events,
+       min(ts)   AS session_start,
+       max(ts)   AS session_end,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS session_value
+FROM (
+  SELECT user_id, ts, value,
+         sum(is_new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_seq
+  FROM (
+    SELECT *,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id))
+                     > {gap_us}
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+  )
+)
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""  # session_seq cast: DuckDB window sum(int) yields HUGEINT vs Spark LONG
+
+
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (semi-structured scan path).
+
+    ``events.props`` holds a JSON object; extract a typed field JVM-side
+    (``get_json_object``) and aggregate. At scale this pushes the full
+    parse into one codegen'd projection — no Python, no schema inference.
+    """
+    events = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_AGG_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,329 @@
+"""Oracle-checkable showcase queries for the transform library, SCD2, and
+text-analysis operators.
+
+Each function here pairs a PySpark implementation with an ANSI-SQL twin
+(module-level ``*_SQL`` strings) that DuckDB runs on the same parquet tables —
+the driver's correctness contract (``__spark_entry__.py``). Demo inputs that
+the testdata lacks (raw FAERS-style date/numeric strings) are derived
+deterministically from existing columns, so both engines see identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    language_id,
+    quality_score_cols,
+    token_count,
+)
+from ..functions.transforms import guarded_double
+from ..operators.scd2 import scd2_initial_load, scd2_merge
+
+# --------------------------------------------------------------------------
+# SCD Type 2 end-state scenario (M4)
+# --------------------------------------------------------------------------
+
+
+def scd2_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SCD2 merge scenario on the customer dimension.
+
+    Initial load at 2024-01-01 from ``customer``; a second batch at
+    2024-06-01 where customers with ``c_custkey % 7 == 0`` change segment,
+    ``% 11 == 0`` are absent from the batch (must remain untouched), and
+    ``% 13 == 0`` arrive as brand-new business keys. The output is the full
+    dimension state — history row + new version for changed keys.
+    """
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal").cast("long").alias("bal"),
+    )
+    keys = ["c_custkey"]
+    tracked = ["c_name", "c_mktsegment", "bal"]
+    target = scd2_initial_load(base, keys, tracked, "2024-01-01")
+
+    src_mod = base.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    src_new = base.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        "bal",
+    )
+    merged = scd2_merge(
+        target, src_mod.unionByName(src_new), keys, tracked, "2024-06-01"
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "bal",
+        "effective_date",
+        "end_date",
+        "is_current",
+    ).orderBy("c_custkey", "effective_date")
+
+
+SCD2_SCENARIO_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(round(c_acctbal) AS BIGINT) AS bal
+  FROM customer
+),
+changed AS (
+  SELECT c_custkey FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+)
+SELECT b.c_custkey, b.c_name, b.c_mktsegment, b.bal,
+       DATE '2024-01-01' AS effective_date,
+       CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2024-06-01' END AS end_date,
+       ch.c_custkey IS NULL AS is_current
+FROM base b LEFT JOIN changed ch ON b.c_custkey = ch.c_custkey
+UNION ALL
+SELECT b.c_custkey, b.c_name, 'CHANGED', b.bal,
+       DATE '2024-06-01', NULL, true
+FROM base b JOIN changed ch ON b.c_custkey = ch.c_custkey
+UNION ALL
+SELECT b.c_custkey + 1000000, b.c_name, 'NEWSEG', b.bal,
+       DATE '2024-06-01', NULL, true
+FROM base b WHERE b.c_custkey % 13 = 0
+ORDER BY c_custkey, effective_date
+"""
+
+# --------------------------------------------------------------------------
+# Transform-library demos (M1) — FAERS-style raw strings derived from orders
+# --------------------------------------------------------------------------
+
+
+def date_standardize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAERS partial-date standardization over derived raw strings.
+
+    Uses ``try_to_date`` under the regex guards (ANSI-safe): 8-digit, 6-digit
+    (→ first of month), 4-digit (→ Jan 1), junk/empty → NULL.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = F.col("o_orderkey") % 5
+    raw = (
+        F.when(m == 0, F.date_format("o_orderdate", "yyyyMMdd"))
+        .when(m == 1, F.date_format("o_orderdate", "yyyyMM"))
+        .when(m == 2, F.date_format("o_orderdate", "yyyy"))
+        .when(m == 3, F.lit("not-a-date"))
+        .otherwise(F.lit(""))
+    )
+    with_raw = orders.select("o_orderkey", raw.alias("raw_date"))
+    c = F.trim(F.col("raw_date"))
+    std = (
+        F.when(c.rlike(r"^\d{8}$"), F.try_to_date(c, "yyyyMMdd"))
+        .when(
+            c.rlike(r"^\d{6}$"),
+            F.try_to_date(F.concat(c, F.lit("01")), "yyyyMMdd"),
+        )
+        .when(
+            c.rlike(r"^\d{4}$"),
+            F.try_to_date(F.concat(c, F.lit("0101")), "yyyyMMdd"),
+        )
+        .otherwise(F.lit(None).cast("date"))
+    )
+    return with_raw.select("o_orderkey", "raw_date", std.alias("std_date")).orderBy(
+        "o_orderkey"
+    )
+
+
+DATE_STANDARDIZE_SQL = """
+WITH with_raw AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 5
+           WHEN 0 THEN strftime(o_orderdate, '%Y%m%d')
+           WHEN 1 THEN strftime(o_orderdate, '%Y%m')
+           WHEN 2 THEN strftime(o_orderdate, '%Y')
+           WHEN 3 THEN 'not-a-date'
+           ELSE ''
+         END AS raw_date
+  FROM orders
+)
+SELECT o_orderkey, raw_date,
+       CASE
+         WHEN regexp_matches(trim(raw_date), '^\\d{8}$')
+           THEN CAST(try_strptime(trim(raw_date), '%Y%m%d') AS DATE)
+         WHEN regexp_matches(trim(raw_date), '^\\d{6}$')
+           THEN CAST(try_strptime(trim(raw_date) || '01', '%Y%m%d') AS DATE)
+         WHEN regexp_matches(trim(raw_date), '^\\d{4}$')
+           THEN CAST(try_strptime(trim(raw_date) || '0101', '%Y%m%d') AS DATE)
+         ELSE NULL
+       END AS std_date
+FROM with_raw
+ORDER BY o_orderkey
+"""
+
+
+def numeric_standardize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-guarded numeric cast over derived raw strings."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = F.col("o_orderkey") % 6
+    raw = (
+        F.when(m == 0, F.round(F.col("o_totalprice") * 100).cast("long").cast("string"))
+        .when(m == 1, F.lit("123.45"))
+        .when(m == 2, F.lit("abc"))
+        .when(m == 3, F.lit("1e5"))
+        .when(m == 4, F.lit(" 42 "))
+        .otherwise(F.lit(""))
+    )
+    with_raw = orders.select("o_orderkey", raw.alias("raw_num"))
+    return with_raw.select(
+        "o_orderkey", "raw_num", guarded_double("raw_num").alias("std_num")
+    ).orderBy("o_orderkey")
+
+
+NUMERIC_STANDARDIZE_SQL = """
+WITH with_raw AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 6
+           WHEN 0 THEN CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)
+           WHEN 1 THEN '123.45'
+           WHEN 2 THEN 'abc'
+           WHEN 3 THEN '1e5'
+           WHEN 4 THEN ' 42 '
+           ELSE ''
+         END AS raw_num
+  FROM orders
+)
+SELECT o_orderkey, raw_num,
+       CASE WHEN regexp_matches(trim(raw_num), '^[0-9]+\\.?[0-9]*$')
+            THEN CAST(trim(raw_num) AS DOUBLE) ELSE NULL END AS std_num
+FROM with_raw
+ORDER BY o_orderkey
+"""
+
+# --------------------------------------------------------------------------
+# Text-analysis suite over documents
+# --------------------------------------------------------------------------
+
+
+def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text", "whitespace").alias("n_ws_tokens"),
+        token_count("text", "regex").alias("n_regex_tokens"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+            AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS INTEGER) AS n_regex_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_score_cols(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in q.items()]).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+WITH sig AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE)
+           AS toks,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(len(regexp_extract_all(lower(text),
+              '\\b(the|and|of|to|in|is|that|it|for|was)\\b')) AS DOUBLE) AS stop_hits
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, toks,
+         CASE WHEN n_chars > 0 THEN n_chars ELSE 1.0 END AS safe_chars,
+         CASE WHEN toks > 0 THEN toks ELSE 1.0 END AS safe_toks,
+         punct, alpha, stop_hits
+  FROM sig
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT)                               AS q_len,
+       CAST(toks AS BIGINT)                                  AS q_tokens,
+       round(CASE WHEN toks > 0 THEN n_chars / toks ELSE 0.0 END, 4)
+                                                             AS q_mean_tok_len,
+       round(punct / safe_chars, 4)                          AS q_punct_ratio,
+       round(stop_hits / safe_toks, 4)                       AS q_stop_ratio,
+       round(alpha / safe_chars, 4)                          AS q_alpha_ratio,
+       round(0.25 * least(n_chars / 500.0, 1.0)
+             + 0.25 * least((stop_hits / safe_toks) * 2.5, 1.0)
+             + 0.25 * (alpha / safe_chars)
+             + 0.25 * (1.0 - least((punct / safe_chars) * 4.0, 1.0)), 4)
+                                                             AS q_score
+FROM r
+ORDER BY doc_id
+"""
+
+
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id(F.col("text")).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+# DuckDB single-quoted strings are not backslash-escaped: pass regexes as-is.
+_MARKER = dict(LANG_MARKERS)
+LANG_ID_SQL = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(regexp_extract_all(lower(text), '{_MARKER["de"]}')) AS c_de,
+         len(regexp_extract_all(lower(text), '{_MARKER["en"]}')) AS c_en,
+         len(regexp_extract_all(lower(text), '{_MARKER["es"]}')) AS c_es,
+         len(regexp_extract_all(lower(text), '{_MARKER["fr"]}')) AS c_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN c_de >= greatest(c_en, c_es, c_fr) THEN 'de'
+            WHEN c_en >= greatest(c_es, c_fr) THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scores
+ORDER BY doc_id
+"""
+
+
+def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix fingerprint + survivor per fingerprint group."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = docs.select("doc_id", doc_fingerprint(F.col("text"), 8).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep_id")
+    )
+
+
+FINGERPRINT_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           (string_split(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '))[1:8], ' '))
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM fp GROUP BY fingerprint
+ORDER BY keep_id
+"""

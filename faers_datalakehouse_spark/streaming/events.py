@@ -1,0 +1,122 @@
+"""Structured Streaming paths for the events table.
+
+The reference is batch-only ("Real-time Streaming" is listed as a future
+enhancement, reference README); the north star asks for streaming as a
+first-class capability, so the batch aggregations in plans/analytics.py get
+streaming twins here:
+
+- ``windowed_event_aggregate``   — tumbling/sliding window + watermark: the
+  streaming version of the per-day/type rollups. Late rows beyond the
+  watermark are dropped; state is bounded.
+- ``streaming_session_windows``  — ``session_window(ts, gap)``: the streaming
+  twin of plans.analytics.sessionize (same gap semantics, incremental state).
+- ``streaming_type_counts``      — running counts in update mode (the
+  simplest stateful shape, used by tests).
+
+Local tests drive these with a file source over a directory of parquet
+(one batch == whole directory) and a memory sink +
+``processAllAvailable()`` — the documented pattern for deterministic
+streaming tests. In production the source line changes to Kafka; every
+transformation below is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events_from_dir(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over parquet event files (ts normalized to µs)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_aggregate(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregate per event type."""
+    w = (
+        F.window("ts", window, slide)
+        if slide
+        else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            (F.col("value_c").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows per user (streaming sessionize twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            (F.col("value_c").cast("double") / 100.0).alias("session_value"),
+        )
+    )
+
+
+def streaming_type_counts(events: DataFrame) -> DataFrame:
+    """Running per-type counts (update-mode stateful aggregate)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
+def run_to_completion(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming frame to completion against a memory sink and
+    return the materialized result (test/demo helper)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

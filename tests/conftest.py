@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+import pytest
+
+from faers_datalakehouse_spark.session import get_spark
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF0001

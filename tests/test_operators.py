@@ -1,0 +1,130 @@
+"""Dedup / similarity / text operator tests on small inline corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    token_count,
+)
+from faers_datalakehouse_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from faers_datalakehouse_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    topk_neighbors_bruteforce,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_dedup_exact_normalizes(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello, World!", "en"),
+            (2, "hello   world", "en"),  # same after normalization
+            (3, "different doc entirely", "en"),
+        ],
+    )
+    out = dedup_exact(df).collect()
+    assert len(out) == 2
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_finds_neardup(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("today", "tomorrow")
+    c = "completely unrelated content about spark query engines and shuffles"
+    df = _docs(spark, [(1, a, "en"), (2, b, "en"), (3, c, "en")])
+    pairs = ngram_jaccard_pairs(df, threshold=0.5, length_band=100).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_minhash_lsh_agrees_with_exact_on_strong_pairs(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    b = a + "lambda"
+    c = "one two three four five six seven eight nine ten " * 5
+    df = _docs(spark, [(1, a, "en"), (2, b, "en"), (3, c, "en")])
+    pairs = minhash_lsh_pairs(df, threshold=0.5)
+    got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_simhash_neardup(spark):
+    # SimHash is a weighted bag-of-words fingerprint: a reordered duplicate
+    # has Hamming distance 0; an unrelated doc is far away.
+    a = "spark catalyst optimizer pushes filters into the parquet scan layer"
+    b = "the parquet scan layer pushes filters into spark catalyst optimizer"
+    c = "zebra quantum sandwich umbrella helicopter mountain river " * 3
+    df = _docs(spark, [(1, a, "en"), (2, b, "en"), (3, c, "en")])
+    got = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_topk_neighbors_bruteforce(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = topk_neighbors_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 1), k=2
+    ).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+
+
+def test_cosine_neardup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(emb, threshold=0.95).collect()}
+    assert got == {(1, 2)}
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 2024!"), (2, "")], ["doc_id", "text"]
+    )
+    out = df.select(
+        token_count("text").alias("ws"),
+        token_count("text", "regex").alias("rx"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()
+    assert out[0]["ws"] == 4
+    # Hello | world | , | it | ' | s | 2024 | !
+    assert out[0]["rx"] == 8
+    assert len(out[0]["fp"]) == 32
+    assert out[1]["ws"] == 0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house for it was big"),
+            (2, "der Hund und die Katze ist nicht mit der Maus"),
+            (3, "le chat et la maison est dans les arbres pour que"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = [r[0] for r in df.select(language_id("text")).collect()]
+    assert got == ["en", "de", "fr"]

@@ -1,0 +1,105 @@
+"""Plan-level tests: date dim, star fact, analytics suite, sources, and
+plan-shape assertions (broadcasts / pushdown) on the testdata."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.plans.analytics import (
+    pricing_summary,
+    sessionize,
+    topk_by_group,
+    topk_parts,
+)
+from faers_datalakehouse_spark.plans.date_dim import build_date_dim
+from faers_datalakehouse_spark.plans.star import build_fact_sales
+from faers_datalakehouse_spark.sources.ingest import (
+    add_ingestion_metadata,
+    all_string_schema,
+    read_csv_enforced,
+)
+from faers_datalakehouse_spark.sources.tables import read_events
+
+
+def test_date_dim_known_dates(spark):
+    dd = build_date_dim(spark, "2024-01-01", "2024-12-31")
+    assert dd.count() == 366  # leap year
+    feb29 = dd.filter(F.col("date_value") == F.lit("2024-02-29")).collect()[0]
+    assert feb29["is_leap_year"] and feb29["iso_day_of_week"] == 4  # Thursday
+    assert feb29["is_month_end"] and feb29["days_in_month"] == 29
+    dec31 = dd.filter(F.col("date_value") == F.lit("2024-12-31")).collect()[0]
+    assert dec31["day_of_year"] == 366 and dec31["fiscal_year"] == 2025
+
+
+def test_fact_sales_grain_and_defaults(spark, sf_dir):
+    fact = build_fact_sales(spark, sf_dir)
+    li_count = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert fact.count() == li_count  # 1:1 grain with lineitem
+    # inner joins guarantee these; left-join defaults never fire on clean data
+    assert fact.filter(F.col("customer_name") == "UNKNOWN").count() == 0
+    assert fact.filter(F.col("order_date_key").isNull()).count() == 0
+    row = fact.filter(F.col("revenue") <= 0).count()
+    assert row == 0
+
+
+def test_fact_plan_uses_broadcast_joins(spark, sf_dir):
+    plan = build_fact_sales(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # exactly one potentially-shuffled join (lineitem x orders); all dims broadcast
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_pricing_summary_totals(spark, sf_dir):
+    rows = pricing_summary(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r["count_order"] for r in rows) == li.count()
+    assert all(r["sum_disc_price"] <= r["sum_base_price"] for r in rows)
+
+
+def test_topk_shapes(spark, sf_dir):
+    assert topk_parts(spark, sf_dir, k=5).count() == 5
+    tkg = topk_by_group(spark, sf_dir, k=2).collect()
+    assert all(r["rank_in_nation"] <= 2 for r in tkg)
+
+
+def test_sessionize_gap_semantics(spark, sf_dir):
+    sessions = sessionize(spark, sf_dir, gap_minutes=30)
+    one_user = sessions.filter(F.col("user_id") == sessions.first()["user_id"])
+    rows = one_user.orderBy("session_seq").collect()
+    # session boundaries are strictly ordered in time
+    for a, b in zip(rows, rows[1:]):
+        assert a["session_end"] < b["session_start"]
+
+
+def test_read_events_normalizes_ns_timestamps(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    first = ev.orderBy("event_id").first()
+    assert first["ts"] >= dt.datetime(2024, 1, 1)
+
+
+def test_csv_ingest_with_metadata(spark, tmp_path):
+    p = tmp_path / "demo.csv"
+    p.write_text("id$name$age\n1$alice$30\n2$bob$\nmalformed-line-without-seps\n")
+    schema = all_string_schema(["id", "name", "age"])
+    df = add_ingestion_metadata(
+        read_csv_enforced(spark, str(p), schema), ingest_ts=F.lit("2024-01-01").cast("timestamp")
+    )
+    rows = df.collect()
+    assert len(rows) == 3  # PERMISSIVE keeps the malformed row (null-filled)
+    assert {r["id"] for r in rows} == {"1", "2", "malformed-line-without-seps"}
+    assert all(r["_ingest_ts"] is not None for r in rows)
+    assert all(r["_source_file"].endswith("demo.csv") for r in rows)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double" in plan

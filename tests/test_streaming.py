@@ -1,0 +1,72 @@
+"""Structured Streaming tests: file source → watermarked aggregates →
+memory sink, driven synchronously with processAllAvailable()."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.streaming.events import (
+    run_to_completion,
+    stream_events_from_dir,
+    streaming_session_windows,
+    streaming_type_counts,
+    windowed_event_aggregate,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_aggregate_matches_batch(spark, events_dir, sf_dir):
+    stream = stream_events_from_dir(spark, events_dir)
+    agg = windowed_event_aggregate(stream, window="1 hour", watermark="2 hours")
+    out = run_to_completion(agg, "win_agg", "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    assert got, "streaming aggregate produced no windows"
+
+    # batch twin over the same file
+    from faers_datalakehouse_spark.sources.tables import read_events
+
+    batch = (
+        read_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("v"),
+        )
+    )
+    expected = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["v"])
+        for r in batch.collect()
+    }
+    # append-mode emits only watermark-closed windows → subset of batch
+    assert set(got).issubset(set(expected))
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_streaming_session_windows(spark, events_dir):
+    stream = stream_events_from_dir(spark, events_dir)
+    sess = streaming_session_windows(stream, gap="30 minutes", watermark="2 hours")
+    out = run_to_completion(sess, "sess_win", "append").collect()
+    assert out
+    assert all(r["session_start"] <= r["session_end"] for r in out)
+    assert all(r["n_events"] >= 1 for r in out)
+
+
+def test_streaming_type_counts_complete(spark, events_dir):
+    stream = stream_events_from_dir(spark, events_dir)
+    counts = streaming_type_counts(stream)
+    out = run_to_completion(counts, "type_counts", "complete").collect()
+    total = sum(r["n_events"] for r in out)
+    assert total == 1000  # sf0.001 events row count
