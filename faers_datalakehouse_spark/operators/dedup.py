@@ -36,6 +36,18 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 31) - 1  # 2147483647, prime modulus for minhash permutations
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to full parallelism before compute-heavy per-row work.
+
+    Guards against single-row-group parquet inputs, where the scan is one
+    task and everything fused to it runs on one core. The shuffle moves only
+    the raw rows (cheap); on a real cluster with many files/row-groups the
+    scan is already parallel and this is a near-no-op redistribution.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _norm_text(col: Column) -> Column:
     """lowercase, strip non-alphanumerics to space, collapse whitespace."""
     return F.trim(
@@ -43,6 +55,19 @@ def _norm_text(col: Column) -> Column:
             F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "
         )
     )
+
+
+def _let(expr: Column, fn) -> Column:
+    """Let-binding for expressions used inside higher-order lambdas.
+
+    A subexpression referenced in a ``transform`` lambda body is re-evaluated
+    **per array element** (no common-subexpression elimination inside
+    higher-order functions) — e.g. shingling that references a regex-normalized
+    string recomputes the regex for every position. Wrapping the value in a
+    one-element array and binding it as the lambda variable evaluates it
+    exactly once.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
 def dedup_exact(
@@ -79,16 +104,41 @@ ORDER BY keep_id
 
 def char_shingles(col: Column, k: int = 8) -> Column:
     """Distinct k-char shingles of the normalized text (built-in exprs only)."""
-    norm = _norm_text(col)
-    n = F.length(norm)
-    return F.when(n < k, F.array(norm)).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(k) + 1),
-                lambda i: F.substring(norm, i, F.lit(k)),
+
+    def build(norm: Column) -> Column:
+        n = F.length(norm)
+        return F.when(n < k, F.array(norm)).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k) + 1),
+                    lambda i: norm.substr(i, F.lit(k)),
+                )
             )
         )
-    )
+
+    return _let(_norm_text(col), build)
+
+
+def char_shingle_hashes(col: Column, k: int = 8) -> Column:
+    """Distinct k-char shingles hashed to raw 64-bit ints.
+
+    Set cardinalities (and hence Jaccard) are preserved w.p. ~1-2^-50 per
+    document pair at 64 bits, while intersection kernels run on fixed-width
+    longs instead of strings — ~10× cheaper per pair.
+    """
+
+    def build(norm: Column) -> Column:
+        n = F.length(norm)
+        return F.when(n < k, F.array(F.xxhash64(norm))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k) + 1),
+                    lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+                )
+            )
+        )
+
+    return _let(_norm_text(col), build)
 
 
 def ngram_jaccard_pairs(
@@ -129,8 +179,9 @@ def ngram_jaccard_pairs(
     cand = a.join(b, cond).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("sh")
+    sh = fan_out(df, id_col).select(
+        F.col(id_col).alias("id"),
+        char_shingle_hashes(F.col(text_col), k).alias("sh"),
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
@@ -185,17 +236,19 @@ def word_shingle_hashes(col: Column, n: int = 3) -> Column:
     longs up front shrinks every downstream structure (signatures, shuffle
     payloads, intersection kernels) from strings to fixed 8-byte values.
     """
-    words = F.split(_norm_text(col), " ")
-    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.pmod(
-                F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
-                F.lit(MERSENNE_P),
-            ),
+    def build(words: Column) -> Column:
+        count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.pmod(
+                    F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
+                    F.lit(MERSENNE_P),
+                ),
+            )
         )
-    )
+
+    return _let(F.split(_norm_text(col), " "), build)
 
 
 def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -272,30 +325,31 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     params = _minhash_params(num_hashes, seed)
-    ab = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
-    )
-    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_hashes)
-    sigd = df.select(
+    # Stage 1: shingle-hash arrays, persisted. The persist is also a
+    # materialization barrier: without it, projection collapse would inline
+    # the shingling subtree into every one of the num_hashes signature
+    # expressions below.
+    hashed = fan_out(df, id_col).select(
         F.col(id_col).alias("id"),
         word_shingle_hashes(F.col(text_col), ngram).alias("hashes"),
-    ).select(
-        "id",
-        "hashes",
-        F.aggregate(
-            F.col("hashes"),
-            init,
-            lambda acc, h: F.zip_with(
-                acc,
-                ab,
-                lambda mn, p: F.least(
-                    mn, F.pmod(p["a"] * h + p["b"], F.lit(MERSENNE_P))
-                ),
-            ),
-        ).alias("sig"),
     )
     if materialize:
-        sigd = sigd.persist()
+        hashed = hashed.persist()
+    # Stage 2: one flat array_min(transform(...)) per permutation over the
+    # cached long array — no per-shingle accumulator allocation.
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("hashes"),
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)),
+            )
+        )
+
+    sigd = hashed.select(
+        "id",
+        "hashes",
+        F.array(*[perm_min(a, b) for a, b in params]).alias("sig"),
+    )
     banded = sigd.select(
         "id",
         F.posexplode(
@@ -324,7 +378,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = sigd.select("id", "hashes")
+    sh = hashed
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     return (
@@ -387,7 +441,9 @@ def simhash_64(
                 {id_col: ids, "simhash": hashes, "simhash_prefix": prefixes}
             )
 
-    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    return fan_out(df.select(id_col, text_col), id_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def simhash_neardup_pairs(

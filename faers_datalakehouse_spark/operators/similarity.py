@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import fan_out
+
 QUANT = 1000
 
 
@@ -49,7 +51,9 @@ def topk_neighbors_bruteforce(
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector over the corpus."""
-    c = with_quantized_norm(corpus.select(id_col, emb_col), emb_col).select(
+    c = with_quantized_norm(
+        fan_out(corpus.select(id_col, emb_col), id_col), emb_col
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("q_emb").alias("c_emb"),
         F.col("q_norm2").alias("c_norm2"),
@@ -115,9 +119,9 @@ def cosine_neardup_pairs(
     Quadratic — correct as the verification kernel; pair it with
     ``lsh_bucketed_neighbors`` blocking for corpus-scale runs.
     """
-    e = with_quantized_norm(corpus.select(id_col, emb_col), emb_col).select(
-        F.col(id_col).alias("id"), "q_emb", "q_norm2"
-    )
+    e = with_quantized_norm(
+        fan_out(corpus.select(id_col, emb_col), id_col), emb_col
+    ).select(F.col(id_col).alias("id"), "q_emb", "q_norm2")
     a, b = e.alias("a"), e.alias("b")
     dot = _dot(F.col("a.q_emb"), F.col("b.q_emb"))
     cosine = F.round(
@@ -206,7 +210,9 @@ def lsh_bucketed_neighbors(
             out = out + b
         return out
 
-    c = with_quantized_norm(corpus.select(id_col, emb_col), emb_col).select(
+    c = with_quantized_norm(
+        fan_out(corpus.select(id_col, emb_col), id_col), emb_col
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         signature(F.col(emb_col)).alias("bucket"),
         F.col("q_emb").alias("c_emb"),
