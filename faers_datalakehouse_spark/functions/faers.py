@@ -1,0 +1,215 @@
+"""FAERS domain transforms: the reference pipeline's silver/gold decode and
+conversion logic, re-expressed as pure Column builders.
+
+Code tables are public FAERS/MedDRA vocabulary (FDA ASC_NTS documentation);
+the expressions are built on this engine's generic primitives
+(``decode_ladder``/``bucketize``/regex categorization). Reference parity
+targets, with fixes for its known defects (SURVEY.md §2.10):
+
+- outcome decode + severity rank    (``src/silver/silver_outcomes.py:37-71``)
+- role / report-source decode       (``silver_drug_details.py:48-55``,
+                                     ``silver_reports.py:37-45``)
+- age → years                       (``silver_demographics.py:53-61``)
+- weight → kg                       (``silver_demographics.py:63-68``)
+- therapy duration → days           (``silver_therapy_dates.py:48-90``;
+  the reference's fact decode used ``"DAY"`` where FAERS emits ``"DY"`` so
+  its day branch never fired — we use the real codes)
+- route categorization              (``dim_drug.py:105-116``)
+- reaction categorization/severity  (``silver_reactions.py:38-109``)
+- country → region ladder           (``dim_patient.py:91-106``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .transforms import decode_ladder, guarded_double
+
+OUTCOME_DECODE = {
+    "DE": "Death",
+    "LT": "Life-Threatening",
+    "HO": "Hospitalization",
+    "DS": "Disability",
+    "CA": "Congenital Anomaly",
+    "RI": "Required Intervention",
+    "OT": "Other",
+}
+
+# higher = more severe; drives max() aggregation to a worst-outcome per report
+OUTCOME_SEVERITY_RANK = {
+    "DE": 7,
+    "LT": 6,
+    "HO": 5,
+    "DS": 4,
+    "CA": 3,
+    "RI": 2,
+    "OT": 1,
+}
+
+ROLE_DECODE = {
+    "PS": "Primary Suspect",
+    "SS": "Secondary Suspect",
+    "C": "Concomitant",
+    "I": "Interacting",
+}
+
+REPORT_SOURCE_DECODE = {
+    "HP": "Health Professional",
+    "CSM": "Consumer",
+    "LW": "Lawyer",
+    "OTH": "Other",
+    "UNK": "Unknown",
+}
+
+SEX_DECODE = {"F": "Female", "M": "Male", "UNK": "Unknown"}
+
+
+def outcome_description(col: Column | str) -> Column:
+    return decode_ladder(col, OUTCOME_DECODE)
+
+
+def outcome_severity(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.when(c.isNull(), F.lit(0))
+    for code, rank in OUTCOME_SEVERITY_RANK.items():
+        expr = expr.when(c == code, F.lit(rank))
+    return expr.otherwise(F.lit(0))
+
+
+def age_in_years(age: Column | str, age_cod: Column | str) -> Column:
+    """Raw age string + unit code → years (DOUBLE).
+
+    FAERS units: DEC (decade), YR, MON, WK, DY, HR. NULL unit defaults to
+    years (the FAERS convention).
+    """
+    a = guarded_double(age)
+    u = F.upper(F.col(age_cod) if isinstance(age_cod, str) else age_cod)
+    return (
+        F.when(u == "DEC", a * 10.0)
+        .when(u == "MON", a / 12.0)
+        .when(u == "WK", a / 52.0)
+        .when(u == "DY", a / 365.0)
+        .when(u == "HR", a / 8760.0)
+        .otherwise(a)  # YR, NULL, unknown codes
+    )
+
+
+def weight_in_kg(wt: Column | str, wt_cod: Column | str) -> Column:
+    """Raw weight string + unit code → kilograms (LBS→kg, GMS→kg)."""
+    w = guarded_double(wt)
+    u = F.upper(F.col(wt_cod) if isinstance(wt_cod, str) else wt_cod)
+    return (
+        F.when(u == "LBS", w * 0.453592)
+        .when(u == "GMS", w / 1000.0)
+        .otherwise(w)  # KG, NULL
+    )
+
+
+def therapy_duration_days(dur: Column | str, dur_cod: Column | str) -> Column:
+    """Therapy duration + unit code → days.
+
+    Uses the real FAERS codes (YR/MON/WK/DY/HR/MIN/SEC). The reference's
+    fact-layer decode tested ``dur_cod == "DAY"`` (a code FAERS never emits,
+    ``fact_adverse_events.py:216``) so its day branch was dead; this is the
+    corrected semantics.
+    """
+    d = guarded_double(dur)
+    u = F.upper(F.col(dur_cod) if isinstance(dur_cod, str) else dur_cod)
+    return (
+        F.when(u == "YR", d * 365.0)
+        .when(u == "MON", d * 30.0)
+        .when(u == "WK", d * 7.0)
+        .when(u == "DY", d)
+        .when(u == "HR", d / 24.0)
+        .when(u == "MIN", d / 1440.0)
+        .when(u == "SEC", d / 86400.0)
+        .otherwise(d)
+    )
+
+
+def route_category(route: Column | str) -> Column:
+    """Free-text administration route → coarse category."""
+    r = F.upper(F.col(route) if isinstance(route, str) else route)
+    return (
+        F.when(r.isNull() | (F.trim(r) == ""), F.lit("Unknown"))
+        .when(r.contains("ORAL"), F.lit("Oral"))
+        .when(
+            r.rlike("INTRAVEN|\\bIV\\b"),
+            F.lit("Intravenous"),
+        )
+        .when(r.rlike("INTRAMUSC|\\bIM\\b"), F.lit("Intramuscular"))
+        .when(r.contains("SUBCUTAN"), F.lit("Subcutaneous"))
+        .when(r.contains("TOPICAL") | r.contains("TRANSDERM"), F.lit("Topical"))
+        .when(r.contains("INHAL") | r.contains("RESPIRATORY"), F.lit("Inhalation"))
+        .otherwise(F.lit("Other"))
+    )
+
+
+REACTION_CATEGORIES: list[tuple[str, str]] = [
+    ("Fatal", r"DEATH|FATAL"),
+    ("Oncology", r"CANCER|MALIGNAN|NEOPLASM|METASTA|TUMOU?R"),
+    ("Cardiac", r"CARDIAC|HEART|MYOCARD|ARRHYTHM"),
+    ("Hepatic", r"HEPAT|LIVER"),
+    ("Renal", r"RENAL|KIDNEY|NEPHR"),
+    ("Neurological", r"NEURO|SEIZURE|CONVULS|STROKE"),
+    ("Dermatological", r"RASH|SKIN|PRURIT|URTICARIA"),
+    ("Gastrointestinal", r"NAUSEA|VOMIT|DIARRH|GASTRO"),
+    ("Respiratory", r"RESPIR|LUNG|DYSPN|PNEUMON"),
+    ("Infectious", r"INFECTION|SEPSIS|SEPTIC"),
+    ("Psychiatric", r"DEPRESS|ANXIETY|SUICID|PSYCHO"),
+]
+
+
+def reaction_category(pt: Column | str) -> Column:
+    """MedDRA-ish preferred term → clinical category (regex ladder)."""
+    p = F.upper(F.col(pt) if isinstance(pt, str) else pt)
+    expr: Column | None = None
+    for label, pattern in REACTION_CATEGORIES:
+        cond = p.rlike(pattern)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(F.lit("Other"))
+
+
+def reaction_severity(pt: Column | str) -> Column:
+    """Keyword-based severity tier from the preferred-term text."""
+    p = F.upper(F.col(pt) if isinstance(pt, str) else pt)
+    return (
+        F.when(p.rlike("DEATH|FATAL"), F.lit("Fatal"))
+        .when(p.rlike("SEVERE|LIFE.THREATEN"), F.lit("Severe"))
+        .when(p.rlike("HOSPITALI"), F.lit("Serious"))
+        .when(p.rlike("MILD"), F.lit("Mild"))
+        .when(p.rlike("MODERATE"), F.lit("Moderate"))
+        .otherwise(F.lit("Unspecified"))
+    )
+
+
+COUNTRY_REGION: dict[str, str] = {
+    "US": "North America",
+    "CA": "North America",
+    "MX": "North America",
+    "GB": "Europe",
+    "DE": "Europe",
+    "FR": "Europe",
+    "IT": "Europe",
+    "ES": "Europe",
+    "NL": "Europe",
+    "CH": "Europe",
+    "SE": "Europe",
+    "JP": "Asia-Pacific",
+    "CN": "Asia-Pacific",
+    "KR": "Asia-Pacific",
+    "IN": "Asia-Pacific",
+    "AU": "Asia-Pacific",
+    "BR": "Latin America",
+    "AR": "Latin America",
+    "CO": "Latin America",
+}
+
+
+def country_region(country: Column | str) -> Column:
+    return decode_ladder(
+        F.upper(F.col(country) if isinstance(country, str) else country),
+        COUNTRY_REGION,
+        default="Other/Unknown",
+    )

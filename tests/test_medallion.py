@@ -1,0 +1,160 @@
+"""End-to-end medallion pipeline integration test: two incremental runs of
+FAERS-shaped CSVs through bronze → silver → gold, asserting incremental
+reads, SCD2 evolution, and fact grain/rollup semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.plans.medallion import run_pipeline
+
+Q1 = {
+    "demographics": (
+        "primaryid$caseid$event_dt$age$age_cod$sex$wt$wt_cod$occp_cod$reporter_country\n"
+        "101$1001$20240115$45$YR$F$70$KG$MD$US\n"
+        "102$1002$202402$24$MON$M$154$LBS$CN$GB\n"
+        "103$1003$invalid$$YR$F$$KG$OT$JP\n"
+    ),
+    "drug_details": (
+        "primaryid$caseid$drug_seq$role_cod$drugname$route$dose_vbm\n"
+        "101$1001$1$PS$  aspirin!  $ORAL$10 mg, TWICE DAILY\n"
+        "101$1001$2$C$tylenol$ORAL$500 mg\n"
+        "102$1002$1$PS$ibuprofen$INTRAVENOUS (BOLUS)$25 mg\n"
+        "103$1003$1$SS$aspirin$TOPICAL$\n"
+    ),
+    "reactions": (
+        "primaryid$caseid$pt$drug_rec_act\n"
+        "101$1001$CARDIAC ARREST$1\n"
+        "101$1001$NAUSEA$\n"
+        "102$1002$SEVERE RASH$2\n"
+        "103$1003$DEATH$\n"
+    ),
+    "outcomes": (
+        "primaryid$caseid$outc_cod\n"
+        "101$1001$HO\n"
+        "101$1001$OT\n"
+        "103$1003$DE\n"
+    ),
+}
+
+# Q2: aspirin's route changes (SCD2 change), a new drug arrives.
+Q2 = {
+    "demographics": (
+        "primaryid$caseid$event_dt$age$age_cod$sex$wt$wt_cod$occp_cod$reporter_country\n"
+        "201$2001$20240501$60$YR$M$80$KG$MD$BR\n"
+    ),
+    "drug_details": (
+        "primaryid$caseid$drug_seq$role_cod$drugname$route$dose_vbm\n"
+        "201$2001$1$PS$aspirin$SUBCUTANEOUS$5 mg\n"
+        "201$2001$2$SS$metformin$ORAL$850 mg\n"
+    ),
+    "reactions": (
+        "primaryid$caseid$pt$drug_rec_act\n201$2001$LIVER INJURY$1\n"
+    ),
+    "outcomes": ("primaryid$caseid$outc_cod\n201$2001$LT\n"),
+}
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("medallion")
+
+    def write_quarter(quarter: dict[str, str], tag: str) -> dict[str, str]:
+        paths = {}
+        for name, content in quarter.items():
+            p = d / f"{name}_{tag}.csv"
+            p.write_text(content)
+            paths[name] = str(p)
+        return paths
+
+    run_pipeline(spark, write_quarter(Q1, "q1"), "2024-04-01 00:00:00", "2024-04-01")
+    run_pipeline(spark, write_quarter(Q2, "q2"), "2024-07-01 00:00:00", "2024-07-01")
+    return spark
+
+
+def test_bronze_partitioned_appends(warehouse):
+    spark = warehouse
+    demo = spark.table("bronze.demographics")
+    assert demo.count() == 4  # 3 from q1 + 1 from q2, both partitions kept
+    assert demo.select("_ingest_ts").distinct().count() == 2
+
+
+def test_silver_uses_latest_partition_only(warehouse):
+    spark = warehouse
+    demo = spark.table("silver.demographics")
+    assert demo.count() == 1  # only the q2 batch
+    row = demo.collect()[0]
+    assert row["primary_id"] == "201"
+    assert row["age_years"] == 60.0 and row["age_group"] == "Adult (18-64)"
+    assert row["reporter_region"] == "Latin America"
+
+
+def test_silver_transform_semantics_on_q1(spark, tmp_path_factory):
+    # Re-run silver over a fresh bronze containing only q1 to check decodes.
+    from faers_datalakehouse_spark.plans.medallion import (
+        bronze_ingest,
+        silver_demographics,
+    )
+
+    d = tmp_path_factory.mktemp("q1only")
+    p = d / "demo.csv"
+    p.write_text(Q1["demographics"])
+    spark.sql("DROP TABLE IF EXISTS bronze.demographics")
+    bronze_ingest(spark, "demographics", str(p), "2024-04-01 00:00:00")
+    silver_demographics(spark, "2024-04-01 00:00:00")
+    rows = {r["primary_id"]: r for r in spark.table("silver.demographics").collect()}
+    assert rows["101"]["event_date"].isoformat() == "2024-01-15"
+    assert rows["102"]["event_date"].isoformat() == "2024-02-01"  # yyyyMM
+    assert rows["103"]["event_date"] is None  # invalid
+    assert rows["102"]["age_years"] == 2.0  # 24 months
+    assert abs(rows["102"]["weight_kg"] - 69.85) < 0.01  # 154 lbs
+    assert rows["103"]["age_years"] is None  # empty age
+
+
+def test_scd2_dim_drug_evolution(warehouse):
+    spark = warehouse
+    dim = spark.table("gold.dim_drug")
+    aspirin = dim.filter(F.col("drug_name") == "ASPIRIN").orderBy("effective_date")
+    hist = [
+        (r["route_category"], r["is_current"]) for r in aspirin.collect()
+    ]
+    # q1: Oral (current=false after change) → q2: Subcutaneous current
+    assert hist == [("Oral", False), ("Subcutaneous", True)]
+    metformin = dim.filter(F.col("drug_name") == "METFORMIN").collect()
+    assert len(metformin) == 1 and metformin[0]["is_current"]
+
+
+def test_fact_grain_and_rollup(spark, tmp_path_factory):
+    # Rebuild everything from q1 alone for a closed-form fact check.
+    from faers_datalakehouse_spark.plans.medallion import run_pipeline
+
+    for t in [
+        "bronze.demographics", "bronze.drug_details", "bronze.reactions",
+        "bronze.outcomes", "gold.dim_drug",
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    d = tmp_path_factory.mktemp("q1fact")
+    paths = {}
+    for name, content in Q1.items():
+        p = d / f"{name}.csv"
+        p.write_text(content)
+        paths[name] = str(p)
+    run_pipeline(spark, paths, "2024-04-01 00:00:00", "2024-04-01")
+
+    fact = spark.table("gold.fact_adverse_events")
+    # grain: drug × reaction per report: 101 has 2 drugs × 2 reactions = 4;
+    # 102: 1×1; 103: 1×1 → 6 rows
+    assert fact.count() == 6
+    r101 = fact.filter(F.col("primary_id") == "101")
+    assert r101.count() == 4
+    # worst outcome for 101 = HO (5) → serious
+    assert {r["worst_outcome_severity"] for r in r101.collect()} == {5}
+    assert all(r["is_serious"] for r in r101.collect())
+    # 102 has no outcome row → severity 0, not serious
+    r102 = fact.filter(F.col("primary_id") == "102").collect()
+    assert r102[0]["worst_outcome_severity"] == 0 and not r102[0]["is_serious"]
+    # date-dim join produced a key for valid dates
+    assert r101.filter(F.col("event_date_key") == 20240115).count() == 4
+    cats = {r["reaction_category"] for r in fact.collect()}
+    assert {"Cardiac", "Gastrointestinal", "Dermatological", "Fatal"} <= cats
