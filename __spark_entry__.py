@@ -97,6 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_trend": A.temporal_trend,
         "sessionize": partial(A.sessionize, gap_minutes=30),
         "json_extract_agg": A.json_extract_agg,
+        "shipping_priority": partial(A.shipping_priority, k=10),
+        "regional_volume": A.regional_volume,
+        "moving_average": partial(A.moving_average, days=7),
+        "segment_status_pivot": A.segment_status_pivot,
+        "distinct_profile": A.distinct_profile,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
         "decode_ladders": decode_ladders_demo,
@@ -141,6 +146,11 @@ def oracle_sql() -> dict[str, str]:
         "temporal_trend": A.TEMPORAL_TREND_SQL,
         "sessionize": A.SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
         "json_extract_agg": A.JSON_EXTRACT_AGG_SQL,
+        "shipping_priority": A.SHIPPING_PRIORITY_SQL.format(k=10),
+        "regional_volume": A.REGIONAL_VOLUME_SQL,
+        "moving_average": A.MOVING_AVERAGE_SQL.format(prev=6),
+        "segment_status_pivot": A.SEGMENT_STATUS_PIVOT_SQL,
+        "distinct_profile": A.DISTINCT_PROFILE_SQL,
         "date_dim": date_dim_oracle(),
         "fact_sales": FACT_SALES_ORACLE_SQL,
         "decode_ladders": DECODE_LADDERS_SQL,

@@ -1,0 +1,101 @@
+"""DataFrame-native MERGE (upsert/delete) — Delta ``MERGE INTO`` semantics
+without a table-format dependency.
+
+Parity: the reference executes SQL ``MERGE INTO`` against Delta tables
+(``src/utils/scd_type2.py:177-215``) — the only operation in its surface that
+OSS Parquet tables can't run directly. This operator reproduces the matched /
+not-matched clause semantics as one full-outer join + projection, returning
+the merged state for the caller to overwrite (or feed a format that supports
+in-place commits).
+
+Semantics (mirroring ``MERGE INTO target USING source ON keys``):
+- ``WHEN MATCHED [AND cond] THEN UPDATE``  → source row replaces target row
+- ``WHEN MATCHED [AND cond] THEN DELETE``  → row dropped
+- ``WHEN NOT MATCHED THEN INSERT``         → source-only rows appended
+- target-only rows pass through unchanged
+
+Scale notes: one shuffle on the merge keys (or zero if both sides are
+bucketed on them); the projection is a per-row ``when`` ladder. Duplicate
+source keys are rejected up-front (the same constraint Delta enforces) via a
+window count rather than a driver-side action.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class DuplicateMergeKeysError(ValueError):
+    pass
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cond: Column | None = None,
+    delete_cond: Column | None = None,
+    insert_cond: Column | None = None,
+    validate_source_keys: bool = True,
+) -> DataFrame:
+    """Merge ``source`` into ``target`` on equality of ``keys``.
+
+    Conditions are evaluated with target columns visible as ``t.<col>`` and
+    source columns as ``s.<col>``. Default behavior with no conditions:
+    classic upsert (matched → update, not matched → insert).
+    """
+    cols = target.columns
+    if set(source.columns) != set(cols):
+        raise ValueError(
+            f"source/target column mismatch: {sorted(source.columns)} vs {sorted(cols)}"
+        )
+
+    if validate_source_keys:
+        # Fail at execution time inside the plan (no extra action). The guard
+        # is folded into a key column the merge join actually consumes —
+        # a standalone guard column would be pruned away unevaluated.
+        w = Window.partitionBy(*keys)
+        k0 = keys[0]
+        source = source.withColumn("_key_n", F.count(F.lit(1)).over(w))
+        source = source.withColumn(
+            k0,
+            F.when(
+                F.col("_key_n") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("duplicate source keys in merge: "),
+                        *[F.col(k).cast("string") for k in keys],
+                    )
+                ).cast(dict(source.dtypes)[k0]),
+            ).otherwise(F.col(k0)),
+        ).drop("_key_n")
+
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(
+        s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full"
+    )
+    t_present = F.col(f"t.{keys[0]}").isNotNull()
+    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    matched = t_present & s_present
+
+    upd = matched if update_cond is None else (matched & update_cond)
+    dele = F.lit(False) if delete_cond is None else (matched & delete_cond)
+    ins = (~t_present & s_present) if insert_cond is None else (
+        ~t_present & s_present & insert_cond
+    )
+
+    out_cols = []
+    for c in cols:
+        tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+        out_cols.append(
+            F.when(dele, F.lit(None))
+            .when(upd | ins, sc)
+            .otherwise(tc)
+            .alias(c)
+        )
+    keep = ~dele & (t_present | ins)
+    return joined.filter(keep).select(*out_cols)

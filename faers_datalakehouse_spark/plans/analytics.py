@@ -440,3 +440,207 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3-shaped: revenue of unshipped orders per segment window.
+
+    Exercises filter pushdown on both join sides, a two-table shuffle join,
+    groupBy on a composite key, and top-k with deterministic tiebreaks.
+    """
+    cutoff = "1998-01-01"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(F.sum(rev_e4).alias("rev_e4"))
+        .select(
+            "l_orderkey",
+            "order_date",
+            "o_orderpriority",
+            (F.col("rev_e4").cast("double") / 10000.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, order_date, o_orderpriority,
+       CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue
+FROM (
+  SELECT l.l_orderkey,
+         CAST(o.o_orderdate AS DATE) AS order_date,
+         o.o_orderpriority,
+         sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS rev_e4
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_shipdate > TIMESTAMP '1998-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND c.c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2, 3
+)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {k}
+"""
+
+
+def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue by region/nation through the full snowflake.
+
+    lineitem⋈orders shuffles once; customer/nation/region broadcast.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(rev_e4).alias("rev_e4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select(
+            "region_name",
+            "nation_name",
+            (F.col("rev_e4").cast("double") / 10000.0).alias("revenue"),
+            "n_lineitems",
+            "n_customers",
+        )
+        .orderBy("region_name", F.desc("revenue"), "nation_name")
+    )
+
+
+REGIONAL_VOLUME_SQL = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+         / 10000.0                     AS revenue,
+       count(*)                        AS n_lineitems,
+       count(DISTINCT o.o_custkey)     AS n_customers
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+ORDER BY region_name, revenue DESC, nation_name
+"""
+
+
+def moving_average(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFrame:
+    """Daily order volume with a trailing moving average (frame window)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("value_c"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(days - 1), 0)
+    return daily.select(
+        "day",
+        "n_orders",
+        (F.col("value_c").cast("double") / 100.0).alias("day_value"),
+        (
+            F.sum(F.col("value_c")).over(w).cast("double")
+            / 100.0
+            / F.count(F.lit(1)).over(w)
+        ).alias("trailing_avg_value"),
+        F.count(F.lit(1)).over(w).alias("window_days"),
+    ).orderBy("day")
+
+
+MOVING_AVERAGE_SQL = """
+SELECT day, n_orders,
+       CAST(value_c AS DOUBLE) / 100.0 AS day_value,
+       CAST(sum(value_c) OVER w AS DOUBLE) / 100.0 / count(*) OVER w
+         AS trailing_avg_value,
+       count(*) OVER w AS window_days
+FROM (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS value_c
+  FROM orders GROUP BY 1
+)
+WINDOW w AS (ORDER BY day ROWS BETWEEN {prev} PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per market segment × order status."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("market_segment"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+        .withColumnsRenamed({"O": "n_open", "F": "n_fulfilled", "P": "n_partial"})
+        .orderBy("market_segment")
+    )
+
+
+SEGMENT_STATUS_PIVOT_SQL = """
+SELECT c.c_mktsegment AS market_segment,
+       count(*) FILTER (WHERE o.o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_fulfilled,
+       count(*) FILTER (WHERE o.o_orderstatus = 'P') AS n_partial
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY market_segment
+"""
+
+
+def distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A7 parity: distinct counts + grouped counts in one result."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey", "l_linenumber").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_PROFILE_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT (l_orderkey, l_linenumber)) AS n_lines
+FROM lineitem
+GROUP BY 1
+ORDER BY l_returnflag
+"""
