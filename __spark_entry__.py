@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": S.scd2_scenario,
         "date_standardize": S.date_standardize_demo,
         "numeric_standardize": S.numeric_standardize_demo,
+        "asof_join": S.asof_join_query,
         # -- LLM-data-pipeline extensions --
         "dedup_exact": _docs(dedup_exact),
         "ngram_jaccard": _docs(
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_merge": S.SCD2_SCENARIO_SQL,
         "date_standardize": S.DATE_STANDARDIZE_SQL,
         "numeric_standardize": S.NUMERIC_STANDARDIZE_SQL,
+        "asof_join": S.ASOF_JOIN_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL_TEMPLATE.format(
             k=JACCARD_K, threshold=JACCARD_THRESHOLD, band=JACCARD_BAND

@@ -38,6 +38,8 @@ BENCH_QUERIES = {
     "q8_minhash_lsh": ("count", "minhash_lsh"),
     "q9_ann_topk": ("count", "ann_topk"),
     "q10_text_quality": ("count", "text_quality"),
+    "q11_shipping_priority": ("collect", "shipping_priority"),
+    "q12_asof_join": ("count", "asof_join"),
 }
 
 

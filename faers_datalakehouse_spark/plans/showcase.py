@@ -327,3 +327,37 @@ SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
 FROM fp GROUP BY fingerprint
 ORDER BY keep_id
 """
+
+# --------------------------------------------------------------------------
+# As-of join showcase (DuckDB native ASOF JOIN as the oracle)
+# --------------------------------------------------------------------------
+
+
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click event: the user's most recent prior purchase."""
+    from ..operators.asof import as_of_join
+    from ..sources.tables import read_events
+
+    events = read_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return as_of_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    ).orderBy("user_id", "event_id")
+
+
+ASOF_JOIN_SQL = """
+SELECT l.user_id, l.event_id, l.ts, l.value,
+       r.value AS value_asof, r.ts AS ts_asof
+FROM (SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.user_id, l.event_id
+"""

@@ -106,6 +106,53 @@ def streaming_type_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState``.
+
+    Keeps (n_events, value_cents) per user in explicit group state and emits
+    the updated totals for users seen in each micro-batch — the shape for
+    custom aggregations Spark's built-ins can't express (per-key ML state,
+    decaying counters, CDC folds). State is partitioned by the group key and
+    bounded by ``GroupStateTimeout`` in production configs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("value_c", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, value_c = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            value_c += int(round(pdf["value"].fillna(0.0).mul(100).round()).sum())
+        state.update((n, value_c))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [value_c / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_completion(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a streaming frame to completion against a memory sink and
     return the materialized result (test/demo helper)."""

@@ -1,0 +1,56 @@
+"""As-of join semantics: <= matching, per-key isolation, tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from faers_datalakehouse_spark.operators.asof import as_of_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic_and_equal_ts(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "l1"),
+            (1, _ts("2024-01-01 12:00:00"), "l2"),
+            (2, _ts("2024-01-01 09:00:00"), "l3"),  # before any right row
+        ],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 100.0),
+            (1, _ts("2024-01-01 12:00:00"), 200.0),  # equal ts → matches (<=)
+            (2, _ts("2024-01-01 11:00:00"), 300.0),
+        ],
+        ["k", "ts", "price"],
+    )
+    out = {
+        r["tag"]: (r["price_asof"], r["ts_asof"])
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["price"]
+        ).collect()
+    }
+    assert out["l1"] == (100.0, _ts("2024-01-01 09:30:00"))
+    assert out["l2"] == (200.0, _ts("2024-01-01 12:00:00"))  # <= semantics
+    assert out["l3"] == (None, None)  # no right row precedes; key isolation
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 08:00:00"), 7.0)], ["k", "ts", "v"]
+    )
+    hit = as_of_join(
+        left, right, ["k"], "ts", "ts", ["v"], tolerance_seconds=3 * 3600
+    ).collect()[0]
+    miss = as_of_join(
+        left, right, ["k"], "ts", "ts", ["v"], tolerance_seconds=3600
+    ).collect()[0]
+    assert hit["v_asof"] == 7.0
+    assert miss["v_asof"] is None and miss["ts_asof"] is None

@@ -70,3 +70,30 @@ def test_streaming_type_counts_complete(spark, events_dir):
     out = run_to_completion(counts, "type_counts", "complete").collect()
     total = sum(r["n_events"] for r in out)
     assert total == 1000  # sf0.001 events row count
+
+
+def test_stateful_user_totals(spark, events_dir):
+    from faers_datalakehouse_spark.streaming.events import stateful_user_totals
+
+    stream = stream_events_from_dir(spark, events_dir)
+    totals = stateful_user_totals(stream)
+    out = run_to_completion(totals, "user_totals", "update")
+    # update mode emits one row per user per batch; last emission per user is
+    # the final state — with a single input file there is exactly one batch
+    rows = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    assert rows
+
+    from faers_datalakehouse_spark.sources.tables import read_events
+    from pyspark.sql import functions as F
+
+    batch = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in read_events(spark, "/root/testdata/sf0.001")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("v"),
+        )
+        .collect()
+    }
+    assert rows == batch
