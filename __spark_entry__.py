@@ -26,8 +26,10 @@ from faers_datalakehouse_spark.operators.dedup import (
 from faers_datalakehouse_spark.operators.similarity import (
     ANN_TOPK_SQL_TEMPLATE,
     COSINE_NEARDUP_SQL_TEMPLATE,
+    IVF_TOPK_SQL_TEMPLATE,
     QUANT,
     cosine_neardup_pairs,
+    ivf_topk_neighbors,
     lsh_bucketed_neighbors,
     topk_neighbors_bruteforce,
 )
@@ -71,6 +73,13 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk_neighbors(
+        emb, emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0), k=ANN_K, n_cells=16
+    )
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucketed_neighbors(
@@ -102,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_average": partial(A.moving_average, days=7),
         "segment_status_pivot": A.segment_status_pivot,
         "distinct_profile": A.distinct_profile,
+        "rollup_volume": A.rollup_volume,
+        "unpivot_measures": A.unpivot_measures,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
         "decode_ladders": decode_ladders_demo,
@@ -129,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": S.fingerprint_query,
         "ann_topk": _ann_queries,
         "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
         "cosine_neardup": lambda spark, sf_dir: cosine_neardup_pairs(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
@@ -152,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "moving_average": A.MOVING_AVERAGE_SQL.format(prev=6),
         "segment_status_pivot": A.SEGMENT_STATUS_PIVOT_SQL,
         "distinct_profile": A.DISTINCT_PROFILE_SQL,
+        "rollup_volume": A.ROLLUP_VOLUME_SQL,
+        "unpivot_measures": A.UNPIVOT_MEASURES_SQL,
         "date_dim": date_dim_oracle(),
         "fact_sales": FACT_SALES_ORACLE_SQL,
         "decode_ladders": DECODE_LADDERS_SQL,
@@ -171,6 +185,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dedup": S.FINGERPRINT_SQL,
         "ann_topk": ANN_TOPK_SQL_TEMPLATE.format(
             quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K
+        ),
+        "ann_ivf_topk": IVF_TOPK_SQL_TEMPLATE.format(
+            quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K, n_cells=16
         ),
         "cosine_neardup": COSINE_NEARDUP_SQL_TEMPLATE.format(
             quant=QUANT, threshold=NEARDUP_COS_THRESHOLD

@@ -50,20 +50,15 @@ def language_id(col: Column | str, markers: dict[str, str] | None = None) -> Col
     """
     markers = markers or LANG_MARKERS
     lowered = F.lower(_c(col))
-    scores = {
-        lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in markers.items()
-    }
-    best_lang: Column | None = None
-    best_score: Column | None = None
-    for lang in sorted(markers):  # alphabetical → deterministic tiebreak
-        s = scores[lang]
-        if best_lang is None:
-            best_lang, best_score = F.lit(lang), s
-        else:
-            take = s > best_score
-            best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    langs = sorted(markers)  # alphabetical → deterministic tiebreak
+    # array-argmax (array_position = FIRST max) instead of a chained
+    # when(s > best) ladder, which doubles the expression tree per language
+    scores = F.array(
+        *[F.regexp_count(lowered, F.lit(markers[lang])) for lang in langs]
+    )
+    names = F.array(*[F.lit(lang) for lang in langs])
+    pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    return F.element_at(names, pos)
 
 
 def quality_score_cols(col: Column | str) -> dict[str, Column]:

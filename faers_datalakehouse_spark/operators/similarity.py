@@ -243,3 +243,135 @@ def lsh_bucketed_neighbors(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_topk_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into cells, search the query's cell.
+
+    The inverted-file layout: ``n_cells`` centroids (deterministically the
+    lowest-id corpus vectors — a fixed "training" set), every vector assigned
+    to its nearest centroid by quantized dot product, and each query scored
+    exactly only against its own cell (nprobe=1). The cell assignment and
+    in-cell ranking are exact integer/IEEE math, so the whole operator is
+    oracle-reproducible despite being an approximation of brute force.
+
+    Scale: assignment is a per-row kernel against ``n_cells`` broadcast
+    centroids; the search join is equi on cell id (hash join, no cross
+    product); the corpus is scanned once. Raising nprobe = unioning more
+    cells per query.
+    """
+    cents_rows = (
+        corpus.select(id_col, emb_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cent_q = [
+        (int(r[id_col]), [int(round(x * QUANT)) for x in r[emb_col]])
+        for r in cents_rows
+    ]
+
+    # Argmax over centroids via an array + array_position: a chained
+    # when(d > best, ...) ladder would reference the running best twice per
+    # level — an exponential (2^n_cells) expression blow-up. array_position
+    # returns the FIRST index of the max → ties resolve to the smallest
+    # centroid id, matching the oracle's (dot DESC, cid ASC) ranking.
+    from .dedup import _let
+
+    cent_ids = F.array(*[F.lit(cid) for cid, _ in cent_q])
+
+    def cell_of(emb: Column) -> Column:
+        def build(q: Column) -> Column:
+            dots = F.array(
+                *[
+                    _dot(q, F.array(*[F.lit(v).cast("long") for v in cvec]))
+                    for _, cvec in cent_q
+                ]
+            )
+            pos = F.array_position(dots, F.array_max(dots)).cast("int")
+            return F.element_at(cent_ids, pos)
+
+        return _let(_quantized(emb), build)
+
+    c = with_quantized_norm(
+        fan_out(corpus.select(id_col, emb_col), id_col), emb_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        cell_of(F.col(emb_col)).alias("cell"),
+        F.col("q_emb").alias("c_emb"),
+        F.col("q_norm2").alias("c_norm2"),
+    )
+    q = with_quantized_norm(queries.select(id_col, emb_col), emb_col).select(
+        F.col(id_col).alias("query_id"),
+        cell_of(F.col(emb_col)).alias("cell"),
+        F.col("q_emb").alias("qq_emb"),
+        F.col("q_norm2").alias("qq_norm2"),
+    )
+    dot = _dot(F.col("qq_emb"), F.col("c_emb"))
+    cosine = F.round(
+        dot.cast("double")
+        / (
+            F.sqrt(F.col("qq_norm2").cast("double"))
+            * F.sqrt(F.col("c_norm2").cast("double"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+IVF_TOPK_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {quant}) AS BIGINT)) AS qe
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, qe AS ce FROM q ORDER BY vec_id LIMIT {n_cells}
+),
+assigned AS (
+  SELECT vec_id, qe, cid AS cell FROM (
+    SELECT v.vec_id, v.qe, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(list_zip(v.qe, c.ce),
+                                              p -> p[1] * p[2])) DESC,
+                      c.cid ASC) AS rn
+    FROM q v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT * FROM assigned WHERE vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         round(
+           CAST(list_sum(list_transform(list_zip(qq.qe, cc.qe),
+                                        p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(qq.qe, x -> x*x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(cc.qe, x -> x*x)) AS DOUBLE))),
+           6) AS cosine
+  FROM queries qq JOIN assigned cc
+    ON qq.cell = cc.cell AND qq.vec_id <> cc.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -644,3 +644,77 @@ FROM lineitem
 GROUP BY 1
 ORDER BY l_returnflag
 """
+
+
+def rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (flag → flag×status → grand total)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents("l_extendedprice")).alias("price_c"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            (F.col("price_c").cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_VOLUME_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of per-returnflag measures (melt/stack)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("double").alias("qty"),
+        (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("base_price"),
+        (
+            F.sum(
+                cents("l_extendedprice")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).cast("double")
+            / 10000.0
+        ).alias("disc_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty", "base_price", "disc_price"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")
+
+
+UNPIVOT_MEASURES_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS qty,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS base_price,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+           / 10000.0 AS disc_price
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, measure, value FROM (
+  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'base_price', base_price FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'disc_price', disc_price FROM wide
+)
+ORDER BY l_returnflag, measure
+"""
