@@ -61,13 +61,18 @@ def scd2_initial_load(
     tracked_cols: Sequence[str],
     effective_date: str,
 ) -> DataFrame:
-    """First load: every (deduplicated) source row becomes a current version."""
+    """First load: every (deduplicated) source row becomes a current version.
+
+    Column order is canonical (attributes, then SCD metadata) and identical
+    to ``scd2_merge`` output, so repeated merges are stable frames.
+    """
+    attr_cols = list(source.columns)
     return add_scd2_metadata(
         source.dropDuplicates(list(business_keys)),
         business_keys,
         tracked_cols,
         effective_date,
-    )
+    ).select(*attr_cols, *SCD2_META_COLS)
 
 
 def scd2_merge(

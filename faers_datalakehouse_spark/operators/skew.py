@@ -1,0 +1,51 @@
+"""Skew mitigation: salted joins for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime skew;
+salting is the explicit tool for *known* pathological keys — e.g. a null-ish
+default key holding 30% of a 100 TB fact. The hot key's rows are spread over
+``n_salts`` synthetic sub-keys on the large side while the small side is
+replicated ``n_salts`` times, so no single task owns the whole hot key.
+
+``salted_join`` salts deterministically (hash of a uniquifier column) so
+results are reproducible; the replicate side must be the smaller one (its
+row count multiplies by ``n_salts``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    large_uniquifier: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the large side salted and the small side replicated.
+
+    ``large_uniquifier``: a column spreading the hot key's rows across salts
+    (any high-cardinality column; defaults to a nondeterministic uniform
+    salt, which is fine for joins since the salt only routes rows).
+    """
+    on = list(on)
+    if large_uniquifier is None:
+        salt = (F.rand(seed=42) * n_salts).cast("int")
+    else:
+        u = (
+            F.col(large_uniquifier)
+            if isinstance(large_uniquifier, str)
+            else large_uniquifier
+        )
+        salt = F.pmod(F.xxhash64(u), F.lit(n_salts)).cast("int")
+    l_salted = large.withColumn("_salt", salt)
+    s_replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = l_salted.join(s_replicated, [*on, "_salt"], how)
+    return out.drop("_salt")

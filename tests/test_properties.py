@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the transform library and SCD2 —
+the invariants the reference never tested (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.functions.transforms import (
+    guarded_double,
+    standardize_date,
+)
+from faers_datalakehouse_spark.operators.scd2 import scd2_initial_load, scd2_merge
+from faers_datalakehouse_spark.operators.skew import salted_join
+
+DATES = st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 31))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(DATES, min_size=1, max_size=50))
+def test_standardize_date_roundtrip(spark, dates):
+    rows = [(d.strftime("%Y%m%d"),) for d in dates]
+    df = spark.createDataFrame(rows, ["s"])
+    got = [r[0] for r in df.select(standardize_date("s")).collect()]
+    assert got == list(dates)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(DATES, min_size=1, max_size=50))
+def test_standardize_date_partial_forms(spark, dates):
+    rows = [(d.strftime("%Y%m"), d.strftime("%Y")) for d in dates]
+    df = spark.createDataFrame(rows, ["ym", "y"])
+    got = df.select(
+        standardize_date("ym").alias("m"), standardize_date("y").alias("yy")
+    ).collect()
+    for d, r in zip(dates, got):
+        assert r["m"] == d.replace(day=1)
+        assert r["yy"] == d.replace(month=1, day=1)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.from_regex(r"[0-9]{1,6}(\.[0-9]{0,4})?", fullmatch=True),
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_guarded_double_matches_python(spark, strings):
+    import re
+
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = [r[0] for r in df.select(guarded_double("s")).collect()]
+    for s, g in zip(strings, got):
+        t = s.strip()
+        if re.fullmatch(r"[0-9]+\.?[0-9]*", t):
+            assert g == float(t)
+        else:
+            assert g is None
+
+
+KEYS = st.sampled_from(["k1", "k2", "k3", "k4"])
+VALS = st.sampled_from(["a", "b", "c"])
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4, unique_by=lambda t: t[0]),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_invariants_over_random_batch_sequences(spark, batches):
+    dim = None
+    seen_keys: set[str] = set()
+    current_vals: dict[str, str] = {}
+    for i, batch in enumerate(batches):
+        src = spark.createDataFrame(batch, ["k", "v"])
+        eff = f"2024-0{i + 1}-01"
+        if dim is None:
+            dim = scd2_initial_load(src, ["k"], ["v"], eff)
+        else:
+            dim = scd2_merge(dim, src, ["k"], ["v"], eff)
+        dim = dim.localCheckpoint(eager=True)  # keep the plan flat
+        for k, v in batch:
+            seen_keys.add(k)
+            current_vals[k] = v
+        rows = dim.collect()
+        cur = [r for r in rows if r["is_current"]]
+        # exactly one current row per key ever seen
+        assert sorted(r["k"] for r in cur) == sorted(seen_keys)
+        # current values reflect the latest batch that touched each key
+        assert {r["k"]: r["v"] for r in cur} == current_vals
+        # closed rows are exactly the non-current ones and carry end dates
+        assert all(r["end_date"] is not None for r in rows if not r["is_current"])
+        # idempotence: merging the same batch again changes nothing
+        again = scd2_merge(dim, src, ["k"], ["v"], f"2024-0{i + 2}-01")
+        assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed: one key holds ~90% of rows
+    large = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(j, 0) for j in range(2, 102)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(k, f"d{k}") for k in range(1, 102)], ["k", "d"])
+    plain = large.join(small, "k").select("k", "v", "d")
+    salted = salted_join(large, small, ["k"], n_salts=8).select("k", "v", "d")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
