@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_status_pivot": A.segment_status_pivot,
         "distinct_profile": A.distinct_profile,
         "rollup_volume": A.rollup_volume,
+        "profile_columns": A.profile_columns,
+        "quantiles_by_group": A.quantiles_by_group,
         "unpivot_measures": A.unpivot_measures,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
@@ -120,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_standardize": S.date_standardize_demo,
         "numeric_standardize": S.numeric_standardize_demo,
         "asof_join": S.asof_join_query,
+        "multimodal_decode": S.multimodal_decode_query,
         # -- LLM-data-pipeline extensions --
         "dedup_exact": _docs(dedup_exact),
         "ngram_jaccard": _docs(
@@ -165,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_status_pivot": A.SEGMENT_STATUS_PIVOT_SQL,
         "distinct_profile": A.DISTINCT_PROFILE_SQL,
         "rollup_volume": A.ROLLUP_VOLUME_SQL,
+        "profile_columns": A.PROFILE_COLUMNS_SQL,
+        "quantiles_by_group": A.QUANTILES_BY_GROUP_SQL,
         "unpivot_measures": A.UNPIVOT_MEASURES_SQL,
         "date_dim": date_dim_oracle(),
         "fact_sales": FACT_SALES_ORACLE_SQL,

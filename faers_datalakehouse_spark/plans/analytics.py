@@ -718,3 +718,100 @@ SELECT l_returnflag, measure, value FROM (
 )
 ORDER BY l_returnflag, measure
 """
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: one row per column with
+    null rate and distinct count (the pipeline-health operator every
+    large-scale ingest needs). Built as a stack of per-column aggregates —
+    a single pass over the table, then a tiny unpivot."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = []
+    for c in cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                (F.col(f"{c}__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.column_name", "p.n_rows", "p.n_nulls", "p.n_distinct")
+        .orderBy("column_name")
+    )
+
+
+PROFILE_COLUMNS_SQL = """
+WITH wide AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+         count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+         count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3,
+         count(o_totalprice) AS nn4, count(DISTINCT o_totalprice) AS nd4,
+         count(o_orderpriority) AS nn5, count(DISTINCT o_orderpriority) AS nd5
+  FROM orders
+)
+SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+  SELECT 'o_orderkey' AS column_name, n AS n_rows, n - nn1 AS n_nulls, nd1 AS n_distinct FROM wide
+  UNION ALL SELECT 'o_custkey', n, n - nn2, nd2 FROM wide
+  UNION ALL SELECT 'o_orderstatus', n, n - nn3, nd3 FROM wide
+  UNION ALL SELECT 'o_totalprice', n, n - nn4, nd4 FROM wide
+  UNION ALL SELECT 'o_orderpriority', n, n - nn5, nd5 FROM wide
+)
+ORDER BY column_name
+"""
+
+
+def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of order value per priority tier.
+
+    Quantile inputs are scaled-integer cents so the sort is exact; the
+    linear interpolation ((1-g)*lo + g*hi) is the same IEEE arithmetic in
+    both engines.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    price_c = cents("o_totalprice")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.expr(
+                "percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)"
+            ) / 100.0).alias("median_value"),
+            (F.expr(
+                "percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.9)"
+            ) / 100.0).alias("p90_value"),
+            (F.min(price_c).cast("double") / 100.0).alias("min_value"),
+            (F.max(price_c).cast("double") / 100.0).alias("max_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUANTILES_BY_GROUP_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) / 100.0
+         AS median_value,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) / 100.0
+         AS p90_value,
+       CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS min_value,
+       CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS max_value
+FROM orders
+GROUP BY 1
+ORDER BY o_orderpriority
+"""

@@ -361,3 +361,63 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.user_id, l.event_id
 """
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing showcase (rows-only: Python decode kernel)
+# --------------------------------------------------------------------------
+
+
+def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline over synthesized payloads.
+
+    Documents are wrapped into the deterministic fake media container
+    (header built with Spark binary expressions: magic + dims derived from
+    doc stats), then decoded (mapInPandas), frame-sampled, and rolled up —
+    the full multimodal column round-trip with zero media libraries.
+    """
+    from ..operators.multimodal import decode_media, sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    width = (F.col("n_chars") % 1000 + 16).cast("int")
+    height = (F.col("doc_id") % 500 + 16).cast("int")
+    n_frames = (F.col("n_chars") % 97 + 1).cast("int")
+    header = F.concat(
+        F.lit(b"FDLS"),
+        _be16(width),
+        _be16(height),
+        _be32(n_frames),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.encode(F.substring("text", 1, 32), "UTF-8")).alias(
+            "payload"
+        ),
+    )
+    decoded = decode_media(media)
+    frames = sample_frames(media, every_n=10)
+    per_media_frames = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames")
+    )
+    return (
+        decoded.join(per_media_frames, "media_id", "left")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "n_frames",
+            "ok",
+            F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _be16(col: F.Column) -> F.Column:
+    """2-byte big-endian encoding of an int column as BINARY."""
+    hex4 = F.lpad(F.hex(col), 4, "0")
+    return F.to_binary(hex4, F.lit("hex"))
+
+
+def _be32(col: F.Column) -> F.Column:
+    hex8 = F.lpad(F.hex(col), 8, "0")
+    return F.to_binary(hex8, F.lit("hex"))
