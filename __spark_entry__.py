@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_volume": A.rollup_volume,
         "profile_columns": A.profile_columns,
         "quantiles_by_group": A.quantiles_by_group,
+        "customer_retention_setops": A.customer_retention_setops,
         "unpivot_measures": A.unpivot_measures,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_volume": A.ROLLUP_VOLUME_SQL,
         "profile_columns": A.PROFILE_COLUMNS_SQL,
         "quantiles_by_group": A.QUANTILES_BY_GROUP_SQL,
+        "customer_retention_setops": A.CUSTOMER_RETENTION_SETOPS_SQL,
         "unpivot_measures": A.UNPIVOT_MEASURES_SQL,
         "date_dim": date_dim_oracle(),
         "fact_sales": FACT_SALES_ORACLE_SQL,

@@ -815,3 +815,42 @@ FROM orders
 GROUP BY 1
 ORDER BY o_orderpriority
 """
+
+
+def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION) on yearly customer sets.
+
+    Retained = ordered in both years; churned = first year only; new =
+    second year only. Spark plans INTERSECT/EXCEPT as left-semi/anti joins
+    after aggregation — no custom set machinery needed.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    y1 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y2 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    retained = y1.intersect(y2).select(
+        F.lit("retained").alias("cohort"), F.col("o_custkey").alias("cust_key")
+    )
+    churned = y1.subtract(y2).select(  # EXCEPT (distinct) semantics
+        F.lit("churned").alias("cohort"), F.col("o_custkey").alias("cust_key")
+    )
+    new = y2.subtract(y1).select(
+        F.lit("new").alias("cohort"), F.col("o_custkey").alias("cust_key")
+    )
+    return retained.unionByName(churned).unionByName(new).orderBy(
+        "cohort", "cust_key"
+    )
+
+
+CUSTOMER_RETENTION_SETOPS_SQL = """
+WITH y1 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     y2 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT 'retained' AS cohort, o_custkey AS cust_key
+  FROM (SELECT o_custkey FROM y1 INTERSECT SELECT o_custkey FROM y2)
+UNION ALL
+SELECT 'churned', o_custkey
+  FROM (SELECT o_custkey FROM y1 EXCEPT SELECT o_custkey FROM y2)
+UNION ALL
+SELECT 'new', o_custkey
+  FROM (SELECT o_custkey FROM y2 EXCEPT SELECT o_custkey FROM y1)
+ORDER BY cohort, cust_key
+"""
