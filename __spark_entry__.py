@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": A.profile_columns,
         "quantiles_by_group": A.quantiles_by_group,
         "customer_retention_setops": A.customer_retention_setops,
+        "sql_api_trend": A.sql_api_trend,
         "unpivot_measures": A.unpivot_measures,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_columns": A.PROFILE_COLUMNS_SQL,
         "quantiles_by_group": A.QUANTILES_BY_GROUP_SQL,
         "customer_retention_setops": A.CUSTOMER_RETENTION_SETOPS_SQL,
+        "sql_api_trend": A.SQL_API_TREND_SQL,
         "unpivot_measures": A.UNPIVOT_MEASURES_SQL,
         "date_dim": date_dim_oracle(),
         "fact_sales": FACT_SALES_ORACLE_SQL,

@@ -46,8 +46,18 @@ BENCH_QUERIES = {
 def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
-    # Warm the JVM + parquet footers with a trivial action.
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # Warm-up: JIT the common codepaths (parquet scan, hash join, hash agg,
+    # exchange) so per-query numbers reflect steady state, not first-call
+    # JVM compilation.
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("n_name").alias("d"))
+        .orderBy("r_name")
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

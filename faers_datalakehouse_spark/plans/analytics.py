@@ -854,3 +854,42 @@ SELECT 'new', o_custkey
   FROM (SELECT o_custkey FROM y2 EXCEPT SELECT o_custkey FROM y1)
 ORDER BY cohort, cust_key
 """
+
+
+def sql_api_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine through the SQL API (S8: temp views + ``spark.sql``).
+
+    The reference drives DML through SQL strings (its MERGE path); this
+    demonstrates the equivalent surface here — Catalyst produces the same
+    plan as the DataFrame version.
+    """
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "v_orders"
+    )
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "v_customer"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               c.c_mktsegment AS market_segment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_value
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+        ORDER BY order_year, market_segment
+        """
+    )
+
+
+SQL_API_TREND_SQL = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+       c.c_mktsegment AS market_segment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY order_year, market_segment
+"""
