@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -73,7 +74,8 @@ def main() -> None:
         timings[label] = round(dt, 3)
         total += dt
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
+    sf = float(m.group(1)) if m else 0.0
     print(
         json.dumps(
             {
@@ -81,7 +83,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

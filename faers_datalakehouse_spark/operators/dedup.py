@@ -15,7 +15,8 @@ Four tiers, all designed for 100 TB corpora:
 - ``simhash_64``           — 64-bit SimHash per document. Per-row (zero
   shuffle), computed in an Arrow-batched ``mapInPandas`` because a 64-bit
   sign-accumulator is the one shape Spark expressions don't express cleanly;
-  near-dup pairing then blocks on the top-16-bit prefix.
+  near-dup pairing blocks on four 16-bit bands (pigeonhole-complete
+  for Hamming <= 3).
 
 All random parameters derive from a fixed seed so results are deterministic
 run-to-run (required by the oracle harness; also the right call for
@@ -219,7 +220,8 @@ SELECT a.id AS id_a, b.id AS id_b,
                 - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
 FROM sh a JOIN sh b
   ON a.id < b.id AND a.lang = b.lang
- AND abs(CAST(a.norm_len / {band} AS INT) - CAST(b.norm_len / {band} AS INT)) <= 1
+ AND abs(CAST(floor(a.norm_len / {band}) AS INT)
+         - CAST(floor(b.norm_len / {band}) AS INT)) <= 1
 WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / (len(a.shingles) + len(b.shingles)
          - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
@@ -259,45 +261,6 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(
-    col: Column, k: int = 8, num_hashes: int = 64, seed: int = 42
-) -> Column:
-    """MinHash signature (array<bigint>) over k-char shingles.
-
-    Each permutation is ``(a * (xxhash64(shingle) mod p) + b) mod p`` — the
-    classic universal-hash family; ``pmod`` keeps everything in [0, p) so the
-    int64 products never overflow (ANSI-safe).
-
-    Implementation note: one ``aggregate`` pass folds every shingle into an
-    array accumulator of ``num_hashes`` running minima. The naive alternative
-    (``num_hashes`` separate ``array_min(transform(...))`` columns) inlines
-    the whole shingling subtree once per permutation after projection
-    collapse — a 64× plan blow-up that Catalyst cannot de-duplicate.
-    """
-    params = _minhash_params(num_hashes, seed)
-    ab = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in params
-        ]
-    )
-    hashes = F.transform(
-        char_shingles(col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
-    )
-    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_hashes)
-    return F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            ab,
-            lambda mn, p: F.least(
-                mn, F.pmod(p["a"] * h + p["b"], F.lit(MERSENNE_P))
-            ),
-        ),
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -319,9 +282,10 @@ def minhash_lsh_pairs(
     candidates pay verification; this is the standard
     shingle→minhash→band→bucket-join layout for corpus-scale dedup.
 
-    ``materialize`` persists the per-doc (hashes, signature) frame since
-    three plan branches (banding + both sides of the verify join) reuse it;
-    at cluster scale this would be a checkpoint to storage.
+    ``materialize`` persists the per-doc hash frame since three plan
+    branches (banding + both sides of the verify join) reuse it. The cache
+    lives until the session evicts it (MEMORY_AND_DISK, LRU) — at cluster
+    scale this would be an explicit checkpoint to storage instead.
     """
     rows = num_hashes // bands
     params = _minhash_params(num_hashes, seed)
@@ -422,6 +386,8 @@ def simhash_64(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = (text or "").lower().split()
                 acc = np.zeros(64, dtype=np.int64)
+                if len(cache) > 200_000:  # bound per-worker memory
+                    cache.clear()
                 for t in toks:
                     signs = cache.get(t)
                     if signs is None:

@@ -73,13 +73,17 @@ def merge_into(
             ).otherwise(F.col(k0)),
         ).drop("_key_n")
 
-    t = target.alias("t")
-    s = source.alias("s")
+    # Presence markers: lit(True) columns survive the full-outer join as
+    # NULL exactly when that side is absent. Testing keys[0].isNotNull()
+    # instead would silently drop rows whose merge key is legitimately NULL
+    # (which eqNullSafe deliberately matches).
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     joined = t.join(
         s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full"
     )
-    t_present = F.col(f"t.{keys[0]}").isNotNull()
-    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    t_present = F.col("t._t_present").isNotNull()
+    s_present = F.col("s._s_present").isNotNull()
     matched = t_present & s_present
 
     upd = matched if update_cond is None else (matched & update_cond)

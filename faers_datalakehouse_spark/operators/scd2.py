@@ -104,15 +104,18 @@ def scd2_merge(
     current = target.filter(F.col("is_current"))
     history = target.filter(~F.col("is_current"))
 
-    t = current.alias("t")
-    s = src.alias("s")
-    joined = t.join(s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full")
+    # Presence markers (not keys[0].isNotNull()): a NULL business key is
+    # matched by eqNullSafe and must not be silently dropped.
+    t = current.withColumn("_t_present", F.lit(True)).alias("t")
+    s = src.withColumn("_s_present", F.lit(True)).alias("s")
+    joined = t.join(
+        s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full"
+    )
 
-    t_key = F.col(f"t.{keys[0]}")
-    s_key = F.col(f"s.{keys[0]}")
+    t_present = F.col("t._t_present").isNotNull()
+    s_present = F.col("s._s_present").isNotNull()
     changed = (
-        t_key.isNotNull() & s_key.isNotNull()
-        & (F.col("t.row_hash") != F.col("s.row_hash"))
+        t_present & s_present & (F.col("t.row_hash") != F.col("s.row_hash"))
     )
 
     def _side(side: str) -> list[F.Column]:
@@ -120,7 +123,7 @@ def scd2_merge(
 
     # Target-side survivors: unchanged current rows as-is, changed rows closed.
     kept = (
-        joined.filter(t_key.isNotNull())
+        joined.filter(t_present)
         .select(*_side("t"), changed.alias("_changed"))
         .withColumn(
             "end_date",
@@ -133,7 +136,7 @@ def scd2_merge(
     )
     # Source-side inserts: new business keys + new versions of changed keys.
     inserted = joined.filter(
-        (t_key.isNull() & s_key.isNotNull()) | changed
+        (~t_present & s_present) | changed
     ).select(*_side("s"))
 
     return history.select(*[*attr_cols, *SCD2_META_COLS]).unionByName(

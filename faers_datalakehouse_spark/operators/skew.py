@@ -33,6 +33,10 @@ def salted_join(
     (any high-cardinality column; defaults to a nondeterministic uniform
     salt, which is fine for joins since the salt only routes rows).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # replicated small side would duplicate its unmatched rows n_salts
+        # times under right/full-preserving joins
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     on = list(on)
     if large_uniquifier is None:
         salt = (F.rand(seed=42) * n_salts).cast("int")

@@ -141,10 +141,20 @@ DIM_DRUG_TRACKED = ["role_desc", "route_category"]
 
 def gold_dim_drug(spark: SparkSession, effective_date: str) -> None:
     """SCD2-maintained drug dimension off silver.drug_details."""
+    # Deterministic one-row-per-key pick: dropDuplicates(keys) keeps an
+    # arbitrary row when tracked columns differ across duplicates, making
+    # the dimension flap run-to-run; rank by explicit attribute order.
+    from pyspark.sql import Window
+
+    pick = Window.partitionBy("drug_name").orderBy(
+        "drug_seq_num", "role_desc", "route_category"
+    )
     src = (
         spark.table("silver.drug_details")
-        .select("drug_name", "role_desc", "route_category")
-        .dropDuplicates(DIM_DRUG_KEYS)
+        .select("drug_name", "role_desc", "route_category", "drug_seq_num")
+        .withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "drug_seq_num")
     )
     if not table_exists(spark, "gold.dim_drug"):
         dim = scd2_initial_load(src, DIM_DRUG_KEYS, DIM_DRUG_TRACKED, effective_date)

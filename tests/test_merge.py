@@ -57,3 +57,14 @@ def test_idempotent_when_source_equals_target(spark, target):
     assert sorted(tuple(r) for r in out.collect()) == sorted(
         tuple(r) for r in target.collect()
     )
+
+
+def test_null_merge_keys_are_matched_not_dropped(spark):
+    # eqNullSafe matches NULL keys; presence detection must not rely on
+    # key.isNotNull() or these rows silently vanish
+    target = spark.createDataFrame([(None, "old", 1), (1, "a", 10)],
+                                   "id int, name string, v int")
+    source = spark.createDataFrame([(None, "new", 2)],
+                                   "id int, name string, v int")
+    out = {(r["id"], r["name"], r["v"]) for r in merge_into(target, source, ["id"]).collect()}
+    assert out == {(None, "new", 2), (1, "a", 10)}

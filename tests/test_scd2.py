@@ -110,3 +110,22 @@ def test_source_duplicates_are_collapsed(spark, base):
     )
     dim = scd2_initial_load(dup, BK, TRACKED, "2024-01-01")
     assert dim.count() == 1
+
+
+def test_null_business_key_survives_merge(spark):
+    base = spark.createDataFrame(
+        [(None, "Null Key", "Active"), ("C001", "John Doe", "Active")],
+        "customer_id string, customer_name string, status string",
+    )
+    dim = scd2_initial_load(base, BK, TRACKED, "2024-01-01")
+    batch = spark.createDataFrame(
+        [(None, "Null Key", "Suspended")],
+        "customer_id string, customer_name string, status string",
+    )
+    merged = scd2_merge(dim, batch, BK, TRACKED, "2024-06-01")
+    nulls = merged.filter(F.col("customer_id").isNull()).collect()
+    assert {(r["status"], r["is_current"]) for r in nulls} == {
+        ("Active", False),
+        ("Suspended", True),
+    }
+    assert merged.count() == 3
