@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_status_pivot": A.segment_status_pivot,
         "distinct_profile": A.distinct_profile,
         "rollup_volume": A.rollup_volume,
+        "cube_volume": A.cube_volume,
         "profile_columns": A.profile_columns,
         "quantiles_by_group": A.quantiles_by_group,
         "customer_retention_setops": A.customer_retention_setops,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_status_pivot": A.SEGMENT_STATUS_PIVOT_SQL,
         "distinct_profile": A.DISTINCT_PROFILE_SQL,
         "rollup_volume": A.ROLLUP_VOLUME_SQL,
+        "cube_volume": A.CUBE_VOLUME_SQL,
         "profile_columns": A.PROFILE_COLUMNS_SQL,
         "quantiles_by_group": A.QUANTILES_BY_GROUP_SQL,
         "customer_retention_setops": A.CUSTOMER_RETENTION_SETOPS_SQL,

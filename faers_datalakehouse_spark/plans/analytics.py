@@ -893,3 +893,29 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
 ORDER BY order_year, market_segment
 """
+
+
+def cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subtotal-combinations aggregate via CUBE (rollup's superset)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_VOLUME_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
