@@ -87,7 +87,7 @@ SELECT
   n_orders
 FROM (
   SELECT l_returnflag, l_linestatus,
-         sum(CAST(round(l_quantity) AS BIGINT))        AS sum_qty,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
          sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS base_c,
          sum(CAST(round(l_extendedprice*100) AS BIGINT)
              * (100 - CAST(round(l_discount*100) AS BIGINT))) AS disc_e4,
@@ -144,7 +144,7 @@ FROM (
   SELECT l_partkey,
          count(*)                                        AS n_shipments,
          count(DISTINCT l_orderkey)                      AS n_orders,
-         sum(CAST(round(l_quantity) AS BIGINT))          AS total_qty,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
          sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_c
   FROM lineitem GROUP BY l_partkey
 ) a JOIN part p ON a.l_partkey = p.p_partkey
@@ -433,7 +433,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_EXTRACT_AGG_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -914,7 +914,7 @@ def cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUBE_VOLUME_SQL = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST

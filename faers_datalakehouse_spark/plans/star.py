@@ -125,12 +125,18 @@ def build_fact_sales(
         F.to_date("l_shipdate").alias("ship_date"),
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_delay_days"),
         # Decimal casts of RAW 2dp doubles (measure-cast parity,
-        # fact_adverse_events.py:204-222) — safe: both engines land on the
-        # same 2dp value since the source is exactly 2dp.
-        F.col("l_quantity").cast("decimal(8,2)").alias("quantity"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("extended_price"),
-        F.col("l_discount").cast("decimal(5,4)").alias("discount_rate"),
-        F.col("l_tax").cast("decimal(5,4)").alias("tax_rate"),
+        # fact_adverse_events.py:204-222), round-tripped back to DOUBLE for
+        # the driver-compared projection: Spark surfaces DECIMAL as
+        # decimal.Decimal while DuckDB's client lands float64, so the hash
+        # diverges on encoding even when values match. The round-trip is
+        # exact for 2dp/4dp-valued sources.
+        F.col("l_quantity").cast("decimal(8,2)").cast("double").alias("quantity"),
+        F.col("l_extendedprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("extended_price"),
+        F.col("l_discount").cast("decimal(5,4)").cast("double").alias("discount_rate"),
+        F.col("l_tax").cast("decimal(5,4)").cast("double").alias("tax_rate"),
         revenue.alias("revenue"),
         charge.alias("charge"),
         discount_amt.alias("discount_amount"),
@@ -185,10 +191,10 @@ SELECT
   CAST(l.l_shipdate AS DATE)                     AS ship_date,
   CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
        AS INTEGER)                               AS ship_delay_days,
-  CAST(l.l_quantity AS DECIMAL(8,2))             AS quantity,
-  CAST(l.l_extendedprice AS DECIMAL(18,2))       AS extended_price,
-  CAST(l.l_discount AS DECIMAL(5,4))             AS discount_rate,
-  CAST(l.l_tax AS DECIMAL(5,4))                  AS tax_rate,
+  CAST(CAST(l.l_quantity AS DECIMAL(8,2)) AS DOUBLE)       AS quantity,
+  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extended_price,
+  CAST(CAST(l.l_discount AS DECIMAL(5,4)) AS DOUBLE)       AS discount_rate,
+  CAST(CAST(l.l_tax AS DECIMAL(5,4)) AS DOUBLE)            AS tax_rate,
   CAST(CAST(round(l.l_extendedprice*100) AS BIGINT)
        * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS DOUBLE) / 10000.0
                                                  AS revenue,

@@ -34,6 +34,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     which we integer-divide (exact) down to microseconds. The testdata's
     values are µs-resolution, so the conversion is lossless.
     """
+    # Runtime-settable conf: the caller's session may not have been built by
+    # our get_spark(), so make the read self-sufficient under any session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
