@@ -7,8 +7,12 @@ tolerance). The classic union-and-forward-fill formulation:
 1. tag and union both sides (right rows sort *before* left rows at equal
    timestamps, giving ``<=`` semantics),
 2. one window pass per key ordered by time, forward-filling the right-side
-   payload with ``last(..., ignorenulls=True)``,
-3. keep only left rows.
+   payload with ``last(..., ignorenulls=True)`` — over a SINGLE struct
+   column holding the whole right row, so the matched row attaches
+   atomically (filling each payload column independently would stitch
+   together fields from different right rows whenever the latest right row
+   has NULLs, which DuckDB ASOF JOIN / pandas merge_asof never do),
+3. keep only left rows and expand the struct.
 
 Scale: exactly one shuffle (partition by key) + one sort — the same cost as
 any keyed window, with none of the range-explosion a naive
@@ -24,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_of_join(
@@ -45,22 +50,32 @@ def as_of_join(
     on = list(on)
     left_cols = left.columns
     matched_ts = f"{right_ts}{suffix}"
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    payload_type = T.StructType(
+        [T.StructField(f"{c}{suffix}", rtypes[c]) for c in right_cols]
+        + [T.StructField(matched_ts, rtypes[right_ts])]
+    )
 
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_cols if c not in on and c != left_ts],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(matched_ts),
+        F.lit(None).cast(payload_type).alias("_rp"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in on and c != left_ts],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(right_ts).alias(matched_ts),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left_cols
+            if c not in on and c != left_ts
+        ],
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+            F.col(right_ts).alias(matched_ts),
+        ).alias("_rp"),
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows first at equal _t → "<=" as-of semantics
@@ -74,27 +89,21 @@ def as_of_join(
         "_t",
         "_side",
         *[F.col(c) for c in left_cols if c not in on and c != left_ts],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last(matched_ts, ignorenulls=True).over(w).alias(matched_ts),
+        F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
     ).filter(F.col("_side") == 1)
 
     if tolerance_seconds is not None:
         too_old = (
-            F.unix_micros(F.col("_t")) - F.unix_micros(F.col(matched_ts))
+            F.unix_micros(F.col("_t")) - F.unix_micros(F.col(f"_rp.{matched_ts}"))
         ) > tolerance_seconds * 1_000_000
-        filled = filled.select(
-            *on,
-            "_t",
-            *[F.col(c) for c in left_cols if c not in on and c != left_ts],
-            *[
-                F.when(too_old, F.lit(None)).otherwise(F.col(f"{c}{suffix}")).alias(
-                    f"{c}{suffix}"
-                )
-                for c in right_cols
-            ],
-            F.when(too_old, F.lit(None)).otherwise(F.col(matched_ts)).alias(matched_ts),
+        filled = filled.withColumn(
+            "_rp", F.when(too_old, F.lit(None).cast(payload_type)).otherwise(F.col("_rp"))
         )
-    return filled.withColumnRenamed("_t", left_ts).drop("_side")
+    expanded = filled.select(
+        *on,
+        "_t",
+        *[F.col(c) for c in left_cols if c not in on and c != left_ts],
+        *[F.col(f"_rp.{c}{suffix}") for c in right_cols],
+        F.col(f"_rp.{matched_ts}"),
+    )
+    return expanded.withColumnRenamed("_t", left_ts)

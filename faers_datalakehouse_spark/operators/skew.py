@@ -6,9 +6,13 @@ default key holding 30% of a 100 TB fact. The hot key's rows are spread over
 ``n_salts`` synthetic sub-keys on the large side while the small side is
 replicated ``n_salts`` times, so no single task owns the whole hot key.
 
-``salted_join`` salts deterministically (hash of a uniquifier column) so
-results are reproducible; the replicate side must be the smaller one (its
-row count multiplies by ``n_salts``).
+``salted_join`` salts deterministically: a hash of the caller's uniquifier
+column when given, else a hash over ALL of the large side's columns — a
+stable row expression, unlike ``F.rand`` whose routing changes with file
+splits/parallelism. The join output is identical either way; stability
+matters for any consumer observing row lineage or re-running incrementally.
+The replicate side must be the smaller one (its row count multiplies by
+``n_salts``).
 """
 
 from __future__ import annotations
@@ -30,8 +34,11 @@ def salted_join(
     """Equi-join with the large side salted and the small side replicated.
 
     ``large_uniquifier``: a column spreading the hot key's rows across salts
-    (any high-cardinality column; defaults to a nondeterministic uniform
-    salt, which is fine for joins since the salt only routes rows).
+    (any high-cardinality column). When omitted, the salt is
+    ``pmod(xxhash64(<all large columns>), n_salts)`` — deterministic for a
+    given row regardless of partition layout; duplicate rows share a salt,
+    which only matters if the duplicates of one hot key dominate (pass an
+    explicit uniquifier there).
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         # replicated small side would duplicate its unmatched rows n_salts
@@ -39,7 +46,9 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     on = list(on)
     if large_uniquifier is None:
-        salt = (F.rand(seed=42) * n_salts).cast("int")
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts)
+        ).cast("int")
     else:
         u = (
             F.col(large_uniquifier)

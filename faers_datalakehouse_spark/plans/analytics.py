@@ -464,7 +464,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
         .agg(F.sum(rev_e4).alias("rev_e4"))
         .select(
@@ -503,7 +503,8 @@ LIMIT {k}
 def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped: revenue by region/nation through the full snowflake.
 
-    lineitem⋈orders shuffles once; customer/nation/region broadcast.
+    lineitem⋈orders shuffles once; nation/region broadcast. Customer is left
+    to AQE — it scales with the fact, so a forced broadcast breaks at 100 TB.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -516,7 +517,7 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -595,9 +596,7 @@ def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per market segment × order status."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
-    )
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     return (
         joined.groupBy(F.col("c_mktsegment").alias("market_segment"))
         .pivot("o_orderstatus", ["O", "F", "P"])

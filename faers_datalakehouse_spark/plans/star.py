@@ -18,9 +18,12 @@ Scale design:
   join on the natural key; AQE handles skew. At 100 TB you would bucket both
   by orderkey to make it shuffle-free; the plan shape here already co-locates
   all subsequent joins on the same key.
-- Every dimension side (customer at TPC-H proportions, nation, region, part,
-  supplier, date_dim) is broadcast — ``F.broadcast`` hints make that explicit
-  rather than relying on size estimation.
+- Truly small dimension sides (nation, region, part, supplier, date_dim) are
+  broadcast — ``F.broadcast`` hints make that explicit rather than relying on
+  size estimation. Customer is NOT hinted: at TPC-H proportions it is ~1/40
+  of lineitem, so at 100 TB a forced broadcast would be multi-TB → OOM; AQE
+  decides at runtime (broadcast at small SF, shuffle join at scale, already
+  co-located on the orderkey partitioning from the previous join).
 - Measures that feed exact aggregation are rounded-then-DECIMAL per row so
   downstream sums are order-independent (oracle-comparable at any parallelism).
 """
@@ -72,7 +75,7 @@ def build_fact_sales(
     # on orderkey through the chain).
     fact = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
-    ).join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+    ).join(customer, orders.o_custkey == customer.c_custkey, "inner")
 
     # J3/J4 — left equi-joins for optional attribute dims (broadcast).
     fact = fact.join(
@@ -255,9 +258,7 @@ def decode_ladders_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/§2.7 conditional showcase: decode + bucket orders×customer."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
-    )
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
     return joined.select(
         F.col("o_orderkey").alias("order_key"),
         decode_ladder("o_orderpriority", ORDER_PRIORITY_DECODE).alias("priority_tier"),

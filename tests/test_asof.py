@@ -39,6 +39,28 @@ def test_asof_basic_and_equal_ts(spark):
     assert out["l3"] == (None, None)  # no right row precedes; key isolation
 
 
+def test_asof_null_payload_attaches_atomically(spark):
+    """The matched right row attaches wholesale: a NULL field in the latest
+    preceding right row must stay NULL, not be stitched from an older row
+    (DuckDB ASOF JOIN / pandas merge_asof semantics)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), "l1")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), 10.0, "old"),
+            (1, _ts("2024-01-01 11:00:00"), None, "new"),  # latest; price NULL
+        ],
+        ["k", "ts", "price", "label"],
+    )
+    row = as_of_join(
+        left, right, ["k"], "ts", "ts", right_cols=["price", "label"]
+    ).collect()[0]
+    assert row["label_asof"] == "new"
+    assert row["price_asof"] is None  # NOT 10.0 from the older row
+    assert row["ts_asof"] == _ts("2024-01-01 11:00:00")
+
+
 def test_asof_tolerance(spark):
     left = spark.createDataFrame(
         [(1, _ts("2024-01-01 10:00:00"), "x")], ["k", "ts", "tag"]

@@ -45,10 +45,20 @@ def test_fact_sales_grain_and_defaults(spark, sf_dir):
 
 
 def test_fact_plan_uses_broadcast_joins(spark, sf_dir):
-    plan = build_fact_sales(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    fact = build_fact_sales(spark, sf_dir)
+    plan = fact._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    # exactly one potentially-shuffled join (lineitem x orders); all dims broadcast
-    assert plan.count("SortMergeJoin") <= 1
+    # Two joins may shuffle: lineitem⋈orders always, and orders⋈customer when
+    # AQE declines to broadcast (customer scales with the fact, so it carries
+    # no forced broadcast hint — see star.py module doc). All true dims
+    # (part/supplier/nation/region/date) must stay broadcast.
+    assert plan.count("SortMergeJoin") <= 2
+    # The customer join must NOT carry a forced broadcast hint.
+    logical = fact._jdf.queryExecution().optimizedPlan().toString()
+    cust_join = [
+        ln for ln in logical.splitlines() if "o_custkey" in ln and "c_custkey" in ln
+    ]
+    assert cust_join and all("strategy=broadcast" not in ln for ln in cust_join)
 
 
 def test_pricing_summary_totals(spark, sf_dir):
