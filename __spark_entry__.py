@@ -30,7 +30,9 @@ from faers_datalakehouse_spark.operators.similarity import (
     QUANT,
     cosine_neardup_pairs,
     ivf_topk_neighbors,
+    lsh_bucketed_neardup,
     lsh_bucketed_neighbors,
+    lsh_neardup_oracle_sql,
     topk_neighbors_bruteforce,
 )
 from faers_datalakehouse_spark.plans import analytics as A
@@ -46,7 +48,10 @@ SF0001 = "/root/testdata/sf0.001"
 
 ANN_QUERY_MOD = 50  # vec_id % 50 == 0 → query subset
 ANN_K = 5
-NEARDUP_COS_THRESHOLD = 0.80
+# The synthetic embeddings are near-orthogonal random vectors (max pairwise
+# cosine ≈ 0.51 at sf0.01), so a classic 0.8+ dedup threshold matches nothing;
+# 0.45 keeps the top ~15 pairs so the near-dup paths verify nonzero output.
+NEARDUP_COS_THRESHOLD = 0.45
 JACCARD_K = 8
 JACCARD_THRESHOLD = 0.5
 JACCARD_BAND = 100
@@ -151,6 +156,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
         ),
+        # DEFAULT near-dup path: LSH bucket blocking + exact in-bucket cosine
+        # (linear; cosine_neardup above is the quadratic verify kernel).
+        "lsh_neardup": lambda spark, sf_dir: lsh_bucketed_neardup(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=NEARDUP_COS_THRESHOLD,
+        ),
     }
 
 
@@ -203,6 +214,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_neardup": COSINE_NEARDUP_SQL_TEMPLATE.format(
             quant=QUANT, threshold=NEARDUP_COS_THRESHOLD
         ),
+        # Oracle-checked even though it's the approximate path: the integer
+        # hyperplane buckets are bit-identical across engines.
+        "lsh_neardup": lsh_neardup_oracle_sql(NEARDUP_COS_THRESHOLD),
     }
 
 

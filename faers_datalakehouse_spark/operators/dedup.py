@@ -153,6 +153,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocks.
 
+    VERIFICATION KERNEL — the default near-dup path at corpus scale is
+    ``minhash_lsh_pairs``: its band-bucket join is linear + candidates,
+    whereas this operator's blocking key (lang × length band) has only a few
+    values per language, so the candidate join is still ~quadratic within a
+    block at 100 TB. Use this to verify MinHash candidates or on bounded
+    slices, not as the first-reach dedup pass.
+
     Blocking = equality on ``block_cols`` plus an optional length band
     (docs whose lengths differ by ≥ band can't clear a 0.5 Jaccard anyway).
     The self-join shuffles once on the block key; Jaccard is two array

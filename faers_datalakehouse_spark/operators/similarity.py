@@ -116,8 +116,10 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, self-join).
 
-    Quadratic — correct as the verification kernel; pair it with
-    ``lsh_bucketed_neighbors`` blocking for corpus-scale runs.
+    VERIFICATION KERNEL ONLY — quadratic (O(n²) candidate rows). The default
+    near-dup path callers should reach first is ``lsh_bucketed_neardup``,
+    which blocks candidates into LSH buckets (linear + in-bucket pairs) and
+    applies this same exact cosine inside each bucket.
     """
     e = with_quantized_norm(
         fan_out(corpus.select(id_col, emb_col), id_col), emb_col
@@ -170,12 +172,27 @@ ORDER BY id_a, id_b
 # derived from xxhash64-style integer mixing of (p, d) — no RNG dependency.
 
 
-def _plane_weight(p: int, d: int) -> float:
+def _plane_mix(p: int, d: int) -> int:
     h = (p * 2654435761 + d * 40503) & 0xFFFFFFFF
     h ^= h >> 16
     h = (h * 2246822519) & 0xFFFFFFFF
     h ^= h >> 13
-    return ((h & 0xFFFF) / 65535.0) * 2.0 - 1.0
+    return h & 0xFFFF
+
+
+def _plane_weight(p: int, d: int) -> float:
+    return (_plane_mix(p, d) / 65535.0) * 2.0 - 1.0
+
+
+def _plane_weight_int(p: int, d: int) -> int:
+    """Integer hyperplane weight in [-65535, 65535] (2*mix - 65535).
+
+    Same sign structure as ``_plane_weight`` but the projection
+    sum(q_emb * w) stays in exact integer arithmetic, so the sign bit — and
+    therefore the bucket id — is bit-identical across engines (a float
+    projection could flip sign near 0 under a different summation order).
+    """
+    return _plane_mix(p, d) * 2 - 65535
 
 
 def lsh_bucketed_neighbors(
@@ -374,4 +391,149 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 ORDER BY query_id, rank
+"""
+
+
+def _int_band_bucket(emb_q: Column, band: int, n_planes: int, dim: int) -> Column:
+    """Bucket id for one LSH band: n_planes sign bits of exact integer
+    projections of the quantized embedding onto fixed integer hyperplanes."""
+    bits = []
+    for i in range(n_planes):
+        p = band * n_planes + i
+        plane = F.array(*[F.lit(_plane_weight_int(p, d)).cast("long") for d in range(dim)])
+        proj = _dot(emb_q, plane)
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**i))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucketed_neardup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """DEFAULT embedding near-dup: LSH bucket blocking + exact in-bucket cosine.
+
+    The scale path ``cosine_neardup_pairs`` is the verify kernel for:
+    each vector gets ``n_bands`` (band, bucket) keys from deterministic
+    integer hyperplanes; candidate pairs come from an equi-join on
+    (band, bucket) — a hash join producing only in-bucket pairs, never the
+    all-pairs cross product — then the exact quantized cosine filters at
+    ``threshold`` and cross-band duplicates collapse via distinct.
+
+    Cost: linear scan + Σ_bucket |bucket|² candidate pairs. Recall is
+    probabilistic (a near-dup pair is found iff it shares ≥1 band bucket —
+    ~(1 - (1-s^1)^bands) per-band collision for sign-bit similarity s), but
+    every *emitted* pair is exact — precision 1.0 against the kernel. More
+    bands → higher recall, same plan shape.
+
+    Fully oracle-reproducible: bucket ids are exact integer arithmetic
+    (see ``_plane_weight_int``), so DuckDB computes identical buckets.
+    """
+    e = with_quantized_norm(
+        fan_out(corpus.select(id_col, emb_col), id_col), emb_col
+    ).select(F.col(id_col).alias("id"), "q_emb", "q_norm2")
+    banded = e.select(
+        "id",
+        "q_emb",
+        "q_norm2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _int_band_bucket(F.col("q_emb"), b, n_planes, dim).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "q_emb", "q_norm2", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    dot = _dot(F.col("a.q_emb"), F.col("b.q_emb"))
+    cosine = F.round(
+        dot.cast("double")
+        / (
+            F.sqrt(F.col("a.q_norm2").cast("double"))
+            * F.sqrt(F.col("b.q_norm2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+def lsh_neardup_oracle_sql(
+    threshold: float,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    dim: int = 64,
+    quant: int = QUANT,
+) -> str:
+    """DuckDB twin of ``lsh_bucketed_neardup`` — identical integer buckets."""
+
+    def plane_list(p: int) -> str:
+        return "list_value(" + ",".join(
+            str(_plane_weight_int(p, d)) for d in range(dim)
+        ) + ")"
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for i in range(n_planes):
+            p = b * n_planes + i
+            terms.append(
+                "(CASE WHEN list_sum(list_transform(list_zip(qe, "
+                f"{plane_list(p)}), p -> p[1] * p[2])) >= 0 "
+                f"THEN {2 ** i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, qe, {b} AS band, {bucket_expr(b)} AS bucket FROM e"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {quant}) AS BIGINT)) AS qe
+  FROM embeddings
+),
+sig AS (
+{band_selects}
+),
+scored AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1] * p[2]))
+                AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(a.qe, x -> x*x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE))),
+           6) AS cosine
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= {threshold}
+ORDER BY id_a, id_b
 """

@@ -101,6 +101,25 @@ def test_cosine_neardup_pairs(spark):
     assert got == {(1, 2)}
 
 
+def test_lsh_bucketed_neardup_precision_and_plan(spark, sf_dir):
+    """The default near-dup path: every emitted pair must also be found by the
+    exact kernel (precision 1.0), and the plan must be a bucket equi-join —
+    never an all-pairs cross product."""
+    from faers_datalakehouse_spark.operators.similarity import lsh_bucketed_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lsh = lsh_bucketed_neardup(emb, threshold=0.4)
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {(r["id_a"], r["id_b"], r["cosine"]) for r in lsh.collect()}
+    assert got <= exact  # subset: probabilistic recall, exact scores
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_token_count_and_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "Hello world, it's 2024!"), (2, "")], ["doc_id", "text"]
