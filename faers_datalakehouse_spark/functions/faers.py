@@ -213,3 +213,107 @@ def country_region(country: Column | str) -> Column:
         COUNTRY_REGION,
         default="Other/Unknown",
     )
+
+
+# --- indications (silver_indications.py:36-117 parity) ---
+
+THERAPEUTIC_AREAS: list[tuple[str, str]] = [
+    ("Oncology", r"CANCER|MALIGNANT|NEOPLASM|CARCINOMA|TUMOR|METASTATIC"),
+    ("Endocrinology", r"DIABETES|DIABETIC"),
+    ("Cardiology", r"CARDIAC|HEART|HYPERTENSION|CARDIOVASCULAR"),
+    ("Psychiatry", r"DEPRESSION|ANXIETY|PSYCHIATRIC|BIPOLAR|SCHIZOPHRENIA"),
+    ("Infectious Diseases", r"INFECTION|BACTERIAL|VIRAL|FUNGAL|ANTIBIOTIC"),
+    ("Rheumatology", r"PAIN|ARTHRITIS|RHEUMAT|INFLAMMATION"),
+    ("Pulmonology", r"ASTHMA|COPD|RESPIRATORY|LUNG"),
+    ("Neurology", r"ALZHEIMER|DEMENTIA|PARKINSON|EPILEPSY|SEIZURE"),
+    ("Gastroenterology", r"GASTRO|ULCER|CROHN|COLITIS"),
+]
+
+
+def therapeutic_area(indi_pt: Column | str) -> Column:
+    """Indication preferred term → therapeutic area (regex ladder)."""
+    p = F.upper(F.col(indi_pt) if isinstance(indi_pt, str) else indi_pt)
+    expr: Column | None = None
+    for label, pattern in THERAPEUTIC_AREAS:
+        cond = p.rlike(pattern)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(F.lit("Other"))
+
+
+def indication_severity(indi_pt: Column | str) -> Column:
+    """Keyword severity tier from the indication term."""
+    p = F.upper(F.col(indi_pt) if isinstance(indi_pt, str) else indi_pt)
+    return (
+        F.when(p.rlike(r"METASTATIC|STAGE IV|TERMINAL|ADVANCED"), F.lit("Severe"))
+        .when(p.rlike(r"ACUTE|SEVERE|CRISIS|EMERGENCY"), F.lit("Severe"))
+        .when(p.rlike(r"CHRONIC|MODERATE|PERSISTENT"), F.lit("Moderate"))
+        .when(p.rlike(r"MILD|MINOR|EARLY"), F.lit("Mild"))
+        .otherwise(F.lit("Unspecified"))
+    )
+
+
+# --- reports (silver_reports.py:37-74 parity) ---
+
+
+def reporter_category(rpsr_cod: Column | str) -> Column:
+    c = F.col(rpsr_cod) if isinstance(rpsr_cod, str) else rpsr_cod
+    return (
+        F.when(c == "HP", F.lit("Professional"))
+        .when(c == "CSM", F.lit("Consumer"))
+        .when(c.isin("LW", "OTH"), F.lit("Other Professional"))
+        .otherwise(F.lit("Unknown"))
+    )
+
+
+def reporter_reliability_score(rpsr_cod: Column | str) -> Column:
+    """1-5 reliability rank (HP highest, unknown lowest)."""
+    c = F.col(rpsr_cod) if isinstance(rpsr_cod, str) else rpsr_cod
+    return (
+        F.when(c == "HP", F.lit(5))
+        .when(c == "LW", F.lit(4))
+        .when(c == "CSM", F.lit(3))
+        .when(c == "OTH", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+
+
+def regulatory_priority(rpsr_cod: Column | str) -> Column:
+    c = F.col(rpsr_cod) if isinstance(rpsr_cod, str) else rpsr_cod
+    return (
+        F.when(c == "HP", F.lit("High"))
+        .when(c == "LW", F.lit("Medium"))
+        .otherwise(F.lit("Standard"))
+    )
+
+
+# --- therapy dates (silver_therapy_dates.py:48-122 parity) ---
+
+DURATION_UNIT_DECODE = {
+    "YR": "Years",
+    "MON": "Months",
+    "WK": "Weeks",
+    "DY": "Days",
+    "HR": "Hours",
+    "MIN": "Minutes",
+}
+
+
+def therapy_status(start: Column | str, end: Column | str) -> Column:
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    return (
+        F.when(s.isNotNull() & e.isNotNull(), F.lit("Completed"))
+        .when(s.isNotNull() & e.isNull(), F.lit("Ongoing"))
+        .otherwise(F.lit("Unknown Start"))
+    )
+
+
+def duration_category(days: Column | str) -> Column:
+    d = F.col(days) if isinstance(days, str) else days
+    return (
+        F.when(d <= 7, F.lit("Short-term (<=1 week)"))
+        .when(d <= 30, F.lit("Medium-term (1-4 weeks)"))
+        .when(d <= 90, F.lit("Long-term (1-3 months)"))
+        .when(d > 90, F.lit("Extended (>3 months)"))
+        .otherwise(F.lit("Unknown Duration"))
+    )

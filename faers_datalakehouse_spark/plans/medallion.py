@@ -23,16 +23,25 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.faers import (
+    DURATION_UNIT_DECODE,
     REPORT_SOURCE_DECODE,
     ROLE_DECODE,
     SEX_DECODE,
     age_in_years,
     country_region,
+    duration_category,
+    indication_severity,
     outcome_description,
     outcome_severity,
     reaction_category,
     reaction_severity,
+    regulatory_priority,
+    reporter_category,
+    reporter_reliability_score,
     route_category,
+    therapeutic_area,
+    therapy_duration_days,
+    therapy_status,
     weight_in_kg,
 )
 from ..functions.transforms import (
@@ -57,6 +66,12 @@ BRONZE_COLUMNS: dict[str, list[str]] = {
     ],
     "reactions": ["primaryid", "caseid", "pt", "drug_rec_act"],
     "outcomes": ["primaryid", "caseid", "outc_cod"],
+    "indications": ["primaryid", "caseid", "indi_drug_seq", "indi_pt"],
+    "reports": ["primaryid", "caseid", "rpsr_cod"],
+    "therapy_dates": [
+        "primaryid", "caseid", "dsg_drug_seq", "start_dt", "end_dt",
+        "dur", "dur_cod",
+    ],
 }
 
 
@@ -135,41 +150,383 @@ def silver_outcomes(spark: SparkSession, processed_ts: str) -> None:
     )
 
 
+def silver_indications(spark: SparkSession, processed_ts: str) -> None:
+    """Therapeutic-area + severity categorization
+    (``src/silver/silver_indications.py:36-117``)."""
+    raw = read_latest_partition(spark, "bronze.indications")
+    out = (
+        raw.withColumn("indication_pt", F.initcap(F.trim("indi_pt")))
+        .withColumn("therapeutic_area", therapeutic_area("indi_pt"))
+        .withColumn("indication_severity", indication_severity("indi_pt"))
+        .withColumn("indi_drug_seq_num", F.col("indi_drug_seq").cast("int"))
+        .withColumnsRenamed({"primaryid": "primary_id", "caseid": "case_id"})
+        .drop("indi_pt", "indi_drug_seq", "_source_file")
+    )
+    _with_audit(out, processed_ts).write.mode("overwrite").saveAsTable(
+        "silver.indications"
+    )
+
+
+def silver_reports(spark: SparkSession, processed_ts: str) -> None:
+    """Reporter source decode + reliability scoring
+    (``src/silver/silver_reports.py:37-74``)."""
+    raw = read_latest_partition(spark, "bronze.reports")
+    out = (
+        raw.withColumn(
+            "reporter_source_desc", decode_ladder("rpsr_cod", REPORT_SOURCE_DECODE)
+        )
+        .withColumn("reporter_category", reporter_category("rpsr_cod"))
+        .withColumn(
+            "reporter_reliability_score", reporter_reliability_score("rpsr_cod")
+        )
+        .withColumn("regulatory_priority", regulatory_priority("rpsr_cod"))
+        .withColumnsRenamed({"primaryid": "primary_id", "caseid": "case_id"})
+        .drop("_source_file")
+    )
+    _with_audit(out, processed_ts).write.mode("overwrite").saveAsTable(
+        "silver.reports"
+    )
+
+
+def silver_therapy_dates(spark: SparkSession, processed_ts: str) -> None:
+    """Date standardization + duration semantics
+    (``src/silver/silver_therapy_dates.py:39-122``; uses the real FAERS
+    duration codes — the reference's fact-layer "DAY" branch never fired)."""
+    raw = read_latest_partition(spark, "bronze.therapy_dates")
+    start = standardize_date("start_dt")
+    end = standardize_date("end_dt")
+    out = (
+        raw.withColumn("therapy_start_date", start)
+        .withColumn("therapy_end_date", end)
+        .withColumn("drug_seq_num", F.col("dsg_drug_seq").cast("int"))
+        .withColumn(
+            "duration_description", decode_ladder("dur_cod", DURATION_UNIT_DECODE)
+        )
+        .withColumn(
+            "therapy_duration_days_observed",
+            F.datediff(F.col("therapy_end_date"), F.col("therapy_start_date")),
+        )
+        .withColumn(
+            "reported_duration_days",
+            F.round(therapy_duration_days("dur", "dur_cod"), 2),
+        )
+        .withColumn(
+            "therapy_status",
+            therapy_status("therapy_start_date", "therapy_end_date"),
+        )
+        .withColumn(
+            "duration_category", duration_category("therapy_duration_days_observed")
+        )
+        .withColumnsRenamed({"primaryid": "primary_id", "caseid": "case_id"})
+        .drop("start_dt", "end_dt", "dsg_drug_seq", "dur", "_source_file")
+    )
+    _with_audit(out, processed_ts).write.mode("overwrite").saveAsTable(
+        "silver.therapy_dates"
+    )
+
+
 DIM_DRUG_KEYS = ["drug_name"]
 DIM_DRUG_TRACKED = ["role_desc", "route_category"]
 
 
-def gold_dim_drug(spark: SparkSession, effective_date: str) -> None:
-    """SCD2-maintained drug dimension off silver.drug_details."""
-    # Deterministic one-row-per-key pick: dropDuplicates(keys) keeps an
-    # arbitrary row when tracked columns differ across duplicates, making
-    # the dimension flap run-to-run; rank by explicit attribute order.
+def _pick_one_per_key(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Deterministic one-row-per-key pick: dropDuplicates(keys) keeps an
+    arbitrary row when tracked columns differ across duplicates, making a
+    dimension flap run-to-run; rank by explicit attribute order instead."""
     from pyspark.sql import Window
 
-    pick = Window.partitionBy("drug_name").orderBy(
-        "drug_seq_num", "role_desc", "route_category"
-    )
-    src = (
-        spark.table("silver.drug_details")
-        .select("drug_name", "role_desc", "route_category", "drug_seq_num")
-        .withColumn("_rn", F.row_number().over(pick))
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "drug_seq_num")
+        .drop("_rn")
     )
-    if not table_exists(spark, "gold.dim_drug"):
-        dim = scd2_initial_load(src, DIM_DRUG_KEYS, DIM_DRUG_TRACKED, effective_date)
+
+
+def _scd2_dim_write(
+    spark: SparkSession,
+    table: str,
+    src: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective_date: str,
+) -> None:
+    """Initial-load or merge ``src`` into SCD2 dimension ``table``.
+
+    One generic engine drives all eight dimensions (the reference repeats
+    ``apply_scd_type2_merge`` per dim, ``src/utils/scd_type2.py:111-226``)."""
+    if not table_exists(spark, table):
+        dim = scd2_initial_load(src, keys, tracked, effective_date)
     else:
-        dim = scd2_merge(
-            spark.table("gold.dim_drug"),
-            src,
-            DIM_DRUG_KEYS,
-            DIM_DRUG_TRACKED,
-            effective_date,
-        )
+        dim = scd2_merge(spark.table(table), src, keys, tracked, effective_date)
     # Self-referencing overwrite needs a materialization break.
     dim.localCheckpoint(eager=True).write.mode("overwrite").option(
         "overwriteSchema", "true"
-    ).saveAsTable("gold.dim_drug")
+    ).saveAsTable(table)
+
+
+def gold_dim_drug(spark: SparkSession, effective_date: str) -> None:
+    """SCD2-maintained drug dimension off silver.drug_details."""
+    src = _pick_one_per_key(
+        spark.table("silver.drug_details").select(
+            "drug_name", "role_desc", "route_category", "drug_seq_num"
+        ),
+        ["drug_name"],
+        ["drug_seq_num", "role_desc", "route_category"],
+    ).drop("drug_seq_num")
+    _scd2_dim_write(
+        spark, "gold.dim_drug", src, DIM_DRUG_KEYS, DIM_DRUG_TRACKED, effective_date
+    )
+
+
+def gold_dim_patient(spark: SparkSession, effective_date: str) -> None:
+    """Patient demographics SCD2 dim (``src/gold/dims/dim_patient.py:39-151``;
+    keys (primary_id, case_id), tracked demographic + derived flags)."""
+    demo = spark.table("silver.demographics").select(
+        "primary_id",
+        "case_id",
+        "age_years",
+        "age_group",
+        "sex_desc",
+        "weight_kg",
+        "reporter_region",
+        (F.col("age_years") < 18).alias("is_pediatric"),
+        (F.col("age_years") >= 65).alias("is_elderly"),
+        F.col("weight_kg").isNotNull().alias("has_weight_data"),
+    )
+    src = _pick_one_per_key(
+        demo, ["primary_id", "case_id"], ["age_years", "sex_desc", "weight_kg"]
+    )
+    _scd2_dim_write(
+        spark,
+        "gold.dim_patient",
+        src,
+        ["primary_id", "case_id"],
+        [
+            "age_years", "age_group", "sex_desc", "weight_kg",
+            "reporter_region", "is_pediatric", "is_elderly", "has_weight_data",
+        ],
+        effective_date,
+    )
+
+
+def gold_dim_reaction(spark: SparkSession, effective_date: str) -> None:
+    """Reaction SCD2 dim (``dim_reaction.py:41-174``; keys
+    (primary_id, case_id, reaction_pt))."""
+    rx = spark.table("silver.reactions").select(
+        "primary_id",
+        "case_id",
+        "reaction_pt",
+        "reaction_category",
+        "reaction_severity",
+        F.col("drug_rec_act").alias("drug_action_code"),
+        F.upper("reaction_pt").contains("DEATH").alias("is_fatal_reaction"),
+    )
+    rx = rx.withColumn(
+        "regulatory_flag",
+        F.when(F.col("is_fatal_reaction"), "Expedited Reporting Required")
+        .when(
+            F.col("reaction_severity").isin("Fatal", "Severe", "Serious"),
+            "Serious Adverse Event",
+        )
+        .otherwise("Routine Monitoring"),
+    )
+    src = _pick_one_per_key(
+        rx,
+        ["primary_id", "case_id", "reaction_pt"],
+        ["reaction_category", "drug_action_code"],
+    )
+    _scd2_dim_write(
+        spark,
+        "gold.dim_reaction",
+        src,
+        ["primary_id", "case_id", "reaction_pt"],
+        [
+            "reaction_category", "reaction_severity", "drug_action_code",
+            "is_fatal_reaction", "regulatory_flag",
+        ],
+        effective_date,
+    )
+
+
+def gold_dim_outcome(spark: SparkSession, effective_date: str) -> None:
+    """Outcome SCD2 dim (``dim_outcome.py:41-223``; keys
+    (primary_id, case_id, outc_cod))."""
+    oc = spark.table("silver.outcomes").select(
+        "primary_id",
+        "case_id",
+        F.col("outc_cod").alias("outcome_code"),
+        "outcome_desc",
+        "outcome_severity",
+        (F.col("outc_cod") == "DE").alias("is_fatal_outcome"),
+        (F.col("outc_cod") == "LT").alias("is_life_threatening"),
+        F.col("outc_cod").isin("DE", "LT", "HO", "DS", "CA").alias(
+            "serious_adverse_event"
+        ),
+    )
+    oc = oc.withColumn(
+        "reporting_requirement",
+        F.when(F.col("is_fatal_outcome"), "Critical - Immediate Report")
+        .when(
+            F.col("is_life_threatening")
+            | F.col("outcome_code").isin("HO", "DS", "CA"),
+            "High - 15 Day Report",
+        )
+        .otherwise("Medium - Standard Report"),
+    ).withColumn(
+        "severity_tier",
+        F.when(F.col("outcome_severity") >= 6, "High")
+        .when(F.col("outcome_severity").between(4, 5), "Medium")
+        .when(F.col("outcome_severity").between(2, 3), "Low")
+        .otherwise("Minimal"),
+    )
+    src = _pick_one_per_key(
+        oc, ["primary_id", "case_id", "outcome_code"], ["outcome_severity"]
+    )
+    _scd2_dim_write(
+        spark,
+        "gold.dim_outcome",
+        src,
+        ["primary_id", "case_id", "outcome_code"],
+        [
+            "outcome_desc", "outcome_severity", "is_fatal_outcome",
+            "is_life_threatening", "serious_adverse_event",
+            "reporting_requirement", "severity_tier",
+        ],
+        effective_date,
+    )
+
+
+def gold_dim_indication(spark: SparkSession, effective_date: str) -> None:
+    """Indication SCD2 dim (``dim_indication.py:41-206``; keys
+    (primary_id, case_id, indication_pt))."""
+    ind = spark.table("silver.indications").select(
+        "primary_id",
+        "case_id",
+        "indication_pt",
+        "therapeutic_area",
+        "indication_severity",
+        (F.col("therapeutic_area") == "Oncology").alias("is_oncology_indication"),
+        (F.col("therapeutic_area") == "Psychiatry").alias("is_psychiatric_condition"),
+    )
+    ind = ind.withColumn(
+        "severity_score",
+        F.when(F.col("indication_severity") == "Severe", 5)
+        .when(F.col("indication_severity") == "Moderate", 3)
+        .when(F.col("indication_severity") == "Mild", 1)
+        .otherwise(0),
+    ).withColumn(
+        "review_pathway",
+        F.when(F.col("is_oncology_indication"), "Oncology - Special Review")
+        .when(F.col("is_psychiatric_condition"), "CNS - Enhanced Monitoring")
+        .when(
+            F.col("therapeutic_area") == "Infectious Diseases",
+            "Anti-Infective - Resistance Monitoring",
+        )
+        .otherwise("Standard Review"),
+    )
+    src = _pick_one_per_key(
+        ind, ["primary_id", "case_id", "indication_pt"], ["therapeutic_area"]
+    )
+    _scd2_dim_write(
+        spark,
+        "gold.dim_indication",
+        src,
+        ["primary_id", "case_id", "indication_pt"],
+        [
+            "therapeutic_area", "indication_severity", "is_oncology_indication",
+            "is_psychiatric_condition", "severity_score", "review_pathway",
+        ],
+        effective_date,
+    )
+
+
+def gold_dim_therapy(spark: SparkSession, effective_date: str) -> None:
+    """Therapy SCD2 dim (``dim_therapy.py:41-212``; keys
+    (primary_id, case_id, drug_seq_num))."""
+    th = spark.table("silver.therapy_dates").select(
+        "primary_id",
+        "case_id",
+        "drug_seq_num",
+        "therapy_start_date",
+        "therapy_end_date",
+        "therapy_duration_days_observed",
+        "reported_duration_days",
+        "therapy_status",
+        "duration_category",
+    )
+    th = th.withColumn(
+        "data_completeness",
+        F.when(
+            F.col("therapy_start_date").isNotNull()
+            & F.col("therapy_end_date").isNotNull()
+            & F.col("reported_duration_days").isNotNull(),
+            "High",
+        )
+        .when(
+            F.col("therapy_start_date").isNotNull()
+            | F.col("reported_duration_days").isNotNull(),
+            "Medium",
+        )
+        .otherwise("Low"),
+    )
+    src = _pick_one_per_key(
+        th,
+        ["primary_id", "case_id", "drug_seq_num"],
+        ["therapy_start_date", "therapy_end_date"],
+    )
+    _scd2_dim_write(
+        spark,
+        "gold.dim_therapy",
+        src,
+        ["primary_id", "case_id", "drug_seq_num"],
+        [
+            "therapy_start_date", "therapy_end_date",
+            "therapy_duration_days_observed", "reported_duration_days",
+            "therapy_status", "duration_category", "data_completeness",
+        ],
+        effective_date,
+    )
+
+
+def gold_dim_report(spark: SparkSession, effective_date: str) -> None:
+    """Report-source SCD2 dim (``dim_report.py:41-137``; keys
+    (primary_id, case_id))."""
+    rp = spark.table("silver.reports").select(
+        "primary_id",
+        "case_id",
+        F.col("rpsr_cod").alias("reporter_source_code"),
+        "reporter_source_desc",
+        "reporter_category",
+        "reporter_reliability_score",
+        "regulatory_priority",
+    )
+    rp = rp.withColumn(
+        "report_quality_tier",
+        F.when(
+            F.col("reporter_reliability_score") >= 4, "Tier 1 - High Reliability"
+        )
+        .when(
+            F.col("reporter_reliability_score") == 3,
+            "Tier 2 - Moderate Reliability",
+        )
+        .otherwise("Tier 3 - Low Reliability"),
+    )
+    src = _pick_one_per_key(
+        rp, ["primary_id", "case_id"], ["reporter_reliability_score"]
+    )
+    _scd2_dim_write(
+        spark,
+        "gold.dim_report",
+        src,
+        ["primary_id", "case_id"],
+        [
+            "reporter_source_code", "reporter_source_desc", "reporter_category",
+            "reporter_reliability_score", "regulatory_priority",
+            "report_quality_tier",
+        ],
+        effective_date,
+    )
 
 
 def gold_dim_date(spark: SparkSession) -> None:
@@ -177,11 +534,46 @@ def gold_dim_date(spark: SparkSession) -> None:
 
 
 def gold_fact_adverse_events(spark: SparkSession) -> None:
-    """Fact at drug×reaction grain per report, with worst-outcome rollup."""
+    """Fact at drug×reaction grain per report, with worst-outcome rollup.
+
+    7-table parity (``src/gold/facts/fact_adverse_events.py:68-187``):
+    reactions ⋈ drugs ⋈ demographics fix the grain; indications and therapy
+    attach per (report, drug_seq); reports and the worst-outcome rollup
+    attach per report. Unlike the reference — whose outcome/report left
+    joins silently multiply the grain when a report has several outcome
+    rows — every one-side here is pre-aggregated or deterministically
+    deduplicated, so the fact stays exactly drug×reaction (§2.10 fix)."""
     demo = spark.table("silver.demographics")
     drugs = spark.table("silver.drug_details")
     reactions = spark.table("silver.reactions")
     outcomes = spark.table("silver.outcomes")
+    indications = _pick_one_per_key(
+        spark.table("silver.indications").withColumnRenamed(
+            "indi_drug_seq_num", "drug_seq_num"
+        ),
+        ["primary_id", "case_id", "drug_seq_num"],
+        ["indication_pt"],
+    ).select(
+        "primary_id", "case_id", "drug_seq_num", "indication_pt",
+        "therapeutic_area",
+    )
+    therapy = _pick_one_per_key(
+        spark.table("silver.therapy_dates"),
+        ["primary_id", "case_id", "drug_seq_num"],
+        ["therapy_start_date", "therapy_end_date"],
+    ).select(
+        "primary_id", "case_id", "drug_seq_num",
+        "therapy_duration_days_observed", "reported_duration_days",
+        "therapy_status",
+    )
+    reports = _pick_one_per_key(
+        spark.table("silver.reports"),
+        ["primary_id", "case_id"],
+        ["reporter_reliability_score"],
+    ).select(
+        "primary_id", "case_id", "reporter_source_desc",
+        "reporter_reliability_score", "regulatory_priority",
+    )
     dim_date = spark.table("gold.dim_date").select(
         F.col("date_key").alias("event_date_key"), F.col("date_value")
     )
@@ -191,7 +583,13 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
     fact = (
         reactions.join(drugs, ["primary_id", "case_id"], "inner")
         .join(demo, ["primary_id", "case_id"], "inner")
-        .join(F.broadcast(worst), ["primary_id", "case_id"], "left")
+        # Per-report sides (indications/therapy/worst/reports) scale WITH the
+        # fact — no forced broadcast; AQE picks broadcast at small volumes
+        # and they all co-partition on (primary_id, case_id) at scale.
+        .join(indications, ["primary_id", "case_id", "drug_seq_num"], "left")
+        .join(therapy, ["primary_id", "case_id", "drug_seq_num"], "left")
+        .join(worst, ["primary_id", "case_id"], "left")
+        .join(reports, ["primary_id", "case_id"], "left")
         .join(
             F.broadcast(dim_date),
             F.col("event_date") == F.col("date_value"),
@@ -214,6 +612,28 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
             "sex_desc",
             "weight_kg",
             "reporter_region",
+            F.coalesce(F.col("indication_pt"), F.lit("Unknown")).alias(
+                "indication_pt"
+            ),
+            F.coalesce(F.col("therapeutic_area"), F.lit("Unknown")).alias(
+                "therapeutic_area"
+            ),
+            F.coalesce(
+                F.col("therapy_duration_days_observed").cast("double"),
+                F.col("reported_duration_days"),
+            ).alias("therapy_duration_days"),
+            F.coalesce(F.col("therapy_status"), F.lit("Unknown")).alias(
+                "therapy_status"
+            ),
+            F.coalesce(F.col("reporter_source_desc"), F.lit("Unspecified")).alias(
+                "reporter_source_desc"
+            ),
+            F.coalesce(F.col("reporter_reliability_score"), F.lit(1)).alias(
+                "reporter_reliability_score"
+            ),
+            F.coalesce(F.col("regulatory_priority"), F.lit("Standard")).alias(
+                "regulatory_priority"
+            ),
             F.coalesce(F.col("worst_outcome_severity"), F.lit(0)).alias(
                 "worst_outcome_severity"
             ),
@@ -227,20 +647,44 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
     ).saveAsTable("gold.fact_adverse_events")
 
 
+SILVER_JOBS = {
+    "demographics": silver_demographics,
+    "drug_details": silver_drug_details,
+    "reactions": silver_reactions,
+    "outcomes": silver_outcomes,
+    "indications": silver_indications,
+    "reports": silver_reports,
+    "therapy_dates": silver_therapy_dates,
+}
+
+SCD2_DIM_JOBS = (
+    gold_dim_drug,
+    gold_dim_patient,
+    gold_dim_reaction,
+    gold_dim_outcome,
+    gold_dim_indication,
+    gold_dim_therapy,
+    gold_dim_report,
+)
+
+
 def run_pipeline(
     spark: SparkSession,
     sources: dict[str, str],
     ingest_ts: str,
     effective_date: str,
 ) -> None:
-    """One full incremental run: bronze append → silver rebuild → gold merge."""
+    """One full incremental run: bronze append → silver rebuild → gold merge.
+
+    All seven source tables are required (``BRONZE_COLUMNS`` keys); the
+    reference runs each stage as a separate Databricks job, here it is one
+    deterministic DAG under an injected clock."""
     ensure_schemas(spark)
     for name, path in sources.items():
         bronze_ingest(spark, name, path, ingest_ts)
-    silver_demographics(spark, ingest_ts)
-    silver_drug_details(spark, ingest_ts)
-    silver_reactions(spark, ingest_ts)
-    silver_outcomes(spark, ingest_ts)
+    for name in sources:
+        SILVER_JOBS[name](spark, ingest_ts)
     gold_dim_date(spark)
-    gold_dim_drug(spark, effective_date)
+    for dim_job in SCD2_DIM_JOBS:
+        dim_job(spark, effective_date)
     gold_fact_adverse_events(spark)

@@ -36,6 +36,22 @@ Q1 = {
         "101$1001$OT\n"
         "103$1003$DE\n"
     ),
+    "indications": (
+        "primaryid$caseid$indi_drug_seq$indi_pt\n"
+        "101$1001$1$RHEUMATOID ARTHRITIS\n"
+        "101$1001$2$MILD HEADACHE\n"
+        "102$1002$1$ACUTE PAIN\n"
+    ),
+    "reports": (
+        "primaryid$caseid$rpsr_cod\n"
+        "101$1001$HP\n"
+        "102$1002$CSM\n"
+    ),
+    "therapy_dates": (
+        "primaryid$caseid$dsg_drug_seq$start_dt$end_dt$dur$dur_cod\n"
+        "101$1001$1$20240101$20240110$$\n"
+        "102$1002$1$20240201$$2$WK\n"
+    ),
 }
 
 # Q2: aspirin's route changes (SCD2 change), a new drug arrives.
@@ -53,6 +69,15 @@ Q2 = {
         "primaryid$caseid$pt$drug_rec_act\n201$2001$LIVER INJURY$1\n"
     ),
     "outcomes": ("primaryid$caseid$outc_cod\n201$2001$LT\n"),
+    "indications": (
+        "primaryid$caseid$indi_drug_seq$indi_pt\n"
+        "201$2001$1$DIABETES MELLITUS\n"
+    ),
+    "reports": ("primaryid$caseid$rpsr_cod\n201$2001$LW\n"),
+    "therapy_dates": (
+        "primaryid$caseid$dsg_drug_seq$start_dt$end_dt$dur$dur_cod\n"
+        "201$2001$1$20240401$$$\n"
+    ),
 }
 
 
@@ -112,6 +137,36 @@ def test_silver_transform_semantics_on_q1(spark, tmp_path_factory):
     assert rows["103"]["age_years"] is None  # empty age
 
 
+def test_silver_new_tables(warehouse):
+    spark = warehouse
+    # latest partition only → just the q2 batch in each
+    ind = spark.table("silver.indications").collect()
+    assert len(ind) == 1
+    assert ind[0]["therapeutic_area"] == "Endocrinology"
+    assert ind[0]["indication_pt"] == "Diabetes Mellitus"
+    rep = spark.table("silver.reports").collect()
+    assert len(rep) == 1
+    assert rep[0]["reporter_reliability_score"] == 4  # LW
+    assert rep[0]["regulatory_priority"] == "Medium"
+    th = spark.table("silver.therapy_dates").collect()
+    assert len(th) == 1
+    assert th[0]["therapy_status"] == "Ongoing"
+    assert th[0]["therapy_start_date"].isoformat() == "2024-04-01"
+
+
+def test_all_scd2_dims_materialize(warehouse):
+    spark = warehouse
+    for dim in (
+        "dim_drug", "dim_patient", "dim_reaction", "dim_outcome",
+        "dim_indication", "dim_therapy", "dim_report",
+    ):
+        df = spark.table(f"gold.{dim}")
+        assert df.filter(F.col("is_current")).count() >= 1, dim
+        # SCD2 metadata columns present on every dimension
+        for c in ("dim_key", "effective_date", "end_date", "is_current"):
+            assert c in df.columns, f"{dim}.{c}"
+
+
 def test_scd2_dim_drug_evolution(warehouse):
     spark = warehouse
     dim = spark.table("gold.dim_drug")
@@ -131,7 +186,10 @@ def test_fact_grain_and_rollup(spark, tmp_path_factory):
 
     for t in [
         "bronze.demographics", "bronze.drug_details", "bronze.reactions",
-        "bronze.outcomes", "gold.dim_drug",
+        "bronze.outcomes", "bronze.indications", "bronze.reports",
+        "bronze.therapy_dates", "gold.dim_drug", "gold.dim_patient",
+        "gold.dim_reaction", "gold.dim_outcome", "gold.dim_indication",
+        "gold.dim_therapy", "gold.dim_report",
     ]:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     d = tmp_path_factory.mktemp("q1fact")
@@ -158,3 +216,23 @@ def test_fact_grain_and_rollup(spark, tmp_path_factory):
     assert r101.filter(F.col("event_date_key") == 20240115).count() == 4
     cats = {r["reaction_category"] for r in fact.collect()}
     assert {"Cardiac", "Gastrointestinal", "Dermatological", "Fatal"} <= cats
+    # 7-table breadth: indication/therapy attach per (report, drug_seq),
+    # reports per report, absent sides coalesce to defaults
+    d1 = r101.filter(F.col("drug_seq_num") == 1).collect()[0]
+    assert d1["indication_pt"] == "Rheumatoid Arthritis"
+    assert d1["therapeutic_area"] == "Rheumatology"
+    assert d1["therapy_duration_days"] == 9.0  # observed dates win
+    assert d1["therapy_status"] == "Completed"
+    assert d1["reporter_source_desc"] == "Health Professional"
+    assert d1["reporter_reliability_score"] == 5
+    d2 = r101.filter(F.col("drug_seq_num") == 2).collect()[0]
+    assert d2["indication_pt"] == "Mild Headache"
+    assert d2["therapeutic_area"] == "Other"
+    assert d2["therapy_status"] == "Unknown"  # no therapy row for drug 2
+    r102 = fact.filter(F.col("primary_id") == "102").collect()[0]
+    assert r102["therapy_status"] == "Ongoing"
+    assert r102["therapy_duration_days"] == 14.0  # reported 2 WK
+    r103 = fact.filter(F.col("primary_id") == "103").collect()[0]
+    assert r103["indication_pt"] == "Unknown"
+    assert r103["reporter_source_desc"] == "Unspecified"
+    assert r103["reporter_reliability_score"] == 1
