@@ -158,9 +158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # DEFAULT near-dup path: LSH bucket blocking + exact in-bucket cosine
         # (linear; cosine_neardup above is the quadratic verify kernel).
+        # 8 planes (not the operator's 10-plane default): the synthetic
+        # corpus's strongest pairs sit near cosine 0.45, where 10-bit
+        # signatures collide too rarely to exercise nonzero output at sf0.01.
         "lsh_neardup": lambda spark, sf_dir: lsh_bucketed_neardup(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
+            n_planes=8,
         ),
     }
 
@@ -216,7 +220,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Oracle-checked even though it's the approximate path: the integer
         # hyperplane buckets are bit-identical across engines.
-        "lsh_neardup": lsh_neardup_oracle_sql(NEARDUP_COS_THRESHOLD),
+        "lsh_neardup": lsh_neardup_oracle_sql(NEARDUP_COS_THRESHOLD, n_planes=8),
     }
 
 

@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes to completion with a count-style action (write-less but
 full-plan: aggregates collect, wide facts are counted) after a warm-up of the
-session itself; per-query wall time is reported.
+session itself. Per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_RUNS
+(default 3) runs — a single run is dominated by JIT/occupancy noise; medians
+make round-over-round comparison meaningful. The reported total is the sum of
+medians; per-query spread (max-min) is included for variance visibility.
 """
 
 from __future__ import annotations
@@ -13,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -25,6 +29,7 @@ from faers_datalakehouse_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # Headline set: the operator families that dominate 100 TB workloads.
 # Collect small results; count wide ones (avoids driver-side transfer noise).
@@ -41,7 +46,19 @@ BENCH_QUERIES = {
     "q10_text_quality": ("count", "text_quality"),
     "q11_shipping_priority": ("collect", "shipping_priority"),
     "q12_asof_join": ("count", "asof_join"),
+    "q13_lsh_neardup": ("count", "lsh_neardup"),
 }
+
+
+def _run_once(spark, queries, key: str, action: str) -> float:
+    fn = queries[key]
+    t0 = time.time()
+    df = fn(spark, SF_DIR)
+    if action == "collect":
+        df.collect()
+    else:
+        df.count()
+    return time.time() - t0
 
 
 def main() -> None:
@@ -61,18 +78,14 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for label, (action, key) in BENCH_QUERIES.items():
-        fn = queries[key]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        if action == "collect":
-            df.collect()
-        else:
-            df.count()
-        dt = time.time() - t0
-        timings[label] = round(dt, 3)
-        total += dt
+        runs = [_run_once(spark, queries, key, action) for _ in range(N_RUNS)]
+        med = statistics.median(runs)
+        timings[label] = round(med, 3)
+        spread[label] = round(max(runs) - min(runs), 3)
+        total += med
 
     m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
     sf = float(m.group(1)) if m else 0.0
@@ -83,6 +96,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": N_RUNS,
                 "sf": sf,
             }
         )

@@ -414,9 +414,10 @@ def lsh_bucketed_neardup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int = 10,
     n_bands: int = 2,
     dim: int = 64,
+    materialize: bool = False,
 ) -> DataFrame:
     """DEFAULT embedding near-dup: LSH bucket blocking + exact in-bucket cosine.
 
@@ -457,6 +458,14 @@ def lsh_bucketed_neardup(
             )
         ).alias("bb"),
     ).select("id", "q_emb", "q_norm2", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if materialize:
+        # Optionally persist the signature frame so both self-join sides
+        # reuse it. Unlike MinHash (where the shingle subtree would inline
+        # into 64 signature expressions — multiplicative blowup), the
+        # recompute here is exactly 2× a cheap linear pass; at corpus scale
+        # recomputing usually beats materializing the embedding payload, so
+        # the default is off.
+        banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     dot = _dot(F.col("a.q_emb"), F.col("b.q_emb"))
     cosine = F.round(
@@ -487,7 +496,7 @@ def lsh_bucketed_neardup(
 
 def lsh_neardup_oracle_sql(
     threshold: float,
-    n_planes: int = 8,
+    n_planes: int = 10,
     n_bands: int = 2,
     dim: int = 64,
     quant: int = QUANT,
