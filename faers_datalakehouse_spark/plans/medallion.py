@@ -640,6 +640,22 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
             (F.coalesce(F.col("worst_outcome_severity"), F.lit(0)) >= 5).alias(
                 "is_serious"
             ),
+            # Data-quality tier off the optional-side joins
+            # (fact_adverse_events.py:268-281 parity).
+            F.when(
+                F.col("indication_pt").isNotNull()
+                & F.col("therapy_status").isNotNull()
+                & F.col("reporter_source_desc").isNotNull(),
+                "Complete",
+            )
+            .when(
+                F.col("indication_pt").isNotNull()
+                | F.col("therapy_status").isNotNull()
+                | F.col("reporter_source_desc").isNotNull(),
+                "Partial",
+            )
+            .otherwise("Minimal")
+            .alias("data_quality_tier"),
         )
     )
     fact.write.mode("overwrite").partitionBy("reporter_region").option(

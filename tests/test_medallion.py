@@ -167,6 +167,34 @@ def test_all_scd2_dims_materialize(warehouse):
             assert c in df.columns, f"{dim}.{c}"
 
 
+def test_analytics_report_suite(warehouse):
+    """The reference's 9-report analytics job over the gold fact
+    (fact_analytics.py parity) — run on the q2 (latest) pipeline state."""
+    from faers_datalakehouse_spark.plans import faers_analytics as FA
+
+    spark = warehouse
+    FA.generate_all(spark)
+    # q2 state: one report (201/2001), one drug row ASPIRIN + METFORMIN
+    top = {r["drug_name"]: r for r in spark.table("gold.analytics_top_drugs").collect()}
+    assert set(top) == {"ASPIRIN", "METFORMIN"}
+    assert top["ASPIRIN"]["total_events"] == 1
+    assert top["ASPIRIN"]["serious_count"] == 1  # LT → severity 6 → serious
+    summary = spark.table("gold.analytics_summary").collect()[0]
+    assert summary["total_cases"] == 1
+    assert summary["total_drugs"] == 2
+    assert summary["elderly_events"] == 0  # age 60 is Adult, not >=65
+    assert summary["total_events"] == 2  # 1 reaction x 2 drugs
+    quality = {
+        r["data_quality_tier"]: r
+        for r in spark.table("gold.analytics_data_quality").collect()
+    }
+    assert sum(r["percentage"] for r in quality.values()) == 100.0
+    cx = spark.table("gold.analytics_case_complexity").collect()
+    assert cx[0]["case_complexity"] == "Moderate"  # 2 drugs in case 2001
+    years = spark.table("gold.analytics_yearly_trends").collect()
+    assert [r["event_year"] for r in years] == [2024]
+
+
 def test_scd2_dim_drug_evolution(warehouse):
     spark = warehouse
     dim = spark.table("gold.dim_drug")
