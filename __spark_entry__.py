@@ -145,6 +145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda df: minhash_lsh_pairs(df, threshold=JACCARD_THRESHOLD)
         ),
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        # End-to-end curation composition: dedup → lang+quality → filter →
+        # per-language corpus stats (the real training-data pipeline shape).
+        "corpus_curation": partial(
+            S.corpus_curation_query, min_score=0.5, min_tokens=10
+        ),
         "token_count": S.token_count_query,
         "text_quality": S.text_quality_query,
         "lang_id": S.lang_id_query,
@@ -205,6 +210,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # minhash_lsh / simhash_neardup / ann_lsh_topk: probabilistic or
         # Python-kernel paths → rows-only check (no oracle entry).
+        "corpus_curation": S.corpus_curation_oracle_sql(
+            min_score=0.5, min_tokens=10
+        ),
         "token_count": S.TOKEN_COUNT_SQL,
         "text_quality": S.TEXT_QUALITY_SQL,
         "lang_id": S.LANG_ID_SQL,

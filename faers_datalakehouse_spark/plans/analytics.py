@@ -235,14 +235,13 @@ def global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.to_date("o_orderdate")).alias("first_order_date"),
         F.max(F.to_date("o_orderdate")).alias("last_order_date"),
         F.sum(cents("o_totalprice")).alias("value_c"),
-        F.count(F.lit(1)).alias("cnt2"),
     ).select(
         "n_orders",
         "n_customers",
         "first_order_date",
         "last_order_date",
         (F.col("value_c").cast("double") / 100.0).alias("total_order_value"),
-        (F.col("value_c").cast("double") / 100.0 / F.col("cnt2")).alias(
+        (F.col("value_c").cast("double") / 100.0 / F.col("n_orders")).alias(
             "avg_order_value"
         ),
     )

@@ -421,3 +421,120 @@ def _be16(col: F.Column) -> F.Column:
 def _be32(col: F.Column) -> F.Column:
     hex8 = F.lpad(F.hex(col), 8, "0")
     return F.to_binary(hex8, F.lit("hex"))
+
+
+# --------------------------------------------------------------------------
+# Corpus curation: the end-to-end training-data pipeline composition
+# --------------------------------------------------------------------------
+
+
+def corpus_curation_query(
+    spark: SparkSession,
+    sf_dir: str,
+    min_score: float = 0.5,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """One pass of LLM training-data curation over ``documents``:
+    exact-dedup survivors → language ID + quality scoring → threshold filter
+    → per-language corpus statistics.
+
+    This is the composition a real curation run executes; each stage is the
+    already-oracle-checked operator (``dedup_exact``, ``language_id``,
+    ``quality_score_cols``). Plan shape: one groupBy for dedup, an equi-join
+    of survivors back to the corpus (no row explosion), one projection for
+    scores, one final low-cardinality groupBy. Deterministic aggregation:
+    the 4-decimal per-row score becomes an exact scaled integer before the
+    cross-row sum, so the group average is engine-identical.
+    """
+    from ..operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    survivors = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    q = quality_score_cols(F.col("text"))
+    enriched = docs.join(survivors, "doc_id").select(
+        "doc_id",
+        language_id(F.col("text")).alias("pred_lang"),
+        q["q_tokens"].alias("q_tokens"),
+        q["q_score"].alias("q_score"),
+    )
+    kept = enriched.filter(
+        (F.col("q_score") >= min_score) & (F.col("q_tokens") >= min_tokens)
+    )
+    score_e4 = F.round(F.col("q_score") * 10000).cast("long")
+    return (
+        kept.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("q_tokens").cast("long")).alias("total_tokens"),
+            F.sum(score_e4).alias("score_e4"),
+        )
+        .select(
+            "pred_lang",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("score_e4").cast("double") / 10000.0 / F.col("n_docs"), 4
+            ).alias("avg_quality"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+def corpus_curation_oracle_sql(min_score: float, min_tokens: int) -> str:
+    """DuckDB twin composing the dedup + quality + lang oracle pieces."""
+    _m = dict(LANG_MARKERS)
+    return f"""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+),
+sig AS (
+  SELECT d.doc_id, d.text,
+         CAST(length(d.text) AS DOUBLE) AS n_chars,
+         CAST(CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS DOUBLE)
+           AS toks,
+         CAST(length(regexp_replace(d.text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           AS alpha,
+         CAST(len(regexp_extract_all(lower(d.text),
+              '\\b(the|and|of|to|in|is|that|it|for|was)\\b')) AS DOUBLE)
+           AS stop_hits
+  FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(lower(text), '{_m["de"]}'))
+                   >= greatest(len(regexp_extract_all(lower(text), '{_m["en"]}')),
+                               len(regexp_extract_all(lower(text), '{_m["es"]}')),
+                               len(regexp_extract_all(lower(text), '{_m["fr"]}')))
+              THEN 'de'
+              WHEN len(regexp_extract_all(lower(text), '{_m["en"]}'))
+                   >= greatest(len(regexp_extract_all(lower(text), '{_m["es"]}')),
+                               len(regexp_extract_all(lower(text), '{_m["fr"]}')))
+              THEN 'en'
+              WHEN len(regexp_extract_all(lower(text), '{_m["es"]}'))
+                   >= len(regexp_extract_all(lower(text), '{_m["fr"]}'))
+              THEN 'es'
+              ELSE 'fr' END AS pred_lang,
+         CAST(toks AS BIGINT) AS q_tokens,
+         round(0.25 * least(n_chars / 500.0, 1.0)
+               + 0.25 * least((stop_hits / CASE WHEN toks > 0 THEN toks ELSE 1.0 END) * 2.5, 1.0)
+               + 0.25 * (alpha / CASE WHEN n_chars > 0 THEN n_chars ELSE 1.0 END)
+               + 0.25 * (1.0 - least((punct / CASE WHEN n_chars > 0 THEN n_chars ELSE 1.0 END) * 4.0, 1.0)),
+               4) AS q_score
+  FROM sig
+)
+SELECT pred_lang,
+       count(*) AS n_docs,
+       CAST(sum(q_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(round(q_score * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 / count(*), 4) AS avg_quality
+FROM scored
+WHERE q_score >= {min_score} AND q_tokens >= {min_tokens}
+GROUP BY pred_lang
+ORDER BY pred_lang
+"""
