@@ -57,8 +57,8 @@ from .date_dim import build_date_dim
 
 BRONZE_COLUMNS: dict[str, list[str]] = {
     "demographics": [
-        "primaryid", "caseid", "event_dt", "age", "age_cod", "sex",
-        "wt", "wt_cod", "occp_cod", "reporter_country",
+        "primaryid", "caseid", "event_dt", "rept_dt", "fda_dt", "age",
+        "age_cod", "sex", "wt", "wt_cod", "occp_cod", "reporter_country",
     ],
     "drug_details": [
         "primaryid", "caseid", "drug_seq", "role_cod", "drugname", "route",
@@ -95,13 +95,18 @@ def silver_demographics(spark: SparkSession, processed_ts: str) -> None:
     raw = read_latest_partition(spark, "bronze.demographics")
     out = (
         raw.withColumn("event_date", standardize_date("event_dt"))
+        .withColumn("report_date", standardize_date("rept_dt"))
+        .withColumn("fda_date", standardize_date("fda_dt"))
         .withColumn("age_years", F.round(age_in_years("age", "age_cod"), 2))
         .withColumn("age_group", age_group(F.round(age_in_years("age", "age_cod"))))
         .withColumn("weight_kg", F.round(weight_in_kg("wt", "wt_cod"), 2))
         .withColumn("sex_desc", decode_ladder("sex", SEX_DECODE))
         .withColumn("reporter_region", country_region("reporter_country"))
         .withColumnsRenamed({"primaryid": "primary_id", "caseid": "case_id"})
-        .drop("event_dt", "age", "age_cod", "wt", "wt_cod", "_source_file")
+        .drop(
+            "event_dt", "rept_dt", "fda_dt", "age", "age_cod", "wt", "wt_cod",
+            "_source_file",
+        )
     )
     _with_audit(out, processed_ts).write.mode("overwrite").saveAsTable(
         "silver.demographics"
@@ -574,8 +579,23 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
         "primary_id", "case_id", "reporter_source_desc",
         "reporter_reliability_score", "regulatory_priority",
     )
-    dim_date = spark.table("gold.dim_date").select(
-        F.col("date_key").alias("event_date_key"), F.col("date_value")
+    # J7 ×3 parity (fact_adverse_events.py:150-187): the date dimension joins
+    # three times — event, report, and FDA-received dates — each a broadcast
+    # equi-join on a different aliased projection of the same bounded dim.
+    dd = spark.table("gold.dim_date")
+    event_dd = dd.select(
+        F.col("date_key").alias("event_date_key"),
+        F.col("date_value").alias("_event_dv"),
+    )
+    report_dd = dd.select(
+        F.col("date_key").alias("report_date_key"),
+        F.col("date_value").alias("_report_dv"),
+        F.col("year_quarter").alias("report_year_quarter"),
+    )
+    fda_dd = dd.select(
+        F.col("date_key").alias("fda_date_key"),
+        F.col("date_value").alias("_fda_dv"),
+        F.col("reporting_period").alias("fda_reporting_period"),
     )
     worst = outcomes.groupBy("primary_id", "case_id").agg(
         F.max("outcome_severity").alias("worst_outcome_severity")
@@ -591,8 +611,18 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
         .join(worst, ["primary_id", "case_id"], "left")
         .join(reports, ["primary_id", "case_id"], "left")
         .join(
-            F.broadcast(dim_date),
-            F.col("event_date") == F.col("date_value"),
+            F.broadcast(event_dd),
+            F.col("event_date") == F.col("_event_dv"),
+            "left",
+        )
+        .join(
+            F.broadcast(report_dd),
+            F.col("report_date") == F.col("_report_dv"),
+            "left",
+        )
+        .join(
+            F.broadcast(fda_dd),
+            F.col("fda_date") == F.col("_fda_dv"),
             "left",
         )
         .select(
@@ -607,6 +637,12 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
             "reaction_severity",
             "event_date",
             "event_date_key",
+            "report_date",
+            "report_date_key",
+            "report_year_quarter",
+            "fda_date",
+            "fda_date_key",
+            "fda_reporting_period",
             "age_years",
             "age_group",
             "sex_desc",

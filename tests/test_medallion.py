@@ -11,10 +11,10 @@ from faers_datalakehouse_spark.plans.medallion import run_pipeline
 
 Q1 = {
     "demographics": (
-        "primaryid$caseid$event_dt$age$age_cod$sex$wt$wt_cod$occp_cod$reporter_country\n"
-        "101$1001$20240115$45$YR$F$70$KG$MD$US\n"
-        "102$1002$202402$24$MON$M$154$LBS$CN$GB\n"
-        "103$1003$invalid$$YR$F$$KG$OT$JP\n"
+        "primaryid$caseid$event_dt$rept_dt$fda_dt$age$age_cod$sex$wt$wt_cod$occp_cod$reporter_country\n"
+        "101$1001$20240115$20240120$20240125$45$YR$F$70$KG$MD$US\n"
+        "102$1002$202402$$20240301$24$MON$M$154$LBS$CN$GB\n"
+        "103$1003$invalid$$$$YR$F$$KG$OT$JP\n"
     ),
     "drug_details": (
         "primaryid$caseid$drug_seq$role_cod$drugname$route$dose_vbm\n"
@@ -57,8 +57,8 @@ Q1 = {
 # Q2: aspirin's route changes (SCD2 change), a new drug arrives.
 Q2 = {
     "demographics": (
-        "primaryid$caseid$event_dt$age$age_cod$sex$wt$wt_cod$occp_cod$reporter_country\n"
-        "201$2001$20240501$60$YR$M$80$KG$MD$BR\n"
+        "primaryid$caseid$event_dt$rept_dt$fda_dt$age$age_cod$sex$wt$wt_cod$occp_cod$reporter_country\n"
+        "201$2001$20240501$20240510$20240515$60$YR$M$80$KG$MD$BR\n"
     ),
     "drug_details": (
         "primaryid$caseid$drug_seq$role_cod$drugname$route$dose_vbm\n"
@@ -240,8 +240,16 @@ def test_fact_grain_and_rollup(spark, tmp_path_factory):
     # 102 has no outcome row → severity 0, not serious
     r102 = fact.filter(F.col("primary_id") == "102").collect()
     assert r102[0]["worst_outcome_severity"] == 0 and not r102[0]["is_serious"]
-    # date-dim join produced a key for valid dates
+    # triple date-dim join (J7 x3): event/report/fda keys for valid dates
     assert r101.filter(F.col("event_date_key") == 20240115).count() == 4
+    assert r101.filter(F.col("report_date_key") == 20240120).count() == 4
+    assert r101.filter(F.col("fda_date_key") == 20240125).count() == 4
+    assert r101.collect()[0]["report_year_quarter"] == "2024-Q1"
+    assert r101.collect()[0]["fda_reporting_period"] == "2021+"
+    # 102: empty rept_dt -> NULL report key, valid fda key
+    r102all = fact.filter(F.col("primary_id") == "102").collect()[0]
+    assert r102all["report_date_key"] is None
+    assert r102all["fda_date_key"] == 20240301
     cats = {r["reaction_category"] for r in fact.collect()}
     assert {"Cardiac", "Gastrointestinal", "Dermatological", "Fatal"} <= cats
     # 7-table breadth: indication/therapy attach per (report, drug_seq),
