@@ -167,3 +167,23 @@ def run_to_completion(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the curation dedup's streaming twin.
+
+    ``dropDuplicatesWithinWatermark`` keeps first-seen rows per key and lets
+    Spark expire per-key state once the event-time watermark passes, so
+    state is bounded by (arrival skew × key rate) instead of growing with
+    the whole stream — the only viable layout for an unbounded 100 TB/day
+    feed. Exactly-once within the watermark horizon; duplicates arriving
+    later than the watermark are NOT caught (that is the documented
+    contract — batch `dedup_exact` is the full-history reconciliation).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

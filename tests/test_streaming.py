@@ -97,3 +97,22 @@ def test_stateful_user_totals(spark, events_dir):
         .collect()
     }
     assert rows == batch
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    """Duplicated source files → dropDuplicatesWithinWatermark keeps one row
+    per event_id, matching the batch distinct count."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from faers_datalakehouse_spark.streaming.events import streaming_dedup
+
+    d = _tf.mkdtemp(prefix="dup_stream_")
+    _sh.copy(f"{events_dir}/part-0.parquet", f"{d}/a.parquet")
+    _sh.copy(f"{events_dir}/part-0.parquet", f"{d}/b.parquet")  # exact dupes
+    stream = stream_events_from_dir(spark, d)
+    out = run_to_completion(
+        streaming_dedup(stream, keys=("event_id",)), "dedup_stream", "append"
+    )
+    batch = spark.read.parquet(f"{d}/a.parquet")
+    assert out.count() == batch.select("event_id").distinct().count()
