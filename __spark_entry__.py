@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_standardize": S.date_standardize_demo,
         "numeric_standardize": S.numeric_standardize_demo,
         "asof_join": S.asof_join_query,
+        "range_join": S.range_join_query,
+        "salted_join": S.salted_join_query,
         "multimodal_decode": S.multimodal_decode_query,
         # -- LLM-data-pipeline extensions --
         "dedup_exact": _docs(dedup_exact),
@@ -204,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
         "date_standardize": S.DATE_STANDARDIZE_SQL,
         "numeric_standardize": S.NUMERIC_STANDARDIZE_SQL,
         "asof_join": S.ASOF_JOIN_SQL,
+        "range_join": S.RANGE_JOIN_SQL,
+        "salted_join": S.SALTED_JOIN_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL_TEMPLATE.format(
             k=JACCARD_K, threshold=JACCARD_THRESHOLD, band=JACCARD_BAND

@@ -1,0 +1,61 @@
+"""Bucketed range (interval) join — point-in-interval matching without a
+cross product.
+
+Open-source Spark plans ``l.point BETWEEN r.start AND r.end`` as a broadcast
+nested-loop or cartesian join — O(|L|·|R|) comparisons, a scale-killer. The
+standard fix (Databricks' range-join optimization, or any interval-join
+paper) is binning: quantize the domain into fixed-width bins, replicate each
+interval onto every bin it overlaps, tag each point with its single bin, and
+equi-join on (bin [, extra keys]) with the exact BETWEEN as a residual
+filter. Cost: |L| + Σ_r ceil(len_r / bin) join rows — linear when intervals
+are short relative to ``bin_width`` — and the join is a plain hash join that
+partitions/broadcasts like any other.
+
+No duplicate elimination is needed: a point lies in exactly one bin, so each
+qualifying (left, right) pair meets in exactly that bin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    on: Sequence[str] = (),
+    bin_width: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows whose ``point`` falls in right's [start, end] interval.
+
+    ``point``/``start``/``end`` are timestamp or numeric columns (timestamps
+    bin on epoch seconds via a double cast; ``bin_width`` then is seconds).
+    ``on`` adds equi keys (e.g. a user id) to the bin key. Intervals must be
+    well-formed (start <= end); rows violating that simply match nothing.
+    Only inner semantics: an outer range join would need null-tolerant
+    residual handling that no caller here requires.
+    """
+    if how != "inner":
+        raise ValueError(f"range_join supports inner joins, got {how!r}")
+
+    def to_bin(c: Column) -> Column:
+        # timestamp → epoch seconds (with fraction); numerics pass through
+        return F.floor(c.cast("double") / F.lit(float(bin_width))).cast("long")
+
+    on = list(on)
+    l_binned = left.withColumn("_bin", to_bin(F.col(point)))
+    # Replicate each interval across the bins it overlaps (inclusive).
+    r_binned = right.withColumn(
+        "_bin",
+        F.explode(F.sequence(to_bin(F.col(start)), to_bin(F.col(end)))),
+    )
+    joined = l_binned.join(r_binned, [*on, "_bin"], "inner")
+    residual = (F.col(point) >= F.col(start)) & (F.col(point) <= F.col(end))
+    return joined.filter(residual).drop("_bin")

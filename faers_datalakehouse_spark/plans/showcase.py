@@ -538,3 +538,101 @@ WHERE q_score >= {min_score} AND q_tokens >= {min_tokens}
 GROUP BY pred_lang
 ORDER BY pred_lang
 """
+
+
+# --------------------------------------------------------------------------
+# Range join + salted join — driver-checked query surfaces
+# --------------------------------------------------------------------------
+
+
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside each user's first-30-minutes window, via the bucketed
+    range join (operators/ranges.py) — counts per user.
+
+    The interval side is derived per user (min ts + 30 min), so the range
+    join runs with an extra user equi key; bins are 30 min wide, making at
+    most 2 replicas per interval.
+    """
+    from ..operators.ranges import range_join
+    from ..sources.tables import read_events
+
+    events = read_events(spark, sf_dir)
+    firsts = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = range_join(
+        events.select("user_id", "event_id", "ts"),
+        firsts,
+        point="ts",
+        start="w_start",
+        end="w_end",
+        on=["user_id"],
+        bin_width=1800,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_first30m"),
+            F.countDistinct("event_id").alias("n_distinct_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS w_start, min(ts) + INTERVAL 30 MINUTE AS w_end
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       count(*)                   AS n_events_first30m,
+       count(DISTINCT e.event_id) AS n_distinct_events
+FROM events e
+JOIN firsts f
+  ON e.user_id = f.user_id AND e.ts BETWEEN f.w_start AND f.w_end
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
+def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders ⋈ customer through the salted join (operators/skew.py) —
+    the salt must not change results, so the oracle is the plain join."""
+    from ..operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, on=["o_custkey"], n_salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("market_segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("value_c"),
+        )
+        .select(
+            "market_segment",
+            "n_orders",
+            "n_customers",
+            (F.col("value_c").cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy("market_segment")
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c.c_mktsegment AS market_segment,
+       count(*)                    AS n_orders,
+       count(DISTINCT o.o_custkey) AS n_customers,
+       CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+                                   AS total_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY market_segment
+"""

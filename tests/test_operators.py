@@ -147,3 +147,39 @@ def test_language_id(spark):
     )
     got = [r[0] for r in df.select(language_id("text")).collect()]
     assert got == ["en", "de", "fr"]
+
+
+def test_range_join_bucketed(spark):
+    from faers_datalakehouse_spark.operators.ranges import range_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (1, 25.0), (1, 105.0), (2, 25.0)], ["k", "p"]
+    )
+    right = spark.createDataFrame(
+        # interval spanning multiple bins, touching boundaries inclusively
+        [(1, 0.0, 30.0, "a"), (1, 100.0, 110.0, "b"), (2, 90.0, 99.0, "c")],
+        ["k", "s", "e", "tag"],
+    )
+    out = range_join(
+        left, right, point="p", start="s", end="e", on=["k"], bin_width=10
+    )
+    got = {(r["k"], r["p"], r["tag"]) for r in out.collect()}
+    assert got == {(1, 5.0, "a"), (1, 25.0, "a"), (1, 105.0, "b")}
+    # key isolation: k=2 point 25 does not match k=1's [0,30]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_inclusive_bounds(spark):
+    from faers_datalakehouse_spark.operators.ranges import range_join
+
+    left = spark.createDataFrame([(1, 0.0), (1, 30.0), (1, 30.001)], ["k", "p"])
+    right = spark.createDataFrame([(1, 0.0, 30.0)], ["k", "s", "e"])
+    got = sorted(
+        r["p"]
+        for r in range_join(
+            left, right, point="p", start="s", end="e", on=["k"], bin_width=7
+        ).collect()
+    )
+    assert got == [0.0, 30.0]  # BETWEEN-inclusive, strict above
