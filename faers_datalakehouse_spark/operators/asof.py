@@ -46,6 +46,10 @@ def as_of_join(
     Output = all left columns + ``<right_col><suffix>`` for each requested
     right column + ``<right_ts><suffix>`` (the matched timestamp, NULL when
     no right row precedes the left row or the tolerance is exceeded).
+
+    Ties: when several RIGHT rows share one key+timestamp, any of them may be
+    attached (whole-row atomically) — the same unspecified-among-ties
+    contract as DuckDB ASOF JOIN / pandas merge_asof.
     """
     on = list(on)
     left_cols = left.columns

@@ -115,3 +115,93 @@ def test_salted_join_equals_plain_join(spark):
     plain = large.join(small, "k").select("k", "v", "d")
     salted = salted_join(large, small, ["k"], n_salts=8).select("k", "v", "d")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# --- custom join operators vs brute-force oracles ---
+
+_POINTS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=40
+)
+_INTERVALS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 400)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_POINTS, _INTERVALS, st.integers(1, 3))
+def test_range_join_matches_naive_between(spark, points, intervals, width_pow):
+    from faers_datalakehouse_spark.operators.ranges import range_join
+
+    left = spark.createDataFrame(
+        [(k, float(p), i) for i, (k, p) in enumerate(points)], ["k", "p", "lid"]
+    )
+    right = spark.createDataFrame(
+        [(k, float(s), float(s + ln), j) for j, (k, s, ln) in enumerate(intervals)],
+        ["k", "s", "e", "rid"],
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, point="p", start="s", end="e", on=["k"],
+            bin_width=10 ** width_pow,
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (left.k == right.k) & (left.p >= right.s) & (left.p <= right.e),
+        ).collect()
+    }
+    assert got == naive
+
+
+_EVENTS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10_000)), min_size=1, max_size=30
+)
+# Right side: unique (key, ts) pairs — with two right rows at the identical
+# timestamp for one key, "the" matched row is ambiguous by the asof contract
+# (any of the tied rows is a correct answer), so the oracle can't pin one.
+_REVENTS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS, _REVENTS)
+def test_asof_join_matches_naive_argmax(spark, lrows, rrows):
+    import datetime as _dt
+
+    from faers_datalakehouse_spark.operators.asof import as_of_join
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + _dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(lrows)], ["k", "ts", "lid"]
+    )
+    right = spark.createDataFrame(
+        [(k, ts(s), j) for j, (k, s) in enumerate(rrows)], ["k", "ts", "rid"]
+    )
+    got = {
+        r["lid"]: r["rid_asof"]
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["rid"]
+        ).collect()
+    }
+    # Naive oracle: for each left row, the max-ts right row with ts <= left ts
+    # (ties on ts broken by the LAST right row in window order rid ASC — the
+    # union-window formulation keeps the latest among equal timestamps).
+    rt = sorted(((k, s, j) for j, (k, s) in enumerate(rrows)),
+                key=lambda x: (x[1], x[2]))
+    for i, (k, s) in enumerate(lrows):
+        cands = [(rs, rj) for rk, rs, rj in rt if rk == k and rs <= s]
+        expect = cands[-1][1] if cands else None
+        assert got[i] == expect, (i, k, s, cands)
