@@ -47,6 +47,7 @@ from ..functions.faers import (
 from ..functions.transforms import (
     age_group,
     decode_ladder,
+    parse_dosage,
     standardize_date,
     standardize_name,
 )
@@ -115,11 +116,15 @@ def silver_demographics(spark: SparkSession, processed_ts: str) -> None:
 
 def silver_drug_details(spark: SparkSession, processed_ts: str) -> None:
     raw = read_latest_partition(spark, "bronze.drug_details")
+    dosage = parse_dosage("dose_vbm")
     out = (
         raw.withColumn("drug_name", standardize_name("drugname"))
         .withColumn("role_desc", decode_ladder("role_cod", ROLE_DECODE))
         .withColumn("route_category", route_category("route"))
         .withColumn("drug_seq_num", F.col("drug_seq").cast("int"))
+        .withColumn("dose", dosage["dose"])
+        .withColumn("dose_unit", dosage["dose_unit"])
+        .withColumn("dose_frequency", dosage["dose_frequency"])
         .withColumnsRenamed({"primaryid": "primary_id", "caseid": "case_id"})
         .drop("drugname", "drug_seq", "_source_file")
     )

@@ -137,6 +137,14 @@ def test_silver_transform_semantics_on_q1(spark, tmp_path_factory):
     assert rows["103"]["age_years"] is None  # empty age
 
 
+def test_silver_dosage_parsing(warehouse):
+    spark = warehouse
+    # latest (q2) batch: aspirin "5 mg", metformin "850 mg"
+    rows = {r["drug_name"]: r for r in spark.table("silver.drug_details").collect()}
+    assert rows["ASPIRIN"]["dose"] == 5.0 and rows["ASPIRIN"]["dose_unit"] == "MG"
+    assert rows["METFORMIN"]["dose"] == 850.0
+
+
 def test_silver_new_tables(warehouse):
     spark = warehouse
     # latest partition only → just the q2 batch in each
