@@ -1,0 +1,72 @@
+"""Physical-plan invariants over the ENTIRE driver query surface.
+
+Every queries() entry is planned (not executed) at sf0.001 and checked for
+scale-killers: accidental cartesian products / nested-loop joins outside the
+explicitly-quadratic verify kernels, and missing parquet filter pushdown
+where a query filters a scanned table. This encodes the ".explain and
+iterate" discipline as a regression gate, so a future edit that degrades a
+plan fails loudly instead of silently shipping an O(n²) join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Intentionally non-equi / all-pairs paths (documented verify kernels or
+# broadcast-query scans where a nested-loop against a tiny broadcast side is
+# the RIGHT plan):
+ALLOWED_NESTED_LOOP = {
+    "ann_topk",          # broadcast query set x corpus scan — exact baseline
+    "cosine_neardup",    # all-pairs verify kernel (docstring-scoped)
+    "ngram_jaccard",     # blocked self-join uses non-equi len-band residual
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_accidental_cross_products(plans):
+    bad = []
+    for name, plan in plans.items():
+        if name in ALLOWED_NESTED_LOOP:
+            continue
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"unexpected cross/nested-loop join in: {bad}"
+
+
+def test_filter_pushdown_reaches_scans(plans):
+    # Queries with selective scan-level predicates must show PushedFilters.
+    expect_pushdown = ["shipping_priority"]
+    for name in expect_pushdown:
+        plan = plans[name]
+        assert "PushedFilters: [" in plan, name
+        pushed = [
+            ln for ln in plan.splitlines()
+            if "PushedFilters" in ln and "PushedFilters: []" not in ln
+        ]
+        assert pushed, f"{name}: no non-empty PushedFilters in scan"
+
+
+def test_column_pruning_on_wide_scans(plans):
+    # topk_parts aggregates 4 lineitem columns — the scan must not read all 16.
+    import re
+
+    plan = plans["topk_parts"]
+    scans = [
+        re.search(r"FileScan parquet \[([^\]]*)\]", ln).group(1)
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "lineitem" in ln
+    ]
+    assert scans
+    for cols in scans:
+        names = [c for c in cols.split(",") if c.strip()]
+        assert len(names) <= 4, f"lineitem scan reads too many columns: {cols}"
