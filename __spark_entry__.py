@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             S.corpus_curation_query, min_score=0.5, min_tokens=10
         ),
         "token_count": S.token_count_query,
+        "chunk_documents": partial(S.chunk_documents_query, chunk_size=32, overlap=8),
+        "redact_pii": S.redact_pii_query,
         "text_quality": S.text_quality_query,
         "lang_id": S.lang_id_query,
         "fingerprint_dedup": S.fingerprint_query,
@@ -218,6 +220,8 @@ def oracle_sql() -> dict[str, str]:
             min_score=0.5, min_tokens=10
         ),
         "token_count": S.TOKEN_COUNT_SQL,
+        "chunk_documents": S.chunk_documents_oracle_sql(chunk_size=32, overlap=8),
+        "redact_pii": S.redact_pii_oracle_sql(),
         "text_quality": S.TEXT_QUALITY_SQL,
         "lang_id": S.LANG_ID_SQL,
         "fingerprint_dedup": S.FINGERPRINT_SQL,

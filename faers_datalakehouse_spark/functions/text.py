@@ -115,3 +115,61 @@ def doc_fingerprint(col: Column | str, n_words: int = 8) -> Column:
     )
     prefix = F.array_join(F.slice(F.split(norm, " "), 1, n_words), " ")
     return F.md5(prefix)
+
+
+# --- corpus chunking + PII redaction (training-data preprocessing) ---
+
+# Conservative patterns that parse identically in Spark (Java regex) and
+# DuckDB (RE2): no lookarounds, no \b differences in scope here.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(col: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Replace PII spans with ``<TYPE>`` placeholders (one codegen'd
+    regexp_replace chain — zero shuffle, linear scan)."""
+    out = _c(col)
+    for name, pattern in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pattern, f"<{name.upper()}>")
+    return out
+
+
+def chunk_tokens(
+    col: Column | str, chunk_size: int = 64, overlap: int = 16
+) -> Column:
+    """Split text into overlapping whitespace-token windows —
+    ``array<struct<chunk_index int, chunk_text string>>``.
+
+    Stride = chunk_size - overlap. The last window may be shorter; empty
+    text yields a single empty chunk. All built-in array exprs (split →
+    sequence → slice → array_join): per-row linear work, no shuffle —
+    explode downstream to get one row per chunk.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_index"),
+                F.array_join(
+                    F.slice(words, i * stride + 1, chunk_size), " "
+                ).alias("chunk_text"),
+            ),
+        )
+
+    # One-element-array let-binding: expressions referenced inside a
+    # higher-order lambda re-evaluate per element (see operators/dedup._let).
+    return F.element_at(
+        F.transform(F.array(F.split(F.trim(_c(col)), r"\s+")), build), 1
+    )

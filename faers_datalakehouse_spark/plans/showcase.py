@@ -636,3 +636,99 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 ORDER BY market_segment
 """
+
+
+# --------------------------------------------------------------------------
+# Chunking + PII redaction — corpus preprocessing query surfaces
+# --------------------------------------------------------------------------
+
+
+def chunk_documents_query(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 32, overlap: int = 8
+) -> DataFrame:
+    """One row per (doc, chunk): overlapping token windows over documents."""
+    from ..functions.text import chunk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(chunk_tokens("text", chunk_size, overlap)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_index").alias("chunk_index"),
+            F.length("c.chunk_text").alias("chunk_chars"),
+            F.md5(F.col("c.chunk_text")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_index")
+    )
+
+
+def chunk_documents_oracle_sql(chunk_size: int, overlap: int) -> str:
+    stride = chunk_size - overlap
+    return f"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, w,
+         greatest(CAST(ceil(CAST(len(w) - {overlap} AS DOUBLE) / {stride})
+                       AS INTEGER), 1) AS n_chunks
+  FROM words
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS chunk_index,
+         array_to_string(w[(i * {stride} + 1):(i * {stride} + {chunk_size})], ' ')
+           AS chunk_text
+  FROM counts, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+)
+SELECT doc_id, chunk_index,
+       CAST(length(chunk_text) AS INTEGER) AS chunk_chars,
+       md5(chunk_text) AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_index
+"""
+
+
+def redact_pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents; emits redacted length + hash plus a
+    per-doc count of redacted spans (so the oracle checks the rewrite
+    itself, not just its side effects)."""
+    from ..functions.text import PII_PATTERNS, redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    red = redact_pii("text")
+    n_redacted = sum(
+        (
+            F.size(F.split(F.col("text"), pat, -1)) - 1
+            for pat in PII_PATTERNS.values()
+        ),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.length(red).alias("redacted_chars"),
+        F.md5(red).alias("redacted_hash"),
+        n_redacted.cast("int").alias("n_pii_spans"),
+    ).orderBy("doc_id")
+
+
+def redact_pii_oracle_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    red = "text"
+    spans = []
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+        spans.append(f"(len(regexp_split_to_array(text, '{pat}')) - 1)")
+    return f"""
+SELECT doc_id,
+       CAST(length({red}) AS INTEGER) AS redacted_chars,
+       md5({red}) AS redacted_hash,
+       CAST({' + '.join(spans)} AS INTEGER) AS n_pii_spans
+FROM documents
+ORDER BY doc_id
+"""

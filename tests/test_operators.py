@@ -183,3 +183,32 @@ def test_range_join_inclusive_bounds(spark):
         ).collect()
     )
     assert got == [0.0, 30.0]  # BETWEEN-inclusive, strict above
+
+
+def test_redact_pii_and_chunking(spark):
+    from faers_datalakehouse_spark.functions.text import chunk_tokens, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org or call 555-123-4567 now"),
+            (2, "ssn 123-45-6789 leaked"),
+            (3, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    red = {r["doc_id"]: r["r"] for r in df.select("doc_id", redact_pii("text").alias("r")).collect()}
+    assert "<EMAIL>" in red[1] and "<PHONE>" in red[1]
+    assert "jane" not in red[1] and "555" not in red[1]
+    assert red[2] == "ssn <SSN> leaked"
+    assert red[3] == "clean text with no pii at all"
+
+    chunks = df.filter("doc_id = 3").select(
+        F.explode(chunk_tokens("text", chunk_size=4, overlap=2)).alias("c")
+    ).select("c.chunk_index", "c.chunk_text").collect()
+    texts = [r["chunk_text"] for r in chunks]
+    # 7 words, size 4, stride 2 → ceil((7-2)/2)=3 chunks
+    assert texts == [
+        "clean text with no",
+        "with no pii at",
+        "pii at all",
+    ]
