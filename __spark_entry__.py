@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": S.token_count_query,
         "chunk_documents": partial(S.chunk_documents_query, chunk_size=32, overlap=8),
         "redact_pii": S.redact_pii_query,
+        "split_assign": S.split_assign_query,
+        "stratified_cap": partial(S.stratified_cap_query, cap=30),
         "text_quality": S.text_quality_query,
         "lang_id": S.lang_id_query,
         "fingerprint_dedup": S.fingerprint_query,
@@ -222,6 +224,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": S.TOKEN_COUNT_SQL,
         "chunk_documents": S.chunk_documents_oracle_sql(chunk_size=32, overlap=8),
         "redact_pii": S.redact_pii_oracle_sql(),
+        "split_assign": S.SPLIT_ASSIGN_SQL,
+        "stratified_cap": S.STRATIFIED_CAP_SQL.format(cap=30),
         "text_quality": S.TEXT_QUALITY_SQL,
         "lang_id": S.LANG_ID_SQL,
         "fingerprint_dedup": S.FINGERPRINT_SQL,

@@ -732,3 +732,71 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling — split assignment + stratified cap
+# --------------------------------------------------------------------------
+
+
+def split_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment over documents + per-split profile."""
+    from ..operators.sampling import deterministic_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_ASSIGN_SQL = """
+WITH assigned AS (
+  SELECT *,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 100
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 96 THEN 'train'
+            WHEN bucket < 98 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def stratified_cap_query(spark: SparkSession, sf_dir: str, cap: int = 30) -> DataFrame:
+    """At most ``cap`` docs per language, hash-selected — emits the exact
+    selection so the oracle verifies membership, not just counts."""
+    from ..operators.sampling import stratified_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        stratified_cap(docs, ["lang"], "doc_id", cap)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+STRATIFIED_CAP_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+                      % 1000000007,
+                    doc_id) AS rk
+  FROM documents
+) WHERE rk <= {cap}
+ORDER BY lang, doc_id
+"""

@@ -212,3 +212,30 @@ def test_redact_pii_and_chunking(spark):
         "with no pii at",
         "pii at all",
     ]
+
+
+def test_deterministic_split_stable_under_repartition(spark):
+    """Membership must be a pure function of the id — identical after any
+    repartitioning (the randomSplit failure mode this operator replaces)."""
+    from faers_datalakehouse_spark.operators.sampling import (
+        deterministic_split,
+        stratified_cap,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(df, "doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(df.repartition(17), "doc_id").collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.93 < frac < 0.99  # ~96% train
+
+    strat = df.withColumn("g", (F.col("doc_id") % 3).cast("int"))
+    s1 = {(r["g"], r["doc_id"]) for r in stratified_cap(strat, ["g"], "doc_id", 10).collect()}
+    s2 = {(r["g"], r["doc_id"]) for r in stratified_cap(strat.repartition(13), ["g"], "doc_id", 10).collect()}
+    assert s1 == s2 and len(s1) == 30
