@@ -47,6 +47,8 @@ BENCH_QUERIES = {
     "q11_shipping_priority": ("collect", "shipping_priority"),
     "q12_asof_join": ("count", "asof_join"),
     "q13_lsh_neardup": ("count", "lsh_neardup"),
+    "q14_corpus_curation": ("collect", "corpus_curation"),
+    "q15_range_join": ("count", "range_join"),
 }
 
 
