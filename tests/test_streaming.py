@@ -116,3 +116,41 @@ def test_streaming_dedup_within_watermark(spark, events_dir):
     )
     batch = spark.read.parquet(f"{d}/a.parquet")
     assert out.count() == batch.select("event_id").distinct().count()
+
+
+def test_stateless_text_ops_are_streaming_safe(spark, tmp_path):
+    """The curation projections (quality, lang-ID, redaction) are stateless,
+    so the same Column builders must run unchanged on a stream."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.functions.text import (
+        language_id,
+        quality_score_cols,
+        redact_pii,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    _sh.copy("/root/testdata/sf0.001/documents.parquet", d / "p0.parquet")
+    batch_df = spark.read.parquet(str(d))
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(d))
+
+    def curate(df):
+        q = quality_score_cols(F.col("text"))
+        return df.select(
+            "doc_id",
+            language_id(F.col("text")).alias("pred_lang"),
+            q["q_score"].alias("q_score"),
+            F.md5(redact_pii("text")).alias("redacted_hash"),
+        )
+
+    out = run_to_completion(curate(stream), "curate_stream", "append")
+    got = {r["doc_id"]: r for r in out.collect()}
+    want = {r["doc_id"]: r for r in curate(batch_df).collect()}
+    assert len(got) == len(want)
+    for k in want:
+        assert got[k]["pred_lang"] == want[k]["pred_lang"]
+        assert got[k]["q_score"] == want[k]["q_score"]
+        assert got[k]["redacted_hash"] == want[k]["redacted_hash"]
