@@ -280,3 +280,28 @@ def test_fact_grain_and_rollup(spark, tmp_path_factory):
     assert r103["indication_pt"] == "Unknown"
     assert r103["reporter_source_desc"] == "Unspecified"
     assert r103["reporter_reliability_score"] == 1
+
+
+def test_cli_main_runs_pipeline(spark, tmp_path):
+    """python -m faers_datalakehouse_spark over a source dir (direct call —
+    the session is reused via getOrCreate, keeping the test in-process)."""
+    from faers_datalakehouse_spark.__main__ import main
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, content in Q1.items():
+        (src / f"{name}.csv").write_text(content)
+    # fresh tables for a deterministic count
+    for t in [
+        "bronze.demographics", "bronze.drug_details", "bronze.reactions",
+        "bronze.outcomes", "bronze.indications", "bronze.reports",
+        "bronze.therapy_dates", "gold.dim_drug", "gold.dim_patient",
+        "gold.dim_reaction", "gold.dim_outcome", "gold.dim_indication",
+        "gold.dim_therapy", "gold.dim_report",
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rc = main([str(src), "--ingest-ts", "2024-04-01 00:00:00",
+               "--effective-date", "2024-04-01"])
+    assert rc == 0
+    assert spark.table("gold.fact_adverse_events").count() == 6
+    assert main([str(tmp_path / "nope")]) == 2  # missing sources → error code
