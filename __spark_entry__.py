@@ -19,6 +19,7 @@ from faers_datalakehouse_spark.operators.dedup import (
     DEDUP_EXACT_SQL,
     NGRAM_JACCARD_SQL_TEMPLATE,
     dedup_exact,
+    minhash_lsh_oracle_sql,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
@@ -28,6 +29,7 @@ from faers_datalakehouse_spark.operators.similarity import (
     COSINE_NEARDUP_SQL_TEMPLATE,
     IVF_TOPK_SQL_TEMPLATE,
     QUANT,
+    ann_lsh_oracle_sql,
     cosine_neardup_pairs,
     ivf_topk_neighbors,
     lsh_bucketed_neardup,
@@ -143,8 +145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 length_band=JACCARD_BAND,
             )
         ),
+        # portable_hash: md5-int64 shingle/band hashes → DuckDB reproduces the
+        # exact signatures, buckets, and candidate pairs (hash-checked oracle).
         "minhash_lsh": _docs(
-            lambda df: minhash_lsh_pairs(df, threshold=JACCARD_THRESHOLD)
+            lambda df: minhash_lsh_pairs(
+                df, threshold=JACCARD_THRESHOLD, portable_hash=True
+            )
         ),
         "simhash_neardup": _docs(simhash_neardup_pairs),
         # End-to-end curation composition: dedup → lang+quality → filter →
@@ -216,8 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": NGRAM_JACCARD_SQL_TEMPLATE.format(
             k=JACCARD_K, threshold=JACCARD_THRESHOLD, band=JACCARD_BAND
         ),
-        # minhash_lsh / simhash_neardup / ann_lsh_topk: probabilistic or
-        # Python-kernel paths → rows-only check (no oracle entry).
+        "minhash_lsh": minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD),
         "corpus_curation": S.corpus_curation_oracle_sql(
             min_score=0.5, min_tokens=10
         ),
@@ -232,6 +237,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ANN_TOPK_SQL_TEMPLATE.format(
             quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K
         ),
+        # Approximate path, exact arithmetic: integer-hyperplane buckets are
+        # bit-identical cross-engine, so even ANN is hash-checked.
+        "ann_lsh_topk": ann_lsh_oracle_sql(query_mod=ANN_QUERY_MOD, k=ANN_K),
         "ann_ivf_topk": IVF_TOPK_SQL_TEMPLATE.format(
             quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K, n_cells=16
         ),

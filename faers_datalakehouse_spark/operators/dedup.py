@@ -236,7 +236,19 @@ ORDER BY id_a, id_b
 """
 
 
-def word_shingle_hashes(col: Column, n: int = 3) -> Column:
+def _md5_hash64(col: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as int64.
+
+    DuckDB computes the identical value as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` — the shared-vocabulary hash
+    this repo uses wherever a bucket id must be bit-identical cross-engine
+    (see ``operators/sampling.py:_hash_bucket``). 15 hex chars = 60 bits,
+    always positive, so ``pmod`` ≡ ``%`` on both engines.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingle_hashes(col: Column, n: int = 3, portable: bool = False) -> Column:
     """Distinct word n-gram shingles, hashed to int64 (mod p) — one pass.
 
     Word shingles (vs char shingles) cut the per-doc shingle count ~6× at
@@ -244,14 +256,21 @@ def word_shingle_hashes(col: Column, n: int = 3) -> Column:
     corpus-scale near-dup (detect-and-drop) pipelines. Hashing shingles to
     longs up front shrinks every downstream structure (signatures, shuffle
     payloads, intersection kernels) from strings to fixed 8-byte values.
+
+    ``portable=True`` swaps ``xxhash64`` for the md5-prefix hash so DuckDB
+    reproduces the exact shingle values (and hence signatures, bands, and
+    candidate pairs) — the oracle-checkable mode. xxhash64 stays available
+    as the fast path where cross-engine reproducibility isn't needed.
     """
+    hash_fn = _md5_hash64 if portable else F.xxhash64
+
     def build(words: Column) -> Column:
         count = F.greatest(F.size(words) - (n - 1), F.lit(1))
         return F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), count),
                 lambda i: F.pmod(
-                    F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
+                    hash_fn(F.array_join(F.slice(words, i, n), " ")),
                     F.lit(MERSENNE_P),
                 ),
             )
@@ -278,6 +297,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     materialize: bool = True,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verified.
 
@@ -292,17 +312,27 @@ def minhash_lsh_pairs(
     ``materialize`` persists the per-doc hash frame since three plan
     branches (banding + both sides of the verify join) reuse it. The cache
     lives until the session evicts it (MEMORY_AND_DISK, LRU) — at cluster
-    scale this would be an explicit checkpoint to storage instead.
+    scale this would be an explicit checkpoint to storage instead. Callers
+    that run many queries in one session should ``spark.catalog.clearCache()``
+    between runs (bench.py does).
+
+    ``portable_hash=True`` uses the md5-prefix int64 hash for shingles and
+    band buckets, making every intermediate (signatures, bands, candidates)
+    bit-identical in DuckDB — see ``minhash_lsh_oracle_sql``. The whole
+    pipeline is deterministic either way (seeded permutations).
     """
     rows = num_hashes // bands
     params = _minhash_params(num_hashes, seed)
+    band_hash_fn = _md5_hash64 if portable_hash else F.xxhash64
     # Stage 1: shingle-hash arrays, persisted. The persist is also a
     # materialization barrier: without it, projection collapse would inline
     # the shingling subtree into every one of the num_hashes signature
     # expressions below.
     hashed = fan_out(df, id_col).select(
         F.col(id_col).alias("id"),
-        word_shingle_hashes(F.col(text_col), ngram).alias("hashes"),
+        word_shingle_hashes(F.col(text_col), ngram, portable=portable_hash).alias(
+            "hashes"
+        ),
     )
     if materialize:
         hashed = hashed.persist()
@@ -326,7 +356,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: band_hash_fn(
                     F.array_join(
                         F.transform(
                             F.slice(F.col("sig"), b * rows + 1, rows),
@@ -363,6 +393,80 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def minhash_lsh_oracle_sql(
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs(portable_hash=True)``.
+
+    Reproduces the exact pipeline: md5-prefix shingle hashes mod p, the same
+    seeded ``(a*h+b) mod p`` permutations (embedded as literals), per-band
+    md5-prefix bucket hashes over the dash-joined signature slice, the
+    band-bucket self-join, and exact Jaccard on the hashed shingle sets.
+    Every intermediate is exact int64 arithmetic → bit-identical buckets.
+    """
+    rows = num_hashes // bands
+    params = _minhash_params(num_hashes, seed)
+    p = MERSENNE_P
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {p})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, ('0x' || substr(md5({concat}), 1, 15))::BIGINT"
+        " AS band_hash FROM sig".format(
+            b=b,
+            concat=" || '-' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+sh AS (
+  SELECT id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - {ngram - 1}, 1)),
+           i -> ('0x' || substr(md5(
+                  array_to_string(list_slice(words, i, i + {ngram - 1}), ' ')
+                ), 1, 15))::BIGINT % {p})) AS hashes
+  FROM docs
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM sh
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
+               / (len(a.hashes) + len(b.hashes)
+                  - len(list_intersect(a.hashes, b.hashes))), 6) AS jaccard
+  FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
 
 
 def _token_hash64(token: str) -> int:

@@ -180,17 +180,14 @@ def _plane_mix(p: int, d: int) -> int:
     return h & 0xFFFF
 
 
-def _plane_weight(p: int, d: int) -> float:
-    return (_plane_mix(p, d) / 65535.0) * 2.0 - 1.0
-
-
 def _plane_weight_int(p: int, d: int) -> int:
     """Integer hyperplane weight in [-65535, 65535] (2*mix - 65535).
 
-    Same sign structure as ``_plane_weight`` but the projection
-    sum(q_emb * w) stays in exact integer arithmetic, so the sign bit — and
-    therefore the bucket id — is bit-identical across engines (a float
-    projection could flip sign near 0 under a different summation order).
+    The projection sum(q_emb * w) stays in exact integer arithmetic, so the
+    sign bit — and therefore the bucket id — is bit-identical across engines
+    (a float projection could flip sign near 0 under a different summation
+    order). Every LSH path in this module uses these integer planes; there
+    is deliberately no float-plane variant.
     """
     return _plane_mix(p, d) * 2 - 65535
 
@@ -206,38 +203,26 @@ def lsh_bucketed_neighbors(
 ) -> DataFrame:
     """ANN via random-hyperplane LSH bucketing + exact rescoring in-bucket.
 
-    Signature = ``n_planes`` sign bits of fixed pseudo-random hyperplane dot
-    products, built with ``zip_with``/``aggregate`` (JVM-side). The
-    query-corpus join is equi on the bucket id, so Catalyst plans a hash join
-    keyed by bucket instead of a cross product.
+    Signature = ``n_planes`` sign bits of fixed INTEGER hyperplane dot
+    products over the quantized embedding (``_int_band_bucket``), built with
+    ``zip_with``/``aggregate`` (JVM-side). Integer projections make the sign
+    bit — and therefore the bucket id — bit-identical across engines (a float
+    projection near 0 can flip sign under a different summation order), so
+    this approximate path is still exactly oracle-reproducible
+    (``ann_lsh_oracle_sql``). The query-corpus join is equi on the bucket id,
+    so Catalyst plans a hash join keyed by bucket instead of a cross product.
     """
-
-    def signature(col: Column) -> Column:
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
-            proj = F.aggregate(
-                F.zip_with(col, plane, lambda x, w: x * w),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
     c = with_quantized_norm(
         fan_out(corpus.select(id_col, emb_col), id_col), emb_col
     ).select(
         F.col(id_col).alias("neighbor_id"),
-        signature(F.col(emb_col)).alias("bucket"),
+        _int_band_bucket(F.col("q_emb"), 0, n_planes, dim).alias("bucket"),
         F.col("q_emb").alias("c_emb"),
         F.col("q_norm2").alias("c_norm2"),
     )
     q = with_quantized_norm(queries.select(id_col, emb_col), emb_col).select(
         F.col(id_col).alias("query_id"),
-        signature(F.col(emb_col)).alias("bucket"),
+        _int_band_bucket(F.col("q_emb"), 0, n_planes, dim).alias("bucket"),
         F.col("q_emb").alias("qq_emb"),
         F.col("q_norm2").alias("qq_norm2"),
     )
@@ -494,6 +479,61 @@ def lsh_bucketed_neardup(
     )
 
 
+def _bucket_sql_expr(band: int, n_planes: int, dim: int, qe: str = "qe") -> str:
+    """DuckDB expression computing ``_int_band_bucket`` for one band."""
+    terms = []
+    for i in range(n_planes):
+        p = band * n_planes + i
+        plane = "list_value(" + ",".join(
+            str(_plane_weight_int(p, d)) for d in range(dim)
+        ) + ")"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({qe}, {plane}), "
+            f"p -> p[1] * p[2])) >= 0 THEN {2 ** i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def ann_lsh_oracle_sql(
+    query_mod: int,
+    k: int,
+    n_planes: int = 8,
+    dim: int = 64,
+    quant: int = QUANT,
+) -> str:
+    """DuckDB twin of ``lsh_bucketed_neighbors`` — identical integer buckets,
+    identical quantized cosine, identical (cosine DESC, neighbor_id) ranking.
+    """
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {quant}) AS BIGINT)) AS qe
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, qe, {_bucket_sql_expr(0, n_planes, dim)} AS bucket FROM e
+),
+q AS (
+  SELECT * FROM sig WHERE vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           CAST(list_sum(list_transform(list_zip(q.qe, c.qe),
+                                        p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(q.qe, x -> x*x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(c.qe, x -> x*x)) AS DOUBLE))),
+           6) AS cosine
+  FROM q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def lsh_neardup_oracle_sql(
     threshold: float,
     n_planes: int = 10,
@@ -502,25 +542,9 @@ def lsh_neardup_oracle_sql(
     quant: int = QUANT,
 ) -> str:
     """DuckDB twin of ``lsh_bucketed_neardup`` — identical integer buckets."""
-
-    def plane_list(p: int) -> str:
-        return "list_value(" + ",".join(
-            str(_plane_weight_int(p, d)) for d in range(dim)
-        ) + ")"
-
-    def bucket_expr(b: int) -> str:
-        terms = []
-        for i in range(n_planes):
-            p = b * n_planes + i
-            terms.append(
-                "(CASE WHEN list_sum(list_transform(list_zip(qe, "
-                f"{plane_list(p)}), p -> p[1] * p[2])) >= 0 "
-                f"THEN {2 ** i} ELSE 0 END)"
-            )
-        return " + ".join(terms)
-
     band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, qe, {b} AS band, {bucket_expr(b)} AS bucket FROM e"
+        f"  SELECT vec_id, qe, {b} AS band,"
+        f" {_bucket_sql_expr(b, n_planes, dim)} AS bucket FROM e"
         for b in range(n_bands)
     )
     return f"""

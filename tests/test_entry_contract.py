@@ -13,10 +13,8 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs, f"orphan oracle keys: {oracles - qs}"
-    # rows-only queries are the documented probabilistic/Python-kernel set
-    assert qs - oracles == {
-        "multimodal_decode", "minhash_lsh", "simhash_neardup", "ann_lsh_topk",
-    }
+    # rows-only queries are the documented Python-kernel/stub set
+    assert qs - oracles == {"multimodal_decode", "simhash_neardup"}
 
 
 def test_entry_runs_and_returns_rows(spark):
