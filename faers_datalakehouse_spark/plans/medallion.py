@@ -264,15 +264,30 @@ def _scd2_dim_write(
     """Initial-load or merge ``src`` into SCD2 dimension ``table``.
 
     One generic engine drives all eight dimensions (the reference repeats
-    ``apply_scd_type2_merge`` per dim, ``src/utils/scd_type2.py:111-226``)."""
+    ``apply_scd_type2_merge`` per dim, ``src/utils/scd_type2.py:111-226``).
+
+    The merge plan reads ``table`` while the write overwrites it, so the
+    merged frame must be materialized first. We stage it as a real table
+    (write → read back → overwrite target → drop stage): the staging write
+    is durable storage with a recompute path, safe on a real cluster. The
+    previous ``localCheckpoint`` approach stored blocks on executor local
+    disk with lineage truncated — losing one executor mid-overwrite would
+    have made the data unrecoverable and pinned executor storage meanwhile.
+    Delta/Iceberg replace this dance with an atomic MERGE (see
+    ``sources/formats.py``); this is the format-agnostic fallback.
+    """
     if not table_exists(spark, table):
-        dim = scd2_initial_load(src, keys, tracked, effective_date)
-    else:
-        dim = scd2_merge(spark.table(table), src, keys, tracked, effective_date)
-    # Self-referencing overwrite needs a materialization break.
-    dim.localCheckpoint(eager=True).write.mode("overwrite").option(
+        scd2_initial_load(src, keys, tracked, effective_date).write.mode(
+            "overwrite"
+        ).option("overwriteSchema", "true").saveAsTable(table)
+        return
+    dim = scd2_merge(spark.table(table), src, keys, tracked, effective_date)
+    stage = f"{table}__stage"
+    dim.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(stage)
+    spark.table(stage).write.mode("overwrite").option(
         "overwriteSchema", "true"
     ).saveAsTable(table)
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
 
 def gold_dim_drug(spark: SparkSession, effective_date: str) -> None:
