@@ -60,7 +60,13 @@ def _run_once(spark, queries, key: str, action: str) -> float:
         df.collect()
     else:
         df.count()
-    return time.time() - t0
+    elapsed = time.time() - t0
+    # Operators that persist intermediates (MinHash's shingle frame) would
+    # otherwise re-register the same plan against a warming/evicting cache on
+    # every run — the q8 run-to-run spread in round 2 was cache churn, not
+    # plan noise. Clearing makes every run measure the operator cold.
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

@@ -46,6 +46,16 @@ def main(argv: list[str] | None = None) -> int:
 
     extra = {"spark.sql.warehouse.dir": args.warehouse} if args.warehouse else None
     spark = get_spark("faers_pipeline", extra_conf=extra)
+    if args.warehouse:
+        # getOrCreate ignores configs when a session already exists (tests,
+        # notebooks) — surface that instead of silently writing elsewhere.
+        actual = spark.conf.get("spark.sql.warehouse.dir", "")
+        if Path(actual.removeprefix("file:")).resolve() != Path(args.warehouse).resolve():
+            print(
+                f"warning: --warehouse={args.warehouse} ignored; an active "
+                f"session already uses {actual}",
+                file=sys.stderr,
+            )
     run_pipeline(spark, sources, args.ingest_ts, args.effective_date)
     if args.analytics:
         from .plans import faers_analytics

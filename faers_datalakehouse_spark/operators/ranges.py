@@ -41,21 +41,35 @@ def range_join(
     well-formed (start <= end); rows violating that simply match nothing.
     Only inner semantics: an outer range join would need null-tolerant
     residual handling that no caller here requires.
+
+    Left/right column names (beyond the ``on`` keys) must be disjoint —
+    the residual filter references ``point``/``start``/``end`` by name, and
+    shared names would make those references ambiguous. Violations raise
+    here rather than at analysis time.
     """
     if how != "inner":
         raise ValueError(f"range_join supports inner joins, got {how!r}")
+    on = list(on)
+    shared = (set(left.columns) & set(right.columns)) - set(on)
+    if shared:
+        raise ValueError(
+            f"range_join requires disjoint non-key column names; shared: "
+            f"{sorted(shared)} (rename or drop before joining)"
+        )
+    bin_col = "_range_join_bin"
+    if bin_col in left.columns or bin_col in right.columns:
+        raise ValueError(f"column name {bin_col!r} is reserved by range_join")
 
     def to_bin(c: Column) -> Column:
         # timestamp → epoch seconds (with fraction); numerics pass through
         return F.floor(c.cast("double") / F.lit(float(bin_width))).cast("long")
 
-    on = list(on)
-    l_binned = left.withColumn("_bin", to_bin(F.col(point)))
+    l_binned = left.withColumn(bin_col, to_bin(F.col(point)))
     # Replicate each interval across the bins it overlaps (inclusive).
     r_binned = right.withColumn(
-        "_bin",
+        bin_col,
         F.explode(F.sequence(to_bin(F.col(start)), to_bin(F.col(end)))),
     )
-    joined = l_binned.join(r_binned, [*on, "_bin"], "inner")
+    joined = l_binned.join(r_binned, [*on, bin_col], "inner")
     residual = (F.col(point) >= F.col(start)) & (F.col(point) <= F.col(end))
-    return joined.filter(residual).drop("_bin")
+    return joined.filter(residual).drop(bin_col)

@@ -449,7 +449,9 @@ def lsh_bucketed_neardup(
         # into 64 signature expressions — multiplicative blowup), the
         # recompute here is exactly 2× a cheap linear pass; at corpus scale
         # recomputing usually beats materializing the embedding payload, so
-        # the default is off.
+        # the default is off. The cache outlives this call — the CALLER owns
+        # cleanup (`spark.catalog.clearCache()` or unpersist via the plan
+        # cache manager) once the result is consumed.
         banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     dot = _dot(F.col("a.q_emb"), F.col("b.q_emb"))

@@ -21,6 +21,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable_type(dt: T.DataType) -> bool:
+    """Whether ``xxhash64`` accepts the type (maps aren't hashable, at any
+    nesting depth)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
 
 
 def salted_join(
@@ -35,10 +48,12 @@ def salted_join(
 
     ``large_uniquifier``: a column spreading the hot key's rows across salts
     (any high-cardinality column). When omitted, the salt is
-    ``pmod(xxhash64(<all large columns>), n_salts)`` — deterministic for a
-    given row regardless of partition layout; duplicate rows share a salt,
-    which only matters if the duplicates of one hot key dominate (pass an
-    explicit uniquifier there).
+    ``pmod(xxhash64(<hashable large columns>), n_salts)`` — deterministic
+    for a given row regardless of partition layout; duplicate rows share a
+    salt, which only matters if the duplicates of one hot key dominate (pass
+    an explicit uniquifier there). Map-typed columns (which ``xxhash64``
+    rejects) are skipped; if nothing but the join keys is hashable the salt
+    would be constant per key — no spread — so that raises instead.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         # replicated small side would duplicate its unmatched rows n_salts
@@ -46,8 +61,18 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     on = list(on)
     if large_uniquifier is None:
+        hashable = [
+            f.name for f in large.schema.fields if _hashable_type(f.dataType)
+        ]
+        if not set(hashable) - set(on):
+            raise ValueError(
+                "salted_join: no hashable non-key columns to derive a salt "
+                "from (map-typed columns can't feed xxhash64, and join keys "
+                "alone give every hot-key row the same salt) — pass "
+                "large_uniquifier explicitly"
+            )
         salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts)
+            F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts)
         ).cast("int")
     else:
         u = (

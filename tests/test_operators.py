@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from faers_datalakehouse_spark.functions.text import (
@@ -183,6 +184,30 @@ def test_range_join_inclusive_bounds(spark):
         ).collect()
     )
     assert got == [0.0, 30.0]  # BETWEEN-inclusive, strict above
+
+
+def test_range_join_rejects_colliding_names(spark):
+    from faers_datalakehouse_spark.operators.ranges import range_join
+
+    left = spark.createDataFrame([(1, 5.0, "x")], ["k", "p", "tag"])
+    right = spark.createDataFrame([(1, 0.0, 30.0, "y")], ["k", "s", "e", "tag"])
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join(left, right, point="p", start="s", end="e", on=["k"])
+
+
+def test_salted_join_unhashable_columns(spark):
+    from faers_datalakehouse_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"b": 2})], "k int, m map<string,int>"
+    )
+    small = spark.createDataFrame([(1, "dim")], ["k", "name"])
+    # map-typed column can't feed the default salt and k alone can't spread
+    with pytest.raises(ValueError, match="large_uniquifier"):
+        salted_join(large, small, on=["k"]).collect()
+    # explicit uniquifier works regardless of the map column
+    out = salted_join(large, small, on=["k"], large_uniquifier="k").collect()
+    assert len(out) == 2
 
 
 def test_redact_pii_and_chunking(spark):
