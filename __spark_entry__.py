@@ -80,10 +80,14 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk_neighbors(
-        emb, emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0), k=ANN_K, n_cells=16
+        emb,
+        emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0),
+        k=ANN_K,
+        n_cells=16,
+        nprobe=nprobe,
     )
 
 
@@ -169,6 +173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_queries,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
+        # Multi-cell probing: same inverted file, recall strictly ≥ nprobe=1
+        # (more probed cells only add candidates) — still exactly
+        # oracle-reproducible because probing is deterministic integer math.
+        "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
         "cosine_neardup": lambda spark, sf_dir: cosine_neardup_pairs(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
@@ -241,7 +249,10 @@ def oracle_sql() -> dict[str, str]:
         # bit-identical cross-engine, so even ANN is hash-checked.
         "ann_lsh_topk": ann_lsh_oracle_sql(query_mod=ANN_QUERY_MOD, k=ANN_K),
         "ann_ivf_topk": IVF_TOPK_SQL_TEMPLATE.format(
-            quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K, n_cells=16
+            quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K, n_cells=16, nprobe=1
+        ),
+        "ann_ivf_topk_nprobe2": IVF_TOPK_SQL_TEMPLATE.format(
+            quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K, n_cells=16, nprobe=2
         ),
         "cosine_neardup": COSINE_NEARDUP_SQL_TEMPLATE.format(
             quant=QUANT, threshold=NEARDUP_COS_THRESHOLD

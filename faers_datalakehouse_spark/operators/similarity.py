@@ -254,51 +254,63 @@ def ivf_topk_neighbors(
     emb_col: str = "embedding",
     k: int = 5,
     n_cells: int = 16,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize into cells, search the query's cell.
+    """IVF-style ANN: coarse-quantize into cells, search the query's cells.
 
-    The inverted-file layout: ``n_cells`` centroids (deterministically the
-    lowest-id corpus vectors — a fixed "training" set), every vector assigned
-    to its nearest centroid by quantized dot product, and each query scored
-    exactly only against its own cell (nprobe=1). The cell assignment and
-    in-cell ranking are exact integer/IEEE math, so the whole operator is
-    oracle-reproducible despite being an approximation of brute force.
+    The inverted-file layout: ``n_cells`` centroids — a deterministic
+    pseudo-random sample of the corpus (smallest md5-hash of the id, the
+    same engine-portable hash as ``sampling._hash_bucket``; a hash-ordered
+    pick is an unbiased sample, where lowest-id rows could be arbitrarily
+    clustered if ids correlate with content). Every corpus vector is
+    assigned to its nearest centroid by quantized dot product; each query
+    probes its ``nprobe`` nearest cells and is scored exactly against their
+    union. Assignment, probing, and ranking are exact integer/IEEE math, so
+    the operator is oracle-reproducible at ANY nprobe despite being an
+    approximation of brute force. Recall is monotone in nprobe: more probed
+    cells can only add candidates (tested).
 
     Scale: assignment is a per-row kernel against ``n_cells`` broadcast
     centroids; the search join is equi on cell id (hash join, no cross
-    product); the corpus is scanned once. Raising nprobe = unioning more
-    cells per query.
+    product); the corpus is scanned once; a query costs nprobe/n_cells of
+    the corpus. A corpus row lives in exactly one cell, so probed cells
+    never produce duplicate candidates.
     """
+    from .dedup import _let, _md5_hash64
+
     cents_rows = (
         corpus.select(id_col, emb_col)
-        .orderBy(id_col)
+        .orderBy(_md5_hash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cells)
         .collect()
     )
-    cent_q = [
+    cent_q = sorted(
         (int(r[id_col]), [int(round(x * QUANT)) for x in r[emb_col]])
         for r in cents_rows
-    ]
+    )
 
-    # Argmax over centroids via an array + array_position: a chained
-    # when(d > best, ...) ladder would reference the running best twice per
-    # level — an exponential (2^n_cells) expression blow-up. array_position
-    # returns the FIRST index of the max → ties resolve to the smallest
-    # centroid id, matching the oracle's (dot DESC, cid ASC) ranking.
-    from .dedup import _let
+    def cells_of(emb: Column, n: int) -> Column:
+        """Array of the ``n`` nearest centroid ids (dot DESC, cid ASC ties).
 
-    cent_ids = F.array(*[F.lit(cid) for cid, _ in cent_q])
+        Built as array_sort over (-dot, cid) structs: a chained
+        when(d > best, ...) ladder would reference the running best twice
+        per level — an exponential (2^n_cells) expression blow-up.
+        """
 
-    def cell_of(emb: Column) -> Column:
         def build(q: Column) -> Column:
-            dots = F.array(
+            entries = F.array(
                 *[
-                    _dot(q, F.array(*[F.lit(v).cast("long") for v in cvec]))
-                    for _, cvec in cent_q
+                    F.struct(
+                        (-_dot(q, F.array(*[F.lit(v).cast("long") for v in cvec])))
+                        .alias("negdot"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cvec in cent_q
                 ]
             )
-            pos = F.array_position(dots, F.array_max(dots)).cast("int")
-            return F.element_at(cent_ids, pos)
+            return F.transform(
+                F.slice(F.array_sort(entries), 1, n), lambda s: s["cid"]
+            )
 
         return _let(_quantized(emb), build)
 
@@ -306,13 +318,13 @@ def ivf_topk_neighbors(
         fan_out(corpus.select(id_col, emb_col), id_col), emb_col
     ).select(
         F.col(id_col).alias("neighbor_id"),
-        cell_of(F.col(emb_col)).alias("cell"),
+        F.element_at(cells_of(F.col(emb_col), 1), 1).alias("cell"),
         F.col("q_emb").alias("c_emb"),
         F.col("q_norm2").alias("c_norm2"),
     )
     q = with_quantized_norm(queries.select(id_col, emb_col), emb_col).select(
         F.col(id_col).alias("query_id"),
-        cell_of(F.col(emb_col)).alias("cell"),
+        F.explode(cells_of(F.col(emb_col), nprobe)).alias("cell"),
         F.col("q_emb").alias("qq_emb"),
         F.col("q_norm2").alias("qq_norm2"),
     )
@@ -343,21 +355,25 @@ WITH q AS (
   FROM embeddings
 ),
 cents AS (
-  SELECT vec_id AS cid, qe AS ce FROM q ORDER BY vec_id LIMIT {n_cells}
+  SELECT vec_id AS cid, qe AS ce FROM q
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+  LIMIT {n_cells}
+),
+ranked_cells AS (
+  SELECT v.vec_id, v.qe, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_sum(list_transform(list_zip(v.qe, c.ce),
+                                            p -> p[1] * p[2])) DESC,
+                    c.cid ASC) AS rn
+  FROM q v CROSS JOIN cents c
 ),
 assigned AS (
-  SELECT vec_id, qe, cid AS cell FROM (
-    SELECT v.vec_id, v.qe, c.cid,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY list_sum(list_transform(list_zip(v.qe, c.ce),
-                                              p -> p[1] * p[2])) DESC,
-                      c.cid ASC) AS rn
-    FROM q v CROSS JOIN cents c
-  ) WHERE rn = 1
+  SELECT vec_id, qe, cid AS cell FROM ranked_cells WHERE rn = 1
 ),
-queries AS (
-  SELECT * FROM assigned WHERE vec_id % {query_mod} = 0
+probe AS (
+  SELECT vec_id, qe, cid AS cell FROM ranked_cells
+  WHERE rn <= {nprobe} AND vec_id % {query_mod} = 0
 ),
 scored AS (
   SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
@@ -367,7 +383,7 @@ scored AS (
            / (sqrt(CAST(list_sum(list_transform(qq.qe, x -> x*x)) AS DOUBLE))
               * sqrt(CAST(list_sum(list_transform(cc.qe, x -> x*x)) AS DOUBLE))),
            6) AS cosine
-  FROM queries qq JOIN assigned cc
+  FROM probe qq JOIN assigned cc
     ON qq.cell = cc.cell AND qq.vec_id <> cc.vec_id
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (

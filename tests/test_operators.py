@@ -121,6 +121,32 @@ def test_lsh_bucketed_neardup_precision_and_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
+    """Probing more cells can only add candidates: recall vs brute force must
+    be non-decreasing in nprobe, and reach 1.0 at nprobe = n_cells."""
+    from faers_datalakehouse_spark.operators.similarity import ivf_topk_neighbors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_neighbors_bruteforce(emb, qs, k=5).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk_neighbors(
+                emb, qs, k=5, n_cells=8, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2, r_all = recall(1), recall(2), recall(8)
+    assert r1 <= r2 <= r_all
+    assert r_all == 1.0  # probing every cell IS brute force
+
+
 def test_token_count_and_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "Hello world, it's 2024!"), (2, "")], ["doc_id", "text"]
