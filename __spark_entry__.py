@@ -23,6 +23,7 @@ from faers_datalakehouse_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
+    simhash_oracle_sql,
 )
 from faers_datalakehouse_spark.operators.similarity import (
     ANN_TOPK_SQL_TEMPLATE,
@@ -231,6 +232,9 @@ def oracle_sql() -> dict[str, str]:
             k=JACCARD_K, threshold=JACCARD_THRESHOLD, band=JACCARD_BAND
         ),
         "minhash_lsh": minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD),
+        # The Arrow-kernel SimHash is md5-based, so even the Python path has
+        # an exact SQL twin (bit extraction from md5 hex nibbles).
+        "simhash_neardup": simhash_oracle_sql(),
         "corpus_curation": S.corpus_curation_oracle_sql(
             min_score=0.5, min_tokens=10
         ),

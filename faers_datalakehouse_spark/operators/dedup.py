@@ -523,6 +523,62 @@ def simhash_64(
     )
 
 
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of ``simhash_neardup_pairs`` — reproduces the Python
+    kernel exactly.
+
+    ``_token_hash64`` is md5-based (big-endian first 8 bytes = first 16 hex
+    chars), so DuckDB can recompute every token's bit pattern from the hex
+    string: bit ``b`` of the 64-bit hash lives in hex char ``16 - b//4``
+    (1-indexed), nibble bit ``b % 4``. The per-document fingerprint is then
+    64 signed accumulator sums + a threshold — plain integer SQL. Bit 63
+    contributes -2^63 (two's-complement), matching the kernel's signed fold.
+    The banding/Hamming pairing is the same arithmetic as the Spark side.
+    """
+    accs = ",\n         ".join(
+        "coalesce(list_sum(list_transform(hs, h -> CASE WHEN "
+        f"(('0x' || substr(h, {16 - b // 4}, 1))::INT >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)), 0) AS a{b}"
+        for b in range(64)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN a{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(63)
+    )
+    fp = f"{fp_terms} + (CASE WHEN a63 > 0 THEN -9223372036854775808 ELSE 0 END)"
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * 16}) & 65535 AS band_val FROM fp"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> ''),
+           t -> md5(t)) AS hs
+  FROM documents
+),
+acc AS (
+  SELECT doc_id,
+         {accs}
+  FROM toks
+),
+fp AS (
+  SELECT doc_id, {fp} AS simhash FROM acc
+),
+banded AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

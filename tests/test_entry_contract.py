@@ -13,8 +13,10 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs, f"orphan oracle keys: {oracles - qs}"
-    # rows-only queries are the documented Python-kernel/stub set
-    assert qs - oracles == {"multimodal_decode", "simhash_neardup"}
+    # the deterministic-fake multimodal stub is the only rows-only query:
+    # every real operator, including the probabilistic LSH paths and the
+    # Python-kernel SimHash, carries a full value-hash oracle
+    assert qs - oracles == {"multimodal_decode"}
 
 
 def test_entry_runs_and_returns_rows(spark):
