@@ -187,3 +187,71 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ingest_ts",
+    corrupt_record_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Streaming twin of ``sources.ingest.read_jsonl_documents``.
+
+    Explicit-schema PERMISSIVE JSONL scan: malformed lines land in
+    ``corrupt_record_col`` for quarantine instead of failing the stream, and
+    ``ts_col`` (event-time ingest timestamp) is part of the contract so
+    downstream stateful operators can watermark. One batch == the files
+    visible at trigger time; in production the source line changes to Kafka.
+    """
+    from ..sources.ingest import documents_schema
+
+    schema = T.StructType(
+        [
+            *documents_schema().fields,
+            T.StructField(ts_col, T.TimestampType(), True),
+            T.StructField(corrupt_record_col, T.StringType(), True),
+        ]
+    )
+    return (
+        spark.readStream.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_record_col)
+        .schema(schema)
+        .json(path)
+    )
+
+
+def streaming_document_curation(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+    min_score: float = 0.5,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Continuous corpus curation: the streaming twin of
+    ``plans.showcase.corpus_curation_query``'s row-grain stages.
+
+    Content-hash dedup within the watermark horizon (bounded state — the
+    only viable layout for an unbounded feed) → language-ID + quality
+    projections → threshold filter. Every stage is append-mode safe: no
+    aggregation, so rows flow through as soon as the dedup state admits
+    them. The per-language corpus rollup deliberately stays OUT of the
+    stream — it runs as a batch query over the curated sink table, keeping
+    streaming at row grain and batch on corpus stats (no duplicated logic:
+    both sides compose the same oracle-checked Column builders).
+    """
+    from ..functions.text import language_id, quality_score_cols
+    from ..operators.dedup import _norm_text
+
+    hashed = docs.withColumn("content_hash", F.md5(_norm_text(F.col("text"))))
+    deduped = hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    q = quality_score_cols(F.col("text"))
+    return deduped.select(
+        "doc_id",
+        ts_col,
+        "content_hash",
+        language_id(F.col("text")).alias("pred_lang"),
+        q["q_tokens"].alias("q_tokens"),
+        q["q_score"].alias("q_score"),
+    ).filter((F.col("q_score") >= min_score) & (F.col("q_tokens") >= min_tokens))

@@ -118,6 +118,109 @@ def test_streaming_dedup_within_watermark(spark, events_dir):
     assert out.count() == batch.select("event_id").distinct().count()
 
 
+def test_continuous_curation_jsonl_end_to_end(spark, tmp_path):
+    """The full ingestion story: JSONL files → quarantine split → watermarked
+    content-hash dedup → curation projections, driven through
+    processAllAvailable(), then the per-language rollup as a batch query over
+    the curated sink — equivalent to the batch curation on the same lines."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.functions.text import (
+        language_id,
+        quality_score_cols,
+    )
+    from faers_datalakehouse_spark.operators.dedup import _norm_text
+    from faers_datalakehouse_spark.streaming.events import (
+        run_to_completion,
+        stream_jsonl_documents,
+        streaming_document_curation,
+    )
+
+    base = "the cat and the dog lived in the house for it was warm and big"
+    docs = [
+        (1, base),
+        (2, base.upper() + "!!!"),  # normalized duplicate of doc 1
+        (3, "der Hund und die Katze ist nicht mit der Maus in dem Haus heute"),
+        (4, "word " * 12),  # low quality: one repeated token
+        (5, "le chat et la maison est dans les arbres pour que nous vivons"),
+    ]
+    d = tmp_path / "jsonl_in"
+    d.mkdir()
+    lines = [
+        _json.dumps(
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": "xx",
+                "source": "test",
+                "meta": {},
+                "ingest_ts": "2024-01-01 00:00:00",
+            }
+        )
+        for i, t in docs
+    ]
+    lines.insert(2, '{"doc_id": 99, "text": "broken')  # malformed → quarantine
+    (d / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    stream = stream_jsonl_documents(spark, str(d))
+    # Spark refuses plans referencing only the corrupt column — keep the
+    # real columns in the quarantine record (useful anyway for triage).
+    quarantined = run_to_completion(
+        stream.filter(F.col("_corrupt_record").isNotNull()).select(
+            "doc_id", "text", "_corrupt_record"
+        ),
+        "quarantine_sink",
+        "append",
+    )
+    assert quarantined.count() == 1
+
+    curated = run_to_completion(
+        streaming_document_curation(
+            stream.filter(F.col("_corrupt_record").isNull())
+        ),
+        "curated_sink",
+        "append",
+    )
+
+    # batch twin over the same lines: same builders, same thresholds
+    batch = (
+        spark.read.json(
+            spark.sparkContext.parallelize([ln for ln in lines if '"meta"' in ln])
+        )
+        .withColumn("content_hash", F.md5(_norm_text(F.col("text"))))
+        .dropDuplicates(["content_hash"])
+    )
+    q = quality_score_cols(F.col("text"))
+    expected = (
+        batch.select(
+            "content_hash",
+            language_id(F.col("text")).alias("pred_lang"),
+            q["q_tokens"].alias("q_tokens"),
+            q["q_score"].alias("q_score"),
+        )
+        .filter((F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 10))
+        .collect()
+    )
+    got = {
+        r["content_hash"]: (r["pred_lang"], r["q_tokens"], r["q_score"])
+        for r in curated.collect()
+    }
+    want = {
+        r["content_hash"]: (r["pred_lang"], r["q_tokens"], r["q_score"])
+        for r in expected
+    }
+    assert got == want
+    assert len(got) >= 2  # dedup collapsed the pair; thresholds dropped junk
+
+    # the rollup the streaming side deliberately leaves to batch
+    rollup = (
+        curated.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sum(r["n"] for r in rollup) == len(got)
+
+
 def test_stateless_text_ops_are_streaming_safe(spark, tmp_path):
     """The curation projections (quality, lang-ID, redaction) are stateless,
     so the same Column builders must run unchanged on a stream."""
