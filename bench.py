@@ -89,6 +89,12 @@ def main() -> None:
     spread: dict[str, float] = {}
     total = 0.0
     for label, (action, key) in BENCH_QUERIES.items():
+        # One untimed warm-up per query: the first execution of a plan pays
+        # whole-stage-codegen compilation + JIT (seconds for the widest
+        # generated code, e.g. 64 MinHash permutation expressions) that a
+        # steady-state measurement shouldn't include. Data cache is cleared
+        # inside _run_once, so only code warmth carries over.
+        _run_once(spark, queries, key, action)
         runs = [_run_once(spark, queries, key, action) for _ in range(N_RUNS)]
         med = statistics.median(runs)
         timings[label] = round(med, 3)
