@@ -25,6 +25,10 @@ from faers_datalakehouse_spark.operators.dedup import (
     simhash_neardup_pairs,
     simhash_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.contamination import (
+    contamination_check,
+    contamination_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.similarity import (
     ANN_TOPK_SQL_TEMPLATE,
     COSINE_NEARDUP_SQL_TEMPLATE,
@@ -158,6 +162,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        # Benchmark decontamination: distinct 3-gram overlap vs a broadcast
+        # benchmark set (deterministic doc_id % 97 split at every sf).
+        "contamination_check": _docs(
+            lambda df: contamination_check(
+                df.filter(F.col("doc_id") % 97 != 0),
+                df.filter(F.col("doc_id") % 97 == 0),
+                n=3,
+            )
+        ),
         # End-to-end curation composition: dedup → lang+quality → filter →
         # per-language corpus stats (the real training-data pipeline shape).
         "corpus_curation": partial(
@@ -169,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": S.split_assign_query,
         "stratified_cap": partial(S.stratified_cap_query, cap=30),
         "text_quality": S.text_quality_query,
+        # Gopher-style within-doc repetition signals (boilerplate/spam filter)
+        "repetition_filter": S.repetition_filter_query,
         "lang_id": S.lang_id_query,
         "fingerprint_dedup": S.fingerprint_query,
         "ann_topk": _ann_queries,
@@ -235,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         # The Arrow-kernel SimHash is md5-based, so even the Python path has
         # an exact SQL twin (bit extraction from md5 hex nibbles).
         "simhash_neardup": simhash_oracle_sql(),
+        "contamination_check": contamination_oracle_sql(n=3, bench_mod=97),
         "corpus_curation": S.corpus_curation_oracle_sql(
             min_score=0.5, min_tokens=10
         ),
@@ -244,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": S.SPLIT_ASSIGN_SQL,
         "stratified_cap": S.STRATIFIED_CAP_SQL.format(cap=30),
         "text_quality": S.TEXT_QUALITY_SQL,
+        "repetition_filter": S.REPETITION_FILTER_SQL,
         "lang_id": S.LANG_ID_SQL,
         "fingerprint_dedup": S.FINGERPRINT_SQL,
         "ann_topk": ANN_TOPK_SQL_TEMPLATE.format(

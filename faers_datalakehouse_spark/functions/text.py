@@ -117,6 +117,118 @@ def doc_fingerprint(col: Column | str, n_words: int = 8) -> Column:
     return F.md5(prefix)
 
 
+def _let(expr: Column, fn) -> Column:
+    """One-element-array let binding (see ``operators/dedup._let``): a
+    subexpression referenced inside a higher-order lambda re-evaluates per
+    element; binding it as the lambda variable evaluates it exactly once."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def repetition_stats_cols(col: Column | str) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals.
+
+    Boilerplate and SEO spam repeat themselves; these per-row signals catch
+    that without any shuffle (all higher-order array expressions over the
+    token stream, one codegen'd projection):
+
+    - ``r_tokens``           — whitespace token count
+    - ``r_top_word_count``   — occurrences of the most frequent token
+    - ``r_top_word_frac``    — top-token occurrences / tokens
+    - ``r_dup_2gram_frac``   — repeated 2-grams / 2-grams
+    - ``r_dup_3gram_frac``   — repeated 3-grams / 3-grams
+    - ``r_adjacent_repeats`` — count of immediately-repeated tokens
+
+    Fractions are each a SINGLE IEEE division of two exact integers (then one
+    round) so DuckDB reproduces them bit-for-bit — no float accumulation.
+    The top-count scan is O(distinct × tokens) per row: bounded per-document
+    work, embarrassingly parallel at corpus scale.
+    """
+    c = _c(col)
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda t: F.size(F.filter(words, lambda w: w == t)),
+            )
+        )
+        grams2 = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams3 = F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        adj = F.when(
+            n >= 2,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.element_at(words, i + 1) == F.element_at(words, i),
+                )
+            ),
+        ).otherwise(F.lit(0))
+
+        def dup_frac(grams: Column) -> Column:
+            total = F.size(grams)
+            dups = (total - F.size(F.array_distinct(grams))).cast("double")
+            return F.when(
+                total > 0, F.round(dups / total.cast("double"), 4)
+            ).otherwise(F.lit(0.0))
+
+        return F.struct(
+            n.cast("long").alias("r_tokens"),
+            top.cast("long").alias("r_top_word_count"),
+            F.when(
+                n > 0,
+                F.round(top.cast("double") / n.cast("double"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("r_top_word_frac"),
+            dup_frac(grams2).alias("r_dup_2gram_frac"),
+            dup_frac(grams3).alias("r_dup_3gram_frac"),
+            adj.cast("long").alias("r_adjacent_repeats"),
+        )
+
+    empty = F.trim(c) == ""
+    stats = _let(F.split(F.trim(c), r"\s+"), build)
+    zero_l = F.lit(0).cast("long")
+    zero_d = F.lit(0.0)
+    return {
+        "r_tokens": F.when(empty, zero_l).otherwise(stats["r_tokens"]),
+        "r_top_word_count": F.when(empty, zero_l).otherwise(
+            stats["r_top_word_count"]
+        ),
+        "r_top_word_frac": F.when(empty, zero_d).otherwise(
+            stats["r_top_word_frac"]
+        ),
+        "r_dup_2gram_frac": F.when(empty, zero_d).otherwise(
+            stats["r_dup_2gram_frac"]
+        ),
+        "r_dup_3gram_frac": F.when(empty, zero_d).otherwise(
+            stats["r_dup_3gram_frac"]
+        ),
+        "r_adjacent_repeats": F.when(empty, zero_l).otherwise(
+            stats["r_adjacent_repeats"]
+        ),
+    }
+
+
 # --- corpus chunking + PII redaction (training-data preprocessing) ---
 
 # Conservative patterns that parse identically in Spark (Java regex) and

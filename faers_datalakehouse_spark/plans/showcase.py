@@ -18,6 +18,7 @@ from ..functions.text import (
     doc_fingerprint,
     language_id,
     quality_score_cols,
+    repetition_stats_cols,
     token_count,
 )
 from ..functions.transforms import guarded_double
@@ -327,6 +328,78 @@ SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
 FROM fp GROUP BY fingerprint
 ORDER BY keep_id
 """
+
+def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-doc repetition signals + keep flag.
+
+    Thresholds (top-word ≤ 0.15, dup-2gram ≤ 0.05, adjacent repeats ≤ 4) sit
+    inside the observed sf0.01 distribution so both keep classes appear.
+    Zero shuffle: one codegen'd projection over the scan, then a sort for
+    display — the 100 TB shape is scan → project → write.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = repetition_stats_cols(F.col("text"))
+    keep = (
+        (r["r_top_word_frac"] <= 0.15)
+        & (r["r_dup_2gram_frac"] <= 0.05)
+        & (r["r_adjacent_repeats"] <= 4)
+    )
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in r.items()],
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+REPETITION_FILTER_SQL = """
+WITH w AS (
+  SELECT doc_id, trim(text) AS t,
+         regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, t, words, len(words) AS n,
+         list_max(list_transform(list_distinct(words),
+                  tok -> len(list_filter(words, w -> w = tok)))) AS topc,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(1, len(words)),
+                   i -> concat_ws(' ', words[i], words[i+1]))
+              ELSE [] END AS g2,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+              ELSE [] END AS g3,
+         CASE WHEN len(words) >= 2
+              THEN len(list_filter(range(1, len(words)),
+                       i -> words[i+1] = words[i]))
+              ELSE 0 END AS adj
+  FROM w
+), r AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0 ELSE n END AS r_tokens,
+         CASE WHEN t = '' THEN 0 ELSE topc END AS r_top_word_count,
+         CASE WHEN t = '' OR n = 0 THEN 0.0
+              ELSE round(CAST(topc AS DOUBLE) / CAST(n AS DOUBLE), 4)
+              END AS r_top_word_frac,
+         CASE WHEN t = '' OR len(g2) = 0 THEN 0.0
+              ELSE round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                         / CAST(len(g2) AS DOUBLE), 4) END AS r_dup_2gram_frac,
+         CASE WHEN t = '' OR len(g3) = 0 THEN 0.0
+              ELSE round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                         / CAST(len(g3) AS DOUBLE), 4) END AS r_dup_3gram_frac,
+         CASE WHEN t = '' THEN 0 ELSE adj END AS r_adjacent_repeats
+  FROM s
+)
+SELECT doc_id,
+       CAST(r_tokens AS BIGINT) AS r_tokens,
+       CAST(r_top_word_count AS BIGINT) AS r_top_word_count,
+       r_top_word_frac, r_dup_2gram_frac, r_dup_3gram_frac,
+       CAST(r_adjacent_repeats AS BIGINT) AS r_adjacent_repeats,
+       (r_top_word_frac <= 0.15 AND r_dup_2gram_frac <= 0.05
+        AND r_adjacent_repeats <= 4) AS keep
+FROM r
+ORDER BY doc_id
+"""
+
 
 # --------------------------------------------------------------------------
 # As-of join showcase (DuckDB native ASOF JOIN as the oracle)

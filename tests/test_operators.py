@@ -290,3 +290,61 @@ def test_deterministic_split_stable_under_repartition(spark):
     s1 = {(r["g"], r["doc_id"]) for r in stratified_cap(strat, ["g"], "doc_id", 10).collect()}
     s2 = {(r["g"], r["doc_id"]) for r in stratified_cap(strat.repartition(13), ["g"], "doc_id", 10).collect()}
     assert s1 == s2 and len(s1) == 30
+
+
+def test_repetition_stats_edges(spark):
+    from faers_datalakehouse_spark.functions.text import repetition_stats_cols
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # total repetition
+            (2, "a b c d e f"),                  # no repetition
+            (3, ""),                             # empty → all zeros
+            (4, "x"),                            # 1 token: no 2/3-grams
+            (5, "a b a b a b"),                  # repeated 2-grams, no adjacents
+        ],
+        ["doc_id", "text"],
+    )
+    r = repetition_stats_cols(F.col("text"))
+    rows = {
+        row["doc_id"]: row
+        for row in df.select(
+            "doc_id", *[v.alias(k) for k, v in r.items()]
+        ).collect()
+    }
+    assert rows[1]["r_top_word_frac"] == 1.0
+    assert rows[1]["r_dup_2gram_frac"] == 0.6667  # 3 grams, 1 distinct, round(4)
+    assert rows[1]["r_adjacent_repeats"] == 3
+    assert rows[2]["r_dup_2gram_frac"] == 0.0
+    assert rows[2]["r_top_word_count"] == 1
+    assert rows[3]["r_tokens"] == 0 and rows[3]["r_top_word_frac"] == 0.0
+    assert rows[4]["r_tokens"] == 1 and rows[4]["r_dup_2gram_frac"] == 0.0
+    assert rows[5]["r_adjacent_repeats"] == 0
+    assert rows[5]["r_dup_2gram_frac"] > 0.5  # "a b"/"b a" repeat heavily
+
+
+def test_contamination_check_counts_and_plan(spark):
+    from faers_datalakehouse_spark.operators.contamination import (
+        contamination_check,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),    # shares "the quick brown"…
+            (2, "totally unrelated words here"),
+            (3, "xx"),                           # shorter than n → 0 ngrams
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "The Quick Brown Fox")], ["doc_id", "text"]  # case-folded match
+    )
+    out = contamination_check(corpus, bench, n=3)
+    rows = {row["doc_id"]: row for row in out.collect()}
+    assert rows[1]["n_contaminated"] == 2   # "the quick brown", "quick brown fox"
+    assert rows[1]["is_contaminated"]
+    assert rows[2]["n_contaminated"] == 0 and not rows[2]["is_contaminated"]
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["contamination_frac"] == 0.0
+    # benchmark side must broadcast — the corpus never shuffles for the probe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
