@@ -25,6 +25,10 @@ from faers_datalakehouse_spark.operators.dedup import (
     simhash_neardup_pairs,
     simhash_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.clustering import (
+    cluster_assignments,
+    cluster_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.contamination import (
     contamination_check,
     contamination_oracle_sql,
@@ -162,6 +166,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        # Transitive dedup clustering: MinHash candidate pairs → connected
+        # components (min-label propagation) → canonical doc per cluster.
+        "neardup_clusters": _docs(
+            lambda df: cluster_assignments(
+                minhash_lsh_pairs(
+                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
+                ),
+                src="id_a",
+                dst="id_b",
+            )
+        ),
         # Benchmark decontamination: distinct 3-gram overlap vs a broadcast
         # benchmark set (deterministic doc_id % 97 split at every sf).
         "contamination_check": _docs(
@@ -184,6 +199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": S.text_quality_query,
         # Gopher-style within-doc repetition signals (boilerplate/spam filter)
         "repetition_filter": S.repetition_filter_query,
+        # Training-mixture rebalancing: per-language token shares → capped
+        # upsampling weights toward a uniform budget.
+        "mixture_weights": S.mixture_weights_query,
         "lang_id": S.lang_id_query,
         "fingerprint_dedup": S.fingerprint_query,
         "ann_topk": _ann_queries,
@@ -251,6 +269,10 @@ def oracle_sql() -> dict[str, str]:
         # an exact SQL twin (bit extraction from md5 hex nibbles).
         "simhash_neardup": simhash_oracle_sql(),
         "contamination_check": contamination_oracle_sql(n=3, bench_mod=97),
+        # Recursive-CTE twin over the same deterministic MinHash pair SQL.
+        "neardup_clusters": cluster_oracle_sql(
+            minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD)
+        ),
         "corpus_curation": S.corpus_curation_oracle_sql(
             min_score=0.5, min_tokens=10
         ),
@@ -261,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_cap": S.STRATIFIED_CAP_SQL.format(cap=30),
         "text_quality": S.TEXT_QUALITY_SQL,
         "repetition_filter": S.REPETITION_FILTER_SQL,
+        "mixture_weights": S.MIXTURE_WEIGHTS_SQL,
         "lang_id": S.LANG_ID_SQL,
         "fingerprint_dedup": S.FINGERPRINT_SQL,
         "ann_topk": ANN_TOPK_SQL_TEMPLATE.format(

@@ -329,6 +329,62 @@ FROM fp GROUP BY fingerprint
 ORDER BY keep_id
 """
 
+def mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling weights toward a uniform token budget.
+
+    The training-mixture step: given per-group token totals, the upsampling
+    weight that equalizes each group's share is
+    ``target_share / actual_share = total / (k * group_tokens)`` — one exact
+    integer product and ONE IEEE division, so DuckDB reproduces it
+    bit-for-bit. Weights are capped at 3.0 (a real pipeline bounds
+    upsampling to limit repetition).
+
+    Scale shape: one shuffle (groupBy lang, map-side combine on the token
+    sums); the unpartitioned window runs over the *aggregated* frame —
+    cardinality = number of groups, never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grouped = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    total = F.sum("n_tokens").over(everything)
+    k = F.count(F.lit(1)).over(everything)
+    raw_weight = total.cast("double") / (k * F.col("n_tokens")).cast("double")
+    return grouped.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total.cast("double"), 4).alias(
+            "token_share"
+        ),
+        F.round(F.least(raw_weight, F.lit(3.0)), 4).alias("sample_weight"),
+    ).orderBy("lang")
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH g AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang,
+       n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE)
+             / CAST(sum(n_tokens) OVER () AS DOUBLE), 4) AS token_share,
+       round(least(CAST(sum(n_tokens) OVER () AS DOUBLE)
+                   / CAST(count(*) OVER () * n_tokens AS DOUBLE), 3.0), 4)
+         AS sample_weight
+FROM g
+ORDER BY lang
+"""
+
+
 def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: per-doc repetition signals + keep flag.
 

@@ -348,3 +348,31 @@ def test_contamination_check_counts_and_plan(spark):
     # benchmark side must broadcast — the corpus never shuffles for the probe
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    from faers_datalakehouse_spark.operators.clustering import (
+        cluster_assignments,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3, needs propagation) + island 10-11
+        [(2, 1), (2, 3), (4, 3), (10, 11)],
+        ["src", "dst"],
+    )
+    cc = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    out = cluster_assignments(edges).collect()
+    sizes = {r["doc_id"]: r["cluster_size"] for r in out}
+    assert sizes == {1: 4, 2: 4, 3: 4, 4: 4, 10: 2, 11: 2}
+    canon = sorted(r["doc_id"] for r in out if r["is_canonical"])
+    assert canon == [1, 10]
+
+
+def test_connected_components_empty_edges(spark):
+    from faers_datalakehouse_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame([], "src: bigint, dst: bigint")
+    assert connected_components(edges).count() == 0
