@@ -33,6 +33,10 @@ from faers_datalakehouse_spark.operators.contamination import (
     contamination_check,
     contamination_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.kmeans import (
+    kmeans_lite,
+    kmeans_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.similarity import (
     ANN_TOPK_SQL_TEMPLATE,
     COSINE_NEARDUP_SQL_TEMPLATE,
@@ -211,6 +215,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (more probed cells only add candidates) — still exactly
         # oracle-reproducible because probing is deterministic integer math.
         "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
+        # Iterative-ML showcase: 2 Lloyd rounds of exact-integer k-means
+        # (quantized vectors, md5-sampled seeds, integer mean rounding) —
+        # the full iteration is bit-reproducible in DuckDB as a CTE chain.
+        "kmeans_clusters": lambda spark, sf_dir: kmeans_lite(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, iters=2
+        ),
         "cosine_neardup": lambda spark, sf_dir: cosine_neardup_pairs(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
@@ -298,6 +308,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_nprobe2": IVF_TOPK_SQL_TEMPLATE.format(
             quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K, n_cells=16, nprobe=2
         ),
+        # Every Lloyd round mirrored exactly (seeds, argmin tiebreak, integer
+        # centroid rounding) — an iterative algorithm with a hash-green oracle.
+        "kmeans_clusters": kmeans_oracle_sql(k=8, iters=2, dims=64),
         "cosine_neardup": COSINE_NEARDUP_SQL_TEMPLATE.format(
             quant=QUANT, threshold=NEARDUP_COS_THRESHOLD
         ),

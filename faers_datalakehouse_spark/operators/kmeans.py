@@ -1,0 +1,211 @@
+"""Exact-arithmetic mini-batchless k-means (Lloyd) over embedding columns.
+
+The iterative-algorithm showcase: k-means is the canonical "Spark can do
+ML-shaped loops" workload (semantic dedup, corpus clustering, IVF centroid
+training all reduce to it). The layout keeps EVERYTHING exact integer
+arithmetic so a fixed number of Lloyd rounds is bit-reproducible in DuckDB:
+
+- Vectors are quantized once (``round(x * 1000)`` → int64 — the same QUANT
+  contract the ANN oracles already prove cross-engine).
+- Seeds are the ``k`` rows with the smallest md5-int64 id hash (the repo's
+  shared-vocabulary hash): deterministic, sample-like, engine-portable.
+- Assignment = argmin of exact integer squared distance, ties to the lowest
+  centroid id.
+- Centroid update rounds the exact rational mean to an integer with
+  round-half-away-from-zero computed IN INTEGERS
+  (``sign · (2·|S| + n) // (2·n)``) — no float mean, no banker's rounding
+  mismatch. Empty clusters keep their previous centroid.
+
+Scale shape (per round): one codegen'd projection for assignment (centroids
+ride along as literals — k·dims integers, the classic broadcast-the-model
+pattern), then ``posexplode → groupBy (cluster, dim)`` whose partial
+aggregation reduces the shuffle to k·dims rows regardless of corpus size.
+Driver state is k·dims integers per round — same bounded-collect contract as
+the IVF centroid sample (``similarity.py``). Rounds are a driver loop, as in
+Spark MLlib's own KMeans; ``iters`` is fixed, not convergence-gated, so the
+oracle can mirror it as a finite CTE chain.
+
+No counterpart in the reference (LLM-pipeline extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_hash64
+from .similarity import QUANT
+
+
+def _quantized(col: Column) -> Column:
+    return F.transform(col, lambda x: F.round(x * QUANT).cast("long"))
+
+
+def _round_half_away(s: int, n: int) -> int:
+    """Integer round-half-away-from-zero of s/n (n > 0) — matches the SQL
+    twin's ``(2·|s| + n) // (2·n)`` formula exactly."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((2 * -s + n) // (2 * n))
+
+
+def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Add ``cid``: index of the nearest centroid (exact integer distances,
+    ties to the lowest cid). Centroids are expression literals — the
+    broadcast-the-model pattern; one projection, no join, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(v) for v in vec]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    # array_min on struct<dist,cid> = lexicographic (dist, then cid) argmin
+    return q.withColumn("cid", F.array_min(scored)["cid"])
+
+
+def kmeans_lite(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``iters`` Lloyd rounds from deterministic seeds; returns
+    ``(id_col, cluster_id, cluster_size)`` ordered by id.
+
+    ``cluster_id`` is the seed index (0..k-1), NOT a row id. Sizes come from
+    a k-row aggregate broadcast back onto the assignment — never a window
+    over the corpus partitioned by the k hot cluster keys.
+    """
+    q = emb.select(F.col(id_col), _quantized(F.col(emb_col)).alias("qv")).persist()
+    seeds = (
+        q.select(
+            id_col, "qv", _md5_hash64(F.col(id_col).cast("string")).alias("h")
+        )
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )  # bounded: k rows
+    cents = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
+    dims = len(cents[0][1])
+
+    for _ in range(iters):
+        assigned = _assign(q, cents)
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # bounded: k·dims rows (after partial agg, regardless of corpus size)
+        by_cid: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], [0] * dims)[r["pos"]] = r["s"]
+            counts[r["cid"]] = r["n"]
+        cents = [
+            (
+                cid,
+                [_round_half_away(s, counts[cid]) for s in by_cid[cid]]
+                if cid in by_cid  # empty cluster keeps its previous centroid
+                else vec,
+            )
+            for cid, vec in cents
+        ]
+
+    final = _assign(q, cents).select(
+        id_col, F.col("cid").alias("cluster_id")
+    )
+    sizes = final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    out = final.join(F.broadcast(sizes), "cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    ).orderBy(id_col)
+    q.unpersist()
+    return out
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``kmeans_lite``: the same seeds, distances, argmin
+    tiebreak, and integer centroid rounding, unrolled as a CTE chain
+    (c0 → a0 → c1 → a1 → …). Exact parity per round, not just at the end."""
+    rha = (
+        "CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n) "
+        "ELSE -((2 * (-s) + n) // (2 * n)) END"
+    )
+    parts = [
+        f"""q AS (
+  SELECT {id_col}, list_transform({emb_col},
+         x -> CAST(round(x * {QUANT}) AS BIGINT)) AS qv
+  FROM {table}
+),
+c0 AS (
+  SELECT rn - 1 AS cid, qv AS cent FROM (
+    SELECT qv, row_number() OVER (ORDER BY
+      ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT,
+      {id_col}) AS rn
+    FROM q
+  ) WHERE rn <= {k}
+)"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT q.{id_col}, q.qv, c.cid,
+         list_sum(list_transform(range(1, {dims + 1}),
+           j -> (q.qv[j] - c.cent[j]) * (q.qv[j] - c.cent[j]))) AS dist
+  FROM q CROSS JOIN c{i} c
+),
+a{i} AS (
+  SELECT {id_col}, qv, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {id_col} ORDER BY dist, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)"""
+        )
+        if i == iters:
+            break
+        parts.append(
+            f"""s{i} AS (
+  SELECT cid, j, sum(qv[j]) AS s, count(*) AS n
+  FROM a{i} CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS j) dd
+  GROUP BY cid, j
+),
+u{i} AS (
+  SELECT cid, list({rha} ORDER BY j) AS cent FROM s{i} GROUP BY cid
+),
+c{i + 1} AS (
+  SELECT p.cid, coalesce(u.cent, p.cent) AS cent
+  FROM c{i} p LEFT JOIN u{i} u USING (cid)
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT a.{id_col},
+       a.cid AS cluster_id,
+       n.cluster_size
+FROM a{iters} a
+JOIN (SELECT cid, count(*) AS cluster_size FROM a{iters} GROUP BY cid) n
+  USING (cid)
+ORDER BY a.{id_col}
+"""

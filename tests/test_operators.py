@@ -376,3 +376,51 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src: bigint, dst: bigint")
     assert connected_components(edges).count() == 0
+
+
+def test_kmeans_round_half_away():
+    from faers_datalakehouse_spark.operators.kmeans import _round_half_away
+
+    assert _round_half_away(5, 2) == 3      # 2.5 → 3 (away from zero)
+    assert _round_half_away(-5, 2) == -3    # -2.5 → -3 (not banker's -2)
+    assert _round_half_away(7, 2) == 4
+    assert _round_half_away(1, 3) == 0
+    assert _round_half_away(2, 3) == 1
+    assert _round_half_away(-2, 3) == -1
+    assert _round_half_away(0, 5) == 0
+
+
+def test_kmeans_lite_separates_blobs(spark):
+    from faers_datalakehouse_spark.operators.kmeans import kmeans_lite
+
+    # two well-separated 2-d blobs: 2 Lloyd rounds must split them exactly,
+    # whichever rows the hash-sampling picks as seeds
+    rows = [(i, [10.0 + (i % 3) * 0.01, 10.0]) for i in range(6)] + [
+        (i, [-10.0 - (i % 3) * 0.01, -10.0]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    out = kmeans_lite(df, k=2, iters=2).collect()
+    assert [r["vec_id"] for r in out] == list(range(12))
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        assert r["cluster_size"] == 6
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    assert sorted(by_cluster.values(), key=min) == [
+        set(range(6)),
+        set(range(6, 12)),
+    ]
+
+
+def test_kmeans_lite_empty_cluster_keeps_centroid(spark):
+    from faers_datalakehouse_spark.operators.kmeans import kmeans_lite
+
+    # all-identical vectors: every point ties to the lowest cid, the other
+    # cluster goes empty and must retain its centroid without crashing
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(4)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    out = kmeans_lite(df, k=2, iters=2).collect()
+    assert len(out) == 4
+    assert {r["cluster_id"] for r in out} == {0}
+    assert all(r["cluster_size"] == 4 for r in out)
