@@ -37,6 +37,10 @@ from faers_datalakehouse_spark.operators.kmeans import (
     kmeans_lite,
     kmeans_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.semdedup import (
+    semantic_neardup_oracle_sql,
+    semantic_neardup_pairs,
+)
 from faers_datalakehouse_spark.operators.similarity import (
     ANN_TOPK_SQL_TEMPLATE,
     COSINE_NEARDUP_SQL_TEMPLATE,
@@ -225,6 +229,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
         ),
+        # SemDeDup: k-means blocking + exact in-cluster cosine — the
+        # paraphrase-level dedup MinHash can't see, linear via clustering.
+        "semantic_neardup": lambda spark, sf_dir: semantic_neardup_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            k=8,
+            iters=2,
+            threshold=NEARDUP_COS_THRESHOLD,
+        ),
         # DEFAULT near-dup path: LSH bucket blocking + exact in-bucket cosine
         # (linear; cosine_neardup above is the quadratic verify kernel).
         # 8 planes (not the operator's 10-plane default): the synthetic
@@ -313,6 +325,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": kmeans_oracle_sql(k=8, iters=2, dims=64),
         "cosine_neardup": COSINE_NEARDUP_SQL_TEMPLATE.format(
             quant=QUANT, threshold=NEARDUP_COS_THRESHOLD
+        ),
+        "semantic_neardup": semantic_neardup_oracle_sql(
+            k=8, iters=2, threshold=NEARDUP_COS_THRESHOLD, dims=64
         ),
         # Oracle-checked even though it's the approximate path: the integer
         # hyperplane buckets are bit-identical across engines.

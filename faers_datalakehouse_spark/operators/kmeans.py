@@ -74,19 +74,18 @@ def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     return q.withColumn("cid", F.array_min(scored)["cid"])
 
 
-def kmeans_lite(
+def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """``iters`` Lloyd rounds from deterministic seeds; returns
-    ``(id_col, cluster_id, cluster_size)`` ordered by id.
+    """``iters`` Lloyd rounds from deterministic seeds; returns the raw
+    assignment ``(id_col, cluster_id)``, unordered — the composable core
+    (SemDeDup blocking, IVF-style routing) without the size rollup.
 
-    ``cluster_id`` is the seed index (0..k-1), NOT a row id. Sizes come from
-    a k-row aggregate broadcast back onto the assignment — never a window
-    over the corpus partitioned by the k hot cluster keys.
+    ``cluster_id`` is the seed index (0..k-1), NOT a row id.
     """
     q = emb.select(F.col(id_col), _quantized(F.col(emb_col)).alias("qv")).persist()
     seeds = (
@@ -126,17 +125,32 @@ def kmeans_lite(
     final = _assign(q, cents).select(
         id_col, F.col("cid").alias("cluster_id")
     )
+    q.unpersist()
+    return final
+
+
+def kmeans_lite(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``kmeans_assign`` plus cluster sizes:
+    ``(id_col, cluster_id, cluster_size)`` ordered by id. Sizes come from a
+    k-row aggregate broadcast back onto the assignment — never a window
+    over the corpus partitioned by the k hot cluster keys.
+    """
+    final = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
     sizes = final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    out = final.join(F.broadcast(sizes), "cluster_id").select(
+    return final.join(F.broadcast(sizes), "cluster_id").select(
         id_col, "cluster_id", "cluster_size"
     ).orderBy(id_col)
-    q.unpersist()
-    return out
 
 
-def kmeans_oracle_sql(
+def kmeans_ctes(
     k: int = 8,
     iters: int = 2,
     dims: int = 64,
@@ -144,9 +158,11 @@ def kmeans_oracle_sql(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> str:
-    """DuckDB twin of ``kmeans_lite``: the same seeds, distances, argmin
-    tiebreak, and integer centroid rounding, unrolled as a CTE chain
-    (c0 → a0 → c1 → a1 → …). Exact parity per round, not just at the end."""
+    """DuckDB CTE chain mirroring ``kmeans_assign`` exactly — the same
+    seeds, distances, argmin tiebreak, and integer centroid rounding,
+    unrolled round by round (c0 → a0 → c1 → a1 → …). The final CTE
+    ``a{iters}`` holds the assignment ``(id_col, qv, cid)``; composing
+    oracles (kmeans_clusters, semantic_neardup) append their own CTEs."""
     rha = (
         "CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n) "
         "ELSE -((2 * (-s) + n) // (2 * n)) END"
@@ -198,7 +214,19 @@ c{i + 1} AS (
   FROM c{i} p LEFT JOIN u{i} u USING (cid)
 )"""
         )
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``kmeans_lite`` (assignment + cluster sizes)."""
+    body = kmeans_ctes(k, iters, dims, table, id_col, emb_col)
     return f"""
 WITH {body}
 SELECT a.{id_col},

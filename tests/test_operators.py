@@ -411,6 +411,42 @@ def test_kmeans_lite_separates_blobs(spark):
     ]
 
 
+def test_semantic_neardup_subset_of_exact_pairs(spark, sf_dir):
+    from faers_datalakehouse_spark.operators.semdedup import (
+        semantic_neardup_pairs,
+    )
+    from faers_datalakehouse_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = semantic_neardup_pairs(emb, k=8, iters=2, threshold=0.45).collect()
+    exact = cosine_neardup_pairs(emb, threshold=0.45).collect()
+    sem_pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in sem}
+    exact_pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact}
+    # cluster blocking can only DROP pairs, never invent or re-score them
+    assert sem_pairs, "expected nonzero in-cluster pairs at threshold 0.45"
+    assert set(sem_pairs) <= set(exact_pairs)
+    for pair, cos in sem_pairs.items():
+        assert cos == exact_pairs[pair]
+
+
+def test_semantic_neardup_same_cluster_duplicates(spark):
+    from faers_datalakehouse_spark.operators.semdedup import (
+        semantic_neardup_pairs,
+    )
+
+    # identical vectors MUST cluster together and pair at cosine 1.0;
+    # the far-away blob must not cross the cluster boundary
+    rows = [(0, [5.0, 5.0]), (1, [5.0, 5.0]), (2, [-9.0, 4.0]), (3, [-9.0, 4.01])]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    out = semantic_neardup_pairs(df, k=2, iters=2, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == {(0, 1), (2, 3)}
+    by_pair = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    assert by_pair[(0, 1)] == 1.0
+
+
 def test_kmeans_lite_empty_cluster_keeps_centroid(spark):
     from faers_datalakehouse_spark.operators.kmeans import kmeans_lite
 
