@@ -56,6 +56,7 @@ from faers_datalakehouse_spark.operators.similarity import (
 )
 from faers_datalakehouse_spark.plans import analytics as A
 from faers_datalakehouse_spark.plans import showcase as S
+from faers_datalakehouse_spark.plans import training_prep as T
 from faers_datalakehouse_spark.plans.date_dim import build_date_dim, date_dim_oracle
 from faers_datalakehouse_spark.plans.star import (
     FACT_SALES_ORACLE_SQL,
@@ -212,6 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": S.mixture_weights_query,
         "lang_id": S.lang_id_query,
         "fingerprint_dedup": S.fingerprint_query,
+        # -- tokenizer/trainer prep: vocab induction, BPE stats, packing,
+        #    shard manifests (plans/training_prep.py) --
+        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
+        "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
+        "pack_sequences": partial(T.pack_sequences_query, budget=512, n_shards=4),
+        "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
         "ann_topk": _ann_queries,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
@@ -308,6 +315,10 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": S.MIXTURE_WEIGHTS_SQL,
         "lang_id": S.LANG_ID_SQL,
         "fingerprint_dedup": S.FINGERPRINT_SQL,
+        "vocab_stats": T.vocab_stats_oracle_sql(top_n=100),
+        "bpe_pair_counts": T.bpe_pair_counts_oracle_sql(top_n=50),
+        "pack_sequences": T.pack_sequences_oracle_sql(budget=512, n_shards=4),
+        "shard_manifest": T.shard_manifest_oracle_sql(n_shards=8),
         "ann_topk": ANN_TOPK_SQL_TEMPLATE.format(
             quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K
         ),

@@ -1,0 +1,238 @@
+"""Training-corpus preparation queries: vocabulary induction, BPE pair
+statistics, sequence packing, and shard manifests.
+
+The steps between "curated corpus" and "tokens on a trainer": build the
+tokenizer's vocabulary from corpus term statistics, compute the adjacent-
+pair counts that drive BPE merges, pack documents into fixed token-budget
+sequences, and emit deterministic shard manifests a dataloader can trust.
+All four are pure DataFrame plans — explode → partial-agg → shuffle on the
+group key — with exact-integer outputs, so each has a bit-identical DuckDB
+twin.
+
+No counterpart in the reference (LLM-pipeline extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.dedup import _md5_hash64
+from ..operators.sampling import _hash_bucket
+
+TERM_RE = "[a-z0-9]+"
+
+
+def _terms(text_col: str) -> F.Column:
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), 0)
+
+
+def vocab_stats_query(
+    spark: SparkSession, sf_dir: str, top_n: int = 100
+) -> DataFrame:
+    """Corpus term statistics — the input to any vocab/tokenizer induction:
+    ``(term, n_occurrences, n_docs)``, top ``top_n`` by frequency.
+
+    Scale shape: explode is a per-row flatMap (no shuffle); the groupBy
+    partial-aggregates map-side so the exchange carries one row per
+    distinct term per task, and top-n is a TakeOrdered (no global sort
+    materialization). Ties at the cut are broken lexicographically so the
+    result set is deterministic.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.explode(_terms("text")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(top_n)
+    )
+
+
+def vocab_stats_oracle_sql(top_n: int = 100) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TERM_RE}')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT {top_n}
+"""
+
+
+def bpe_pair_counts_query(
+    spark: SparkSession, sf_dir: str, top_n: int = 50
+) -> DataFrame:
+    """Adjacent character-pair frequencies within words — the statistic the
+    BPE training loop maximizes on each merge. ``(pair, n_occurrences)``,
+    top ``top_n``, ties broken lexicographically.
+
+    Words shorter than 2 chars are filtered BEFORE the bigram expansion:
+    ``F.sequence(1, len-1)`` with ``len=1`` would yield the *descending*
+    sequence [1, 0] (Spark's sequence reverses when start > stop), not an
+    empty list.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(_terms("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(top_n)
+    )
+
+
+def bpe_pair_counts_oracle_sql(top_n: int = 50) -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TERM_RE}')) AS w
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+  FROM w WHERE length(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM p
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {top_n}
+"""
+
+
+def pack_sequences_query(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 512,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Greedy document→sequence packing: concatenate documents in id order
+    and cut every ``budget`` tokens; a doc belongs to the pack where its
+    first token lands. ``(doc_id, shard_id, n_tokens, start_tok, pack_id)``.
+
+    The running sum is windowed PER SHARD (md5-bucket of doc_id), not
+    globally — a global prefix sum is a single-partition scale-killer; the
+    sharded layout is how packing actually runs (each dataloader shard
+    packs independently), and each shard's window sorts only its slice.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        _hash_bucket(F.col("doc_id"), n_shards).alias("shard_id"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return toks.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        start.alias("start_tok"),
+        # start_tok < 2^53 ⇒ the double division is exact; floor ≡ truncate
+        # for non-negative values on both engines (DuckDB CAST rounds, so
+        # floor() is spelled out)
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+    ).orderBy("doc_id")
+
+
+def pack_sequences_oracle_sql(budget: int = 512, n_shards: int = 4) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+           % {n_shards} AS shard_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shard_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM t
+)
+SELECT doc_id, shard_id, n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(floor(start_tok / {budget}) AS BIGINT) AS pack_id
+FROM s
+ORDER BY doc_id
+"""
+
+
+def shard_manifest_query(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic shard assignment + per-shard manifest:
+    ``(shard_id, n_docs, total_chars, min_doc_id, max_doc_id,
+    content_fingerprint)``.
+
+    The fingerprint is the XOR-fold of each doc's md5-int64 text hash —
+    order-independent and overflow-free (a SUM of 60-bit hashes would
+    overflow int64 under ANSI mode at corpus scale), so a dataloader can
+    re-derive and byte-verify a shard regardless of row order.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            _hash_bucket(F.col("doc_id"), n_shards).alias("shard_id"),
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            _md5_hash64(F.col("text")).alias("h"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.bit_xor("h").alias("content_fingerprint"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def shard_manifest_oracle_sql(n_shards: int = 8) -> str:
+    return f"""
+WITH t AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+           % {n_shards} AS shard_id,
+         doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       bit_xor(h) AS content_fingerprint
+FROM t
+GROUP BY shard_id
+ORDER BY shard_id
+"""
