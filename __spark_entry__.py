@@ -290,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": S.RANGE_JOIN_SQL,
         "salted_join": S.SALTED_JOIN_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
+        "multimodal_decode": S.MULTIMODAL_DECODE_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL_TEMPLATE.format(
             k=JACCARD_K, threshold=JACCARD_THRESHOLD, band=JACCARD_BAND
         ),

@@ -552,6 +552,26 @@ def _be32(col: F.Column) -> F.Column:
     return F.to_binary(hex8, F.lit("hex"))
 
 
+# The fake container's header fields are closed-form in (doc_id, n_chars),
+# and decode_media/sample_frames invert that construction exactly, so the
+# whole binary round-trip (encode → mapInPandas decode → frame explode →
+# rollup) has an independent closed-form twin: width/height/n_frames from
+# the same arithmetic, ok always true (every payload carries the magic and
+# ≥12 bytes), and n_sampled_frames = |{0, 10, .. < n_frames}| =
+# (n_frames-1) // 10 + 1. Verifying against it checks the Python kernel,
+# the Arrow schema, and the big-endian header codec end-to-end.
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(n_chars % 1000 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 500 + 16 AS INTEGER) AS height,
+       CAST(n_chars % 97 + 1 AS INTEGER) AS n_frames,
+       TRUE AS ok,
+       CAST((n_chars % 97) // 10 + 1 AS BIGINT) AS n_sampled_frames
+FROM documents
+ORDER BY media_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus curation: the end-to-end training-data pipeline composition
 # --------------------------------------------------------------------------
