@@ -29,6 +29,11 @@ from faers_datalakehouse_spark.operators.clustering import (
     cluster_assignments,
     cluster_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.classifier import quality_oracle_sql
+from faers_datalakehouse_spark.operators.substring import (
+    dup_spans_oracle_sql,
+    duplicated_window_spans,
+)
 from faers_datalakehouse_spark.operators.contamination import (
     contamination_check,
     contamination_oracle_sql,
@@ -123,6 +128,16 @@ def _docs(fn):
     return runner
 
 
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.classifier import (
+        hashed_weights,
+        quality_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_scores(docs, hashed_weights(spark, 1024), n_buckets=1024)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- core relational / star-schema suite (SURVEY §2) --
@@ -195,6 +210,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 n=3,
             )
         ),
+        # Substring-level dedup: duplicated k-token window fingerprints →
+        # maximal per-doc spans (distributed analog of suffix-array
+        # exact-substring dedup, Lee et al. 2022).
+        "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
+        # Hashed-feature linear quality classifier (integer-quantized
+        # weights, broadcast model table).
+        "quality_classifier": _quality_classifier,
         # End-to-end curation composition: dedup → lang+quality → filter →
         # per-language corpus stats (the real training-data pipeline shape).
         "corpus_curation": partial(
@@ -303,6 +325,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": cluster_oracle_sql(
             minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD)
         ),
+        "dup_spans": dup_spans_oracle_sql(k=8),
+        "quality_classifier": quality_oracle_sql(n_buckets=1024),
         "corpus_curation": S.corpus_curation_oracle_sql(
             min_score=0.5, min_tokens=10
         ),

@@ -1,0 +1,145 @@
+"""Substring-level duplicate detection: duplicated k-token window spans.
+
+Token-hash dedup (exact, MinHash, SimHash — ``operators/dedup.py``) works
+at document granularity; training corpora also need *substring*-level
+dedup — boilerplate, licenses, navigation chrome repeated inside otherwise
+unique documents (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better", arXiv:2107.06499, finds duplicated ≥50-token
+substrings with a suffix array). A suffix array is a single-machine
+construction; the distributed analog used by large-corpus pipelines is
+windowed fingerprints: hash every k-token window, keep windows whose hash
+occurs more than once in the corpus, and merge overlapping windows into
+maximal duplicated spans per document.
+
+Scale shape (the reason this form is used at 100 TB): the window frame is
+one row per token (linear, no shuffle to build — explode is a flatMap);
+the duplicate-hash filter is a groupBy on the 60-bit window hash with
+map-side partial counts; the join back is equi on the same hash; span
+merging is a per-document sorted window (gaps-and-islands), which
+partitions by doc_id and never sees more than one document's windows in a
+task. No stage is quadratic and nothing is collected.
+
+Everything is exact-integer arithmetic over the engine-portable md5 hash,
+so the full pipeline has a bit-identical DuckDB twin (``DUP_SPANS_SQL``).
+
+No counterpart in the reference (LLM-pipeline extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _md5_hash64
+
+TERM_RE = "[a-z0-9]+"
+
+
+def _window_hashes(text_col: Column, k: int) -> Column:
+    """Array of md5-int64 hashes of each k-token window (space-joined —
+    tokens match ``[a-z0-9]+`` so the separator can't collide)."""
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit(TERM_RE), 0)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: _md5_hash64(F.array_join(F.slice(toks, i, k), " ")),
+    )
+
+
+def duplicated_window_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated k-token spans per document.
+
+    Returns ``(doc_id, span_start, span_end, n_windows)`` — token offsets
+    (0-based, inclusive) of every maximal span covered by k-token windows
+    whose hash occurs ≥ ``min_count`` times corpus-wide (within-document
+    repeats count, matching the self-repetition case). Two duplicated
+    windows at starts p < p' merge when ``p' - p <= k`` (their token
+    ranges overlap or adjoin).
+    """
+    # Docs shorter than k tokens are filtered BEFORE building the window
+    # array: F.sequence(1, n-k+1) with n < k would produce a *descending*
+    # sequence, not an empty one (Spark reverses when start > stop).
+    toks_ok = docs.filter(
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), 0))
+        >= k
+    )
+    windows = toks_ok.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_window_hashes(F.col(text_col), k)).alias("pos", "whash"),
+    )
+    dup = (
+        windows.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("whash")
+    )
+    hits = windows.join(dup, "whash").select("doc_id", "pos")
+    byrow = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(byrow) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn(
+        "island",
+        F.sum(brk).over(byrow.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+DUP_SPANS_SQL_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{term_re}') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + {k} - 1), ' ')),
+                         1, 15))::BIGINT AS whash
+  FROM toks, unnest(range(1, len(t) - {k} + 2)) AS u(i)
+  WHERE len(t) >= {k}
+),
+dup AS (
+  SELECT whash FROM w GROUP BY whash HAVING count(*) >= {min_count}
+),
+hits AS (
+  SELECT w.doc_id, w.pos FROM w JOIN dup USING (whash)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM islands
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+def dup_spans_oracle_sql(k: int = 8, min_count: int = 2) -> str:
+    return DUP_SPANS_SQL_TEMPLATE.format(term_re=TERM_RE, k=k, min_count=min_count)

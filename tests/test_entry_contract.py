@@ -13,10 +13,10 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs, f"orphan oracle keys: {oracles - qs}"
-    # the deterministic-fake multimodal stub is the only rows-only query:
-    # every real operator, including the probabilistic LSH paths and the
-    # Python-kernel SimHash, carries a full value-hash oracle
-    assert qs - oracles == {"multimodal_decode"}
+    # every query — including the probabilistic LSH paths, the Python-kernel
+    # SimHash, and the fake-codec multimodal round-trip — carries a full
+    # value-hash oracle; rows-only entries are not allowed to reappear
+    assert qs == oracles, f"rows-only queries: {qs - oracles}"
 
 
 def test_entry_runs_and_returns_rows(spark):
