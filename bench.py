@@ -49,6 +49,17 @@ BENCH_QUERIES = {
     "q13_lsh_neardup": ("count", "lsh_neardup"),
     "q14_corpus_curation": ("collect", "corpus_curation"),
     "q15_range_join": ("count", "range_join"),
+    # Round-3 additions: the LLM-pipeline operators a 100 TB curation run
+    # spends its time in (iterative clustering, semantic near-dup,
+    # benchmark decontamination, substring dedup, classifier inference,
+    # vocab induction). Keys q1-q15 are unchanged for round-over-round
+    # comparison; the suite total is NOT comparable to rounds 1-2.
+    "q16_kmeans": ("count", "kmeans_clusters"),
+    "q17_semantic_neardup": ("count", "semantic_neardup"),
+    "q18_contamination": ("count", "contamination_check"),
+    "q19_dup_spans": ("count", "dup_spans"),
+    "q20_quality_classifier": ("count", "quality_classifier"),
+    "q21_vocab_stats": ("count", "vocab_stats"),
 }
 
 
