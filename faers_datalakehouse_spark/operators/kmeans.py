@@ -49,16 +49,18 @@ def _round_half_away(s: int, n: int) -> int:
     return -((2 * -s + n) // (2 * n))
 
 
-def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    """Add ``cid``: index of the nearest centroid (exact integer distances,
-    ties to the lowest cid). Centroids are expression literals — the
-    broadcast-the-model pattern; one projection, no join, no shuffle."""
+def assign_expr(cents: list[tuple[int, list[int]]], qv: Column) -> Column:
+    """Nearest-centroid id for a quantized-vector column (exact integer
+    distances, ties to the lowest cid). Centroids are expression literals —
+    the broadcast-the-model pattern; pure projection, no join, no shuffle,
+    so callers (SemDeDup blocking, IVF routing) can compute the cluster id
+    inline wherever the vector is already in hand."""
     scored = F.array(
         *[
             F.struct(
                 F.aggregate(
                     F.zip_with(
-                        F.col("qv"),
+                        qv,
                         F.array(*[F.lit(v) for v in vec]),
                         lambda x, c: (x - c) * (x - c),
                     ),
@@ -71,22 +73,23 @@ def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
         ]
     )
     # array_min on struct<dist,cid> = lexicographic (dist, then cid) argmin
-    return q.withColumn("cid", F.array_min(scored)["cid"])
+    return F.array_min(scored)["cid"]
 
 
-def kmeans_assign(
+def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    return q.withColumn("cid", assign_expr(cents, F.col("qv")))
+
+
+def train_centroids(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-) -> DataFrame:
-    """``iters`` Lloyd rounds from deterministic seeds; returns the raw
-    assignment ``(id_col, cluster_id)``, unordered — the composable core
-    (SemDeDup blocking, IVF-style routing) without the size rollup.
-
-    ``cluster_id`` is the seed index (0..k-1), NOT a row id.
-    """
+) -> list[tuple[int, list[int]]]:
+    """Run ``iters`` Lloyd rounds from deterministic seeds and return the
+    trained model: ``[(cid, quantized centroid vector)]`` — k·dims driver
+    integers, the bounded state callers turn into an ``assign_expr``."""
     q = emb.select(F.col(id_col), _quantized(F.col(emb_col)).alias("qv")).persist()
     seeds = (
         q.select(
@@ -121,12 +124,28 @@ def kmeans_assign(
             )
             for cid, vec in cents
         ]
-
-    final = _assign(q, cents).select(
-        id_col, F.col("cid").alias("cluster_id")
-    )
     q.unpersist()
-    return final
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``iters`` Lloyd rounds from deterministic seeds; returns the raw
+    assignment ``(id_col, cluster_id)``, unordered — the composable core
+    (SemDeDup blocking, IVF-style routing) without the size rollup.
+
+    ``cluster_id`` is the seed index (0..k-1), NOT a row id.
+    """
+    cents = train_centroids(emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    return emb.select(
+        F.col(id_col),
+        assign_expr(cents, _quantized(F.col(emb_col))).alias("cluster_id"),
+    )
 
 
 def kmeans_lite(

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import kmeans_assign, kmeans_ctes
+from .kmeans import assign_expr, kmeans_ctes, train_centroids
 from .similarity import _dot, with_quantized_norm
 
 
@@ -51,13 +51,19 @@ def semantic_neardup_pairs(
     is SemDeDup's deliberate trade for linearity, and callers wanting belt
     and braces union this with the hash-based ``minhash_lsh_pairs``.
     """
-    assign = kmeans_assign(
+    # Train once on the driver (k·dims integers), then compute the cluster
+    # id INLINE in the quantization projection via assign_expr — joining a
+    # separate kmeans_assign frame back by id would shuffle the corpus on
+    # id once per self-join side for an assignment that is a pure
+    # expression of the vector already in hand.
+    cents = train_centroids(
         emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col
     )
-    e = (
-        with_quantized_norm(emb.select(id_col, emb_col), emb_col)
-        .select(F.col(id_col).alias("id"), "q_emb", "q_norm2")
-        .join(assign.withColumnRenamed(id_col, "id"), "id")
+    e = with_quantized_norm(emb.select(id_col, emb_col), emb_col).select(
+        F.col(id_col).alias("id"),
+        "q_emb",
+        "q_norm2",
+        assign_expr(cents, F.col("q_emb")).alias("cluster_id"),
     )
     a, b = e.alias("a"), e.alias("b")
     cosine = F.round(

@@ -122,9 +122,12 @@ def test_silver_transform_semantics_on_q1(spark, tmp_path_factory):
         silver_demographics,
     )
 
+    from faers_datalakehouse_spark.sources.catalog import ensure_schemas
+
     d = tmp_path_factory.mktemp("q1only")
     p = d / "demo.csv"
     p.write_text(Q1["demographics"])
+    ensure_schemas(spark)  # independent of the warehouse fixture's ordering
     spark.sql("DROP TABLE IF EXISTS bronze.demographics")
     bronze_ingest(spark, "demographics", str(p), "2024-04-01 00:00:00")
     silver_demographics(spark, "2024-04-01 00:00:00")
