@@ -30,6 +30,9 @@ from faers_datalakehouse_spark.operators.clustering import (
     cluster_oracle_sql,
 )
 from faers_datalakehouse_spark.operators.classifier import quality_oracle_sql
+from faers_datalakehouse_spark.operators.incremental import (
+    incremental_dedup_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.substring import (
     dup_spans_oracle_sql,
     duplicated_window_spans,
@@ -128,6 +131,19 @@ def _docs(fn):
     return runner
 
 
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.incremental import (
+        incremental_dedup_decisions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return incremental_dedup_decisions(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
 def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faers_datalakehouse_spark.operators.classifier import (
         hashed_weights,
@@ -210,6 +226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 n=3,
             )
         ),
+        # Incremental dedup: new batch (doc_id % 5 != 0) probed against the
+        # existing corpus (doc_id % 5 == 0) — exact-hash layer + cross-frame
+        # MinHash band-bucket layer, per-doc keep/drop decisions.
+        "incremental_dedup": _incremental_dedup,
         # Substring-level dedup: duplicated k-token window fingerprints →
         # maximal per-doc spans (distributed analog of suffix-array
         # exact-substring dedup, Lee et al. 2022).
@@ -324,6 +344,9 @@ def oracle_sql() -> dict[str, str]:
         # Recursive-CTE twin over the same deterministic MinHash pair SQL.
         "neardup_clusters": cluster_oracle_sql(
             minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD)
+        ),
+        "incremental_dedup": incremental_dedup_oracle_sql(
+            "doc_id % 5 <> 0", "doc_id % 5 = 0", threshold=JACCARD_THRESHOLD
         ),
         "dup_spans": dup_spans_oracle_sql(k=8),
         "quality_classifier": quality_oracle_sql(n_buckets=1024),

@@ -287,39 +287,24 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_lsh_pairs(
+def signature_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    threshold: float = 0.5,
     seed: int = 42,
     materialize: bool = True,
     portable_hash: bool = False,
-) -> DataFrame:
-    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
+) -> tuple[DataFrame, DataFrame]:
+    """The reusable MinHash front half: per-doc shingle-hash arrays and the
+    posexploded ``(id, band, band_hash)`` bucket frame.
 
-    Pipeline: hash word-``ngram`` shingles to longs (one pass per doc, no
-    shuffle) → fold into a ``num_hashes`` signature → posexplode into
-    ``bands`` band-hashes → self-join on (band, band_hash) → distinct
-    candidate pairs → verify with exact Jaccard on the *hashed* shingle
-    sets (long-array intersection, collision odds ~2^-34 per corpus). Only
-    candidates pay verification; this is the standard
-    shingle→minhash→band→bucket-join layout for corpus-scale dedup.
-
-    ``materialize`` persists the per-doc hash frame since three plan
-    branches (banding + both sides of the verify join) reuse it. The cache
-    lives until the session evicts it (MEMORY_AND_DISK, LRU) — at cluster
-    scale this would be an explicit checkpoint to storage instead. Callers
-    that run many queries in one session should ``spark.catalog.clearCache()``
-    between runs (bench.py does).
-
-    ``portable_hash=True`` uses the md5-prefix int64 hash for shingles and
-    band buckets, making every intermediate (signatures, bands, candidates)
-    bit-identical in DuckDB — see ``minhash_lsh_oracle_sql``. The whole
-    pipeline is deterministic either way (seeded permutations).
+    Shared by the within-corpus self-join (``minhash_lsh_pairs``) and the
+    cross-corpus probe (``operators/incremental.py``) so both paths carry
+    identical signatures and band buckets — a doc hashes to the same bucket
+    whether it's being deduped against itself or against yesterday's corpus.
     """
     rows = num_hashes // bands
     params = _minhash_params(num_hashes, seed)
@@ -367,6 +352,54 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "band_hash"),
+    )
+    return hashed, banded
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    materialize: bool = True,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
+
+    Pipeline: hash word-``ngram`` shingles to longs (one pass per doc, no
+    shuffle) → fold into a ``num_hashes`` signature → posexplode into
+    ``bands`` band-hashes → self-join on (band, band_hash) → distinct
+    candidate pairs → verify with exact Jaccard on the *hashed* shingle
+    sets (long-array intersection, collision odds ~2^-34 per corpus). Only
+    candidates pay verification; this is the standard
+    shingle→minhash→band→bucket-join layout for corpus-scale dedup.
+
+    ``materialize`` persists the per-doc hash frame since three plan
+    branches (banding + both sides of the verify join) reuse it. The cache
+    lives until the session evicts it (MEMORY_AND_DISK, LRU) — at cluster
+    scale this would be an explicit checkpoint to storage instead. Callers
+    that run many queries in one session should ``spark.catalog.clearCache()``
+    between runs (bench.py does).
+
+    ``portable_hash=True`` uses the md5-prefix int64 hash for shingles and
+    band buckets, making every intermediate (signatures, bands, candidates)
+    bit-identical in DuckDB — see ``minhash_lsh_oracle_sql``. The whole
+    pipeline is deterministic either way (seeded permutations).
+    """
+    hashed, banded = signature_bands(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        ngram=ngram,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        materialize=materialize,
+        portable_hash=portable_hash,
     )
     cand = (
         banded.alias("x")
