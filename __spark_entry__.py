@@ -155,7 +155,50 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver verifies the FIRST 50 entries in insertion order. Entries
+    # are therefore arranged: (1) never-before-verified or lapsed operators
+    # first, (2) the stable core suite, (3) a 13-entry rotation tail of
+    # previously hash-green entries whose operator family is already
+    # represented in the first 50 (see the tail comment below).
     return {
+        # -- never driver-verified (r3's 50-entry window cut these) --
+        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
+        "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
+        "pack_sequences": partial(T.pack_sequences_query, budget=512, n_shards=4),
+        "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
+        # Multi-cell probing: same inverted file, recall strictly ≥ nprobe=1
+        # (more probed cells only add candidates) — still exactly
+        # oracle-reproducible because probing is deterministic integer math.
+        "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
+        "ann_lsh_topk": _ann_lsh,
+        # Iterative-ML showcase: 2 Lloyd rounds of exact-integer k-means
+        # (quantized vectors, md5-sampled seeds, integer mean rounding) —
+        # the full iteration is bit-reproducible in DuckDB as a CTE chain.
+        "kmeans_clusters": lambda spark, sf_dir: kmeans_lite(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, iters=2
+        ),
+        # SemDeDup: k-means blocking + exact in-cluster cosine — the
+        # paraphrase-level dedup MinHash can't see, linear via clustering.
+        "semantic_neardup": lambda spark, sf_dir: semantic_neardup_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            k=8,
+            iters=2,
+            threshold=NEARDUP_COS_THRESHOLD,
+        ),
+        # DEFAULT near-dup path: LSH bucket blocking + exact in-bucket cosine
+        # (linear; the quadratic verify kernel cosine_neardup is in the tail).
+        # 8 planes (not the operator's 10-plane default): the synthetic
+        # corpus's strongest pairs sit near cosine 0.45, where 10-bit
+        # signatures collide too rarely to exercise nonzero output at sf0.01.
+        "lsh_neardup": lambda spark, sf_dir: lsh_bucketed_neardup(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=NEARDUP_COS_THRESHOLD,
+            n_planes=8,
+        ),
+        "fingerprint_dedup": S.fingerprint_query,
+        # r3 regressions to re-prove (events TIMESTAMP_NTZ fix)
+        "sessionize": partial(A.sessionize, gap_minutes=30),
+        "range_join": S.range_join_query,
         # -- core relational / star-schema suite (SURVEY §2) --
         "pricing_summary": A.pricing_summary,
         "topk_parts": partial(A.topk_parts, k=20),
@@ -163,17 +206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_of_total": A.pct_of_total,
         "global_summary": A.global_summary,
         "latest_day_activity": A.latest_day_activity,
-        "temporal_trend": A.temporal_trend,
-        "sessionize": partial(A.sessionize, gap_minutes=30),
         "json_extract_agg": A.json_extract_agg,
-        "shipping_priority": partial(A.shipping_priority, k=10),
         "regional_volume": A.regional_volume,
-        "moving_average": partial(A.moving_average, days=7),
         "segment_status_pivot": A.segment_status_pivot,
         "distinct_profile": A.distinct_profile,
         "rollup_volume": A.rollup_volume,
-        "cube_volume": A.cube_volume,
-        "profile_columns": A.profile_columns,
         "quantiles_by_group": A.quantiles_by_group,
         "customer_retention_setops": A.customer_retention_setops,
         "sql_api_trend": A.sql_api_trend,
@@ -182,10 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_sales": build_fact_sales,
         "decode_ladders": decode_ladders_demo,
         "scd2_merge": S.scd2_scenario,
-        "date_standardize": S.date_standardize_demo,
         "numeric_standardize": S.numeric_standardize_demo,
         "asof_join": S.asof_join_query,
-        "range_join": S.range_join_query,
         "salted_join": S.salted_join_query,
         "multimodal_decode": S.multimodal_decode_query,
         # -- LLM-data-pipeline extensions --
@@ -242,59 +277,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": partial(
             S.corpus_curation_query, min_score=0.5, min_tokens=10
         ),
-        "token_count": S.token_count_query,
         "chunk_documents": partial(S.chunk_documents_query, chunk_size=32, overlap=8),
-        "redact_pii": S.redact_pii_query,
-        "split_assign": S.split_assign_query,
         "stratified_cap": partial(S.stratified_cap_query, cap=30),
         "text_quality": S.text_quality_query,
-        # Gopher-style within-doc repetition signals (boilerplate/spam filter)
-        "repetition_filter": S.repetition_filter_query,
         # Training-mixture rebalancing: per-language token shares → capped
         # upsampling weights toward a uniform budget.
         "mixture_weights": S.mixture_weights_query,
         "lang_id": S.lang_id_query,
-        "fingerprint_dedup": S.fingerprint_query,
-        # -- tokenizer/trainer prep: vocab induction, BPE stats, packing,
-        #    shard manifests (plans/training_prep.py) --
-        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
-        "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
-        "pack_sequences": partial(T.pack_sequences_query, budget=512, n_shards=4),
-        "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
+        # -- rotation tail (positions 51..63, beyond the driver's check
+        #    window): every entry below was hash-green in a previous round
+        #    (r2 or r3) and its operator family stays represented above —
+        #    cube≈rollup, shipping_priority/moving_average≈topk/window,
+        #    temporal_trend≈sql_api_trend, profile_columns≈distinct_profile,
+        #    date_standardize≈numeric_standardize, token_count/redact_pii/
+        #    repetition_filter≈text_quality+lang_id, split_assign≈
+        #    stratified_cap, ann_topk/ann_ivf_topk≈ann_ivf_topk_nprobe2,
+        #    cosine_neardup≈lsh_neardup/semantic_neardup. --
+        "cube_volume": A.cube_volume,
+        "shipping_priority": partial(A.shipping_priority, k=10),
+        "moving_average": partial(A.moving_average, days=7),
+        "temporal_trend": A.temporal_trend,
+        "profile_columns": A.profile_columns,
+        "date_standardize": S.date_standardize_demo,
+        "token_count": S.token_count_query,
+        "redact_pii": S.redact_pii_query,
+        # Gopher-style within-doc repetition signals (boilerplate/spam filter)
+        "repetition_filter": S.repetition_filter_query,
+        "split_assign": S.split_assign_query,
         "ann_topk": _ann_queries,
-        "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
-        # Multi-cell probing: same inverted file, recall strictly ≥ nprobe=1
-        # (more probed cells only add candidates) — still exactly
-        # oracle-reproducible because probing is deterministic integer math.
-        "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
-        # Iterative-ML showcase: 2 Lloyd rounds of exact-integer k-means
-        # (quantized vectors, md5-sampled seeds, integer mean rounding) —
-        # the full iteration is bit-reproducible in DuckDB as a CTE chain.
-        "kmeans_clusters": lambda spark, sf_dir: kmeans_lite(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, iters=2
-        ),
         "cosine_neardup": lambda spark, sf_dir: cosine_neardup_pairs(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
-        ),
-        # SemDeDup: k-means blocking + exact in-cluster cosine — the
-        # paraphrase-level dedup MinHash can't see, linear via clustering.
-        "semantic_neardup": lambda spark, sf_dir: semantic_neardup_pairs(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-            k=8,
-            iters=2,
-            threshold=NEARDUP_COS_THRESHOLD,
-        ),
-        # DEFAULT near-dup path: LSH bucket blocking + exact in-bucket cosine
-        # (linear; cosine_neardup above is the quadratic verify kernel).
-        # 8 planes (not the operator's 10-plane default): the synthetic
-        # corpus's strongest pairs sit near cosine 0.45, where 10-bit
-        # signatures collide too rarely to exercise nonzero output at sf0.01.
-        "lsh_neardup": lambda spark, sf_dir: lsh_bucketed_neardup(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-            threshold=NEARDUP_COS_THRESHOLD,
-            n_planes=8,
         ),
     }
 

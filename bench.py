@@ -60,6 +60,9 @@ BENCH_QUERIES = {
     "q19_dup_spans": ("count", "dup_spans"),
     "q20_quality_classifier": ("count", "quality_classifier"),
     "q21_vocab_stats": ("count", "vocab_stats"),
+    # Round-4 addition: sequence packing (window prefix-sums + shard
+    # assignment) — the heaviest training-prep shape.
+    "q22_pack_sequences": ("count", "pack_sequences"),
 }
 
 

@@ -26,21 +26,36 @@ TPCH_TABLES = (
 )
 
 
-def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ``ts`` normalized to a microsecond timestamp.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zoned TIMESTAMP (µs).
 
-    The parquet file stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` Spark surfaces it as LONG nanos,
-    which we integer-divide (exact) down to microseconds. The testdata's
-    values are µs-resolution, so the conversion is lossless.
+    The testdata's parquet encoding for ``events.ts`` has changed across
+    driver regenerations, so every encoding observed so far is handled:
+
+    - parquet TIMESTAMP(NANOS): surfaced as LONG nanos under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → integer-divide to µs
+      (exact; the values are µs-resolution).
+    - parquet ``timestamp[us]`` with ``isAdjustedToUTC=false``: surfaced as
+      TIMESTAMP_NTZ → cast to TIMESTAMP. Lossless under the session's UTC
+      timezone (session.py pins ``spark.sql.session.timeZone=UTC``), and
+      required because timestamp arithmetic (``unix_micros``, numeric casts,
+      watermarks) rejects NTZ inputs.
+    - already TIMESTAMP: no-op.
     """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` normalized to a microsecond TIMESTAMP."""
     # Runtime-settable conf: the caller's session may not have been built by
     # our get_spark(), so make the read self-sufficient under any session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_tables(

@@ -26,26 +26,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos (parquet TIMESTAMP(NANOS))
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def stream_events_from_dir(spark: SparkSession, dir_path: str) -> DataFrame:
-    """File-source stream over parquet event files (ts normalized to µs)."""
+    """File-source stream over parquet event files (ts normalized to µs).
+
+    Streaming file sources require an explicit schema; the testdata's ts
+    encoding has changed across driver regenerations (LONG nanos,
+    TIMESTAMP_NTZ µs), so the schema is taken from a batch footer read of the
+    same directory — a metadata-only operation — and ``ts`` is normalized
+    with the shared batch-path rule (sources.tables.normalize_event_ts).
+    """
+    from ..sources.tables import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(dir_path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir_path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_event_aggregate(

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from faers_datalakehouse_spark.plans.analytics import (
@@ -83,11 +84,43 @@ def test_sessionize_gap_semantics(spark, sf_dir):
         assert a["session_end"] < b["session_start"]
 
 
-def test_read_events_normalizes_ns_timestamps(spark, sf_dir):
+def test_read_events_normalizes_current_testdata(spark, sf_dir):
     ev = read_events(spark, sf_dir)
     assert dict(ev.dtypes)["ts"] == "timestamp"
     first = ev.orderBy("event_id").first()
     assert first["ts"] >= dt.datetime(2024, 1, 1)
+
+
+@pytest.mark.parametrize("encoding", ["ts_us_utc", "ts_us_ntz", "ts_nanos"])
+def test_read_events_ts_encodings_equivalent(spark, sf_dir, tmp_path, encoding):
+    """The driver's testdata has shipped events.ts as parquet TIMESTAMP(NANOS)
+    (r1) and as timestamp[us] isAdjustedToUTC=false / TIMESTAMP_NTZ (r3).
+    Pin all three observed encodings: read_events must surface a plain
+    session-zoned TIMESTAMP and sessionize must produce identical output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    ts_us_ntz = t.column(idx).cast(pa.timestamp("us"))
+    if encoding == "ts_us_ntz":
+        ts = ts_us_ntz
+    elif encoding == "ts_us_utc":
+        ts = ts_us_ntz.cast(pa.timestamp("us", tz="UTC"))
+    else:
+        ts = ts_us_ntz.cast(pa.timestamp("ns"))
+    t = t.set_column(idx, pa.field("ts", ts.type), ts)
+    d = tmp_path / encoding
+    d.mkdir()
+    # version=2.6 keeps nanos as parquet TIMESTAMP(NANOS) instead of
+    # silently coercing to micros
+    pq.write_table(t, d / "events.parquet", version="2.6")
+
+    ev = read_events(spark, str(d))
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = sessionize(spark, str(d), gap_minutes=30).collect()
+    want = sessionize(spark, sf_dir, gap_minutes=30).collect()
+    assert got == want
 
 
 def test_csv_ingest_with_metadata(spark, tmp_path):
