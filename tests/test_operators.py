@@ -378,6 +378,63 @@ def test_connected_components_empty_edges(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_star_components_match_label_propagation_random(spark):
+    """Property: large-star/small-star and min-label propagation agree on
+    random graphs (mixed components, stars, chains, singleton edges)."""
+    import random
+
+    from faers_datalakehouse_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25 + trial * 10)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        want = {
+            r["node"]: r["comp"] for r in connected_components(df).collect()
+        }
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, f"trial {trial}: star != label propagation"
+
+
+def test_star_components_converge_on_long_chain(spark):
+    """A 64-node path has diameter 63: min-label propagation needs 63
+    rounds (its max_iter=25 raises), large-star/small-star needs O(log n).
+    This is exactly the chain-shaped-cluster scale risk at 100 TB."""
+    import pytest as _pytest
+
+    from faers_datalakehouse_spark.operators.clustering import (
+        cluster_assignments,
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["src", "dst"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(chain, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+    out = cluster_assignments(chain, algorithm="star", max_iter=10).collect()
+    assert all(r["cluster_size"] == 64 and r["cluster_id"] == 0 for r in out)
+    assert sorted(r["doc_id"] for r in out if r["is_canonical"]) == [0]
+
+
 def test_kmeans_round_half_away():
     from faers_datalakehouse_spark.operators.kmeans import _round_half_away
 
