@@ -322,20 +322,17 @@ def signature_bands(
     if materialize:
         hashed = hashed.persist()
     # Stage 2: one flat array_min(transform(...)) per permutation over the
-    # cached long array — no per-shingle accumulator allocation.
-    def perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(
-                F.col("hashes"),
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)),
-            )
-        )
-
-    sigd = hashed.select(
-        "id",
-        "hashes",
-        F.array(*[perm_min(a, b) for a, b in params]).alias("sig"),
-    )
+    # cached long array — no per-shingle accumulator allocation. Built as a
+    # single SQL string: one parser call instead of ~4 py4j round-trips per
+    # permutation (measured 1.0 s -> 0.05 s of driver time at 64 perms;
+    # identical plan — do NOT "vectorize" into a nested transform over a
+    # params array, which drops to interpreted evaluation, see PERF.md).
+    sig_sql = "array(" + ",".join(
+        f"array_min(transform(hashes, h -> pmod({a}L * h + {b}L,"
+        f" {MERSENNE_P}L)))"
+        for a, b in params
+    ) + ")"
+    sigd = hashed.select("id", "hashes", F.expr(sig_sql).alias("sig"))
     banded = sigd.select(
         "id",
         F.posexplode(
