@@ -740,23 +740,109 @@ SCD2_DIM_JOBS = (
 )
 
 
+#: Declarative mirror of the reference's 16-task Jobs DAG
+#: (reference ``resources/jobs/faers_pipeline.yml:24-203``):
+#: 7 bronze ∥ → 7 silver (each on its own bronze) → dim_date ∥ dims →
+#: 7 SCD2 dims (each on its own silver) → fact (on all silver + dim_date).
+_DIM_SILVER_DEP = {
+    "dim_drug": "drug_details",
+    "dim_patient": "demographics",
+    "dim_reaction": "reactions",
+    "dim_outcome": "outcomes",
+    "dim_indication": "indications",
+    "dim_therapy": "therapy_dates",
+    "dim_report": "reports",
+}
+
+
+def faers_pipeline_config(sources: dict[str, str]) -> list[dict]:
+    """Config rows for :func:`faers_datalakehouse_spark.plans.dag.dag_from_config`.
+
+    ``sources`` maps table name → raw CSV path (any subset of
+    ``BRONZE_COLUMNS``); stages downstream of a missing source are simply
+    not generated, and at run time a failed ingest skips only its own
+    silver/dim branch (per-stage failure isolation, reference parity).
+    """
+    cfg: list[dict] = []
+    for name, path in sources.items():
+        cfg.append(
+            {
+                "task": f"bronze_{name}",
+                "fn": "bronze_ingest",
+                "args": {"name": name, "src_path": path},
+                "depends_on": [],
+            }
+        )
+        cfg.append(
+            {
+                "task": f"silver_{name}",
+                "fn": f"silver_{name}",
+                "depends_on": [f"bronze_{name}"],
+            }
+        )
+    cfg.append({"task": "dim_date", "fn": "gold_dim_date", "depends_on": []})
+    for dim, silver in _DIM_SILVER_DEP.items():
+        if silver in sources:
+            cfg.append(
+                {
+                    "task": dim,
+                    "fn": f"gold_{dim}",
+                    "depends_on": [f"silver_{silver}"],
+                }
+            )
+    cfg.append(
+        {
+            "task": "fact_adverse_events",
+            "fn": "gold_fact_adverse_events",
+            "depends_on": [f"silver_{n}" for n in sources] + ["dim_date"],
+        }
+    )
+    return cfg
+
+
+def pipeline_registry() -> dict:
+    """Callable registry for the config rows above."""
+    reg = {
+        "bronze_ingest": bronze_ingest,
+        "gold_dim_date": gold_dim_date,
+        "gold_fact_adverse_events": gold_fact_adverse_events,
+    }
+    for name, fn in SILVER_JOBS.items():
+        reg[f"silver_{name}"] = fn
+    for dim_job in SCD2_DIM_JOBS:
+        reg[dim_job.__name__] = dim_job
+    return reg
+
+
 def run_pipeline(
     spark: SparkSession,
     sources: dict[str, str],
     ingest_ts: str,
     effective_date: str,
-) -> None:
+) -> dict:
     """One full incremental run: bronze append → silver rebuild → gold merge.
 
-    All seven source tables are required (``BRONZE_COLUMNS`` keys); the
-    reference runs each stage as a separate Databricks job, here it is one
-    deterministic DAG under an injected clock."""
+    The task graph is declarative (``faers_pipeline_config``) and executed
+    by the DAG runner with per-stage failure isolation, mirroring the
+    reference's 16-task Jobs DAG instead of hard-coding the order. Raises
+    if any task failed (after every runnable branch has finished) and
+    returns the per-task results otherwise."""
+    from .dag import dag_from_config
+
     ensure_schemas(spark)
-    for name, path in sources.items():
-        bronze_ingest(spark, name, path, ingest_ts)
-    for name in sources:
-        SILVER_JOBS[name](spark, ingest_ts)
-    gold_dim_date(spark)
-    for dim_job in SCD2_DIM_JOBS:
-        dim_job(spark, effective_date)
-    gold_fact_adverse_events(spark)
+    dag = dag_from_config(
+        faers_pipeline_config(sources),
+        pipeline_registry(),
+        ingest_ts=ingest_ts,
+        processed_ts=ingest_ts,
+        effective_date=effective_date,
+    )
+    results = dag.run(spark)
+    failed = {n: r for n, r in results.items() if r.status == "failed"}
+    if failed:
+        detail = "; ".join(f"{n}: {r.error}" for n, r in failed.items())
+        skipped = [n for n, r in results.items() if r.status == "skipped"]
+        raise RuntimeError(
+            f"pipeline tasks failed: {detail} (skipped downstream: {skipped})"
+        )
+    return results
