@@ -310,6 +310,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
         ),
+        # Large-star/small-star connected components (O(log n) rounds) over
+        # the same MinHash pairs — output is identical to neardup_clusters,
+        # so it shares the recursive-CTE oracle verbatim.
+        "neardup_clusters_star": _docs(
+            lambda df: cluster_assignments(
+                minhash_lsh_pairs(
+                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
+                ),
+                src="id_a",
+                dst="id_b",
+                algorithm="star",
+            )
+        ),
     }
 
 
@@ -357,6 +370,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": contamination_oracle_sql(n=3, bench_mod=97),
         # Recursive-CTE twin over the same deterministic MinHash pair SQL.
         "neardup_clusters": cluster_oracle_sql(
+            minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD)
+        ),
+        "neardup_clusters_star": cluster_oracle_sql(
             minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD)
         ),
         "incremental_dedup": incremental_dedup_oracle_sql(

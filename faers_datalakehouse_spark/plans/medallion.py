@@ -755,13 +755,19 @@ _DIM_SILVER_DEP = {
 }
 
 
-def faers_pipeline_config(sources: dict[str, str]) -> list[dict]:
+def faers_pipeline_config(
+    sources: dict[str, str], optimize: bool = False
+) -> list[dict]:
     """Config rows for :func:`faers_datalakehouse_spark.plans.dag.dag_from_config`.
 
     ``sources`` maps table name → raw CSV path (any subset of
     ``BRONZE_COLUMNS``); stages downstream of a missing source are simply
     not generated, and at run time a failed ingest skips only its own
     silver/dim branch (per-stage failure isolation, reference parity).
+
+    ``optimize=True`` adds a post-write compaction+ANALYZE leaf task per
+    silver table (the reference runs ``OPTIMIZE`` after every silver/dim
+    write). Leaves, not gates: an optimize failure never blocks the fact.
     """
     cfg: list[dict] = []
     for name, path in sources.items():
@@ -780,6 +786,15 @@ def faers_pipeline_config(sources: dict[str, str]) -> list[dict]:
                 "depends_on": [f"bronze_{name}"],
             }
         )
+        if optimize:
+            cfg.append(
+                {
+                    "task": f"optimize_silver_{name}",
+                    "fn": "optimize_table",
+                    "args": {"table": f"silver.{name}"},
+                    "depends_on": [f"silver_{name}"],
+                }
+            )
     cfg.append({"task": "dim_date", "fn": "gold_dim_date", "depends_on": []})
     for dim, silver in _DIM_SILVER_DEP.items():
         if silver in sources:
@@ -802,10 +817,13 @@ def faers_pipeline_config(sources: dict[str, str]) -> list[dict]:
 
 def pipeline_registry() -> dict:
     """Callable registry for the config rows above."""
+    from ..sources.catalog import optimize_table
+
     reg = {
         "bronze_ingest": bronze_ingest,
         "gold_dim_date": gold_dim_date,
         "gold_fact_adverse_events": gold_fact_adverse_events,
+        "optimize_table": optimize_table,
     }
     for name, fn in SILVER_JOBS.items():
         reg[f"silver_{name}"] = fn

@@ -124,3 +124,16 @@ def test_faers_pipeline_config_shape():
     }
     # config validates as a DAG (no cycles, all deps known)
     dag_from_config(cfg, reg, ingest_ts="t", processed_ts="t", effective_date="d")
+
+    # optimize=True adds one post-write compaction leaf per silver table
+    cfg_opt = faers_pipeline_config(sources, optimize=True)
+    assert len(cfg_opt) == 23 + len(sources)
+    opt = next(r for r in cfg_opt if r["task"] == "optimize_silver_reactions")
+    assert opt["fn"] == "optimize_table"
+    assert opt["depends_on"] == ["silver_reactions"]
+    assert opt["args"] == {"table": "silver.reactions"}
+    assert "optimize_table" in reg
+    # fact must NOT depend on optimize leaves (they never gate the fact)
+    fact_opt = next(r for r in cfg_opt if r["task"] == "fact_adverse_events")
+    assert not any(d.startswith("optimize_") for d in fact_opt["depends_on"])
+    dag_from_config(cfg_opt, reg, ingest_ts="t", processed_ts="t", effective_date="d")
