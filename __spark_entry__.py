@@ -37,6 +37,10 @@ from faers_datalakehouse_spark.operators.substring import (
     dup_spans_oracle_sql,
     duplicated_window_spans,
 )
+from faers_datalakehouse_spark.operators.surprisal import (
+    surprisal_oracle_sql,
+    surprisal_scores,
+)
 from faers_datalakehouse_spark.operators.contamination import (
     contamination_check,
     contamination_oracle_sql,
@@ -196,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=8,
         ),
         "fingerprint_dedup": S.fingerprint_query,
+        # round-4 addition: CCNet-style integer-exact unigram surprisal
+        "surprisal_scores": _docs(surprisal_scores),
         # r3 regressions to re-prove (events TIMESTAMP_NTZ fix)
         "sessionize": partial(A.sessionize, gap_minutes=30),
         "range_join": S.range_join_query,
@@ -217,7 +223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": A.unpivot_measures,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
-        "decode_ladders": decode_ladders_demo,
         "scd2_merge": S.scd2_scenario,
         "numeric_standardize": S.numeric_standardize_demo,
         "asof_join": S.asof_join_query,
@@ -292,7 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    date_standardize≈numeric_standardize, token_count/redact_pii/
         #    repetition_filter≈text_quality+lang_id, split_assign≈
         #    stratified_cap, ann_topk/ann_ivf_topk≈ann_ivf_topk_nprobe2,
-        #    cosine_neardup≈lsh_neardup/semantic_neardup. --
+        #    cosine_neardup≈lsh_neardup/semantic_neardup,
+        #    decode_ladders≈fact_sales (when-ladder decodes). --
+        "decode_ladders": decode_ladders_demo,
         "cube_volume": A.cube_volume,
         "shipping_priority": partial(A.shipping_priority, k=10),
         "moving_average": partial(A.moving_average, days=7),
@@ -393,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": S.MIXTURE_WEIGHTS_SQL,
         "lang_id": S.LANG_ID_SQL,
         "fingerprint_dedup": S.FINGERPRINT_SQL,
+        "surprisal_scores": surprisal_oracle_sql(),
         "vocab_stats": T.vocab_stats_oracle_sql(top_n=100),
         "bpe_pair_counts": T.bpe_pair_counts_oracle_sql(top_n=50),
         "pack_sequences": T.pack_sequences_oracle_sql(budget=512, n_shards=4),
