@@ -21,6 +21,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_topk",          # broadcast query set x corpus scan — exact baseline
     "cosine_neardup",    # all-pairs verify kernel (docstring-scoped)
     "ngram_jaccard",     # blocked self-join uses non-equi len-band residual
+    "surprisal_scores",  # 1-row corpus-total broadcast onto the vocabulary
 }
 
 
