@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
         "--analytics", action="store_true",
         help="also materialize the gold.analytics_* report suite",
     )
+    ap.add_argument(
+        "--optimize", action="store_true",
+        help="add post-write compaction+ANALYZE tasks per silver table "
+        "(the reference's OPTIMIZE-after-write)",
+    )
     args = ap.parse_args(argv)
 
     src = Path(args.src_dir)
@@ -56,7 +61,13 @@ def main(argv: list[str] | None = None) -> int:
                 f"session already uses {actual}",
                 file=sys.stderr,
             )
-    run_pipeline(spark, sources, args.ingest_ts, args.effective_date)
+    run_pipeline(
+        spark,
+        sources,
+        args.ingest_ts,
+        args.effective_date,
+        optimize=args.optimize,
+    )
     if args.analytics:
         from .plans import faers_analytics
 

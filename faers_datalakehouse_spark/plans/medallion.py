@@ -837,6 +837,7 @@ def run_pipeline(
     sources: dict[str, str],
     ingest_ts: str,
     effective_date: str,
+    optimize: bool = False,
 ) -> dict:
     """One full incremental run: bronze append → silver rebuild → gold merge.
 
@@ -849,7 +850,7 @@ def run_pipeline(
 
     ensure_schemas(spark)
     dag = dag_from_config(
-        faers_pipeline_config(sources),
+        faers_pipeline_config(sources, optimize=optimize),
         pipeline_registry(),
         ingest_ts=ingest_ts,
         processed_ts=ingest_ts,

@@ -237,7 +237,11 @@ def test_fact_grain_and_rollup(spark, tmp_path_factory):
         p = d / f"{name}.csv"
         p.write_text(content)
         paths[name] = str(p)
-    run_pipeline(spark, paths, "2024-04-01 00:00:00", "2024-04-01")
+    # optimize=True also exercises the post-write compaction leaf tasks
+    results = run_pipeline(
+        spark, paths, "2024-04-01 00:00:00", "2024-04-01", optimize=True
+    )
+    assert results["optimize_silver_reactions"].status == "ok"
 
     fact = spark.table("gold.fact_adverse_events")
     # grain: drug × reaction per report: 101 has 2 drugs × 2 reactions = 4;
