@@ -200,8 +200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=8,
         ),
         "fingerprint_dedup": S.fingerprint_query,
-        # round-4 addition: CCNet-style integer-exact unigram surprisal
+        # round-4 additions: CCNet-style integer-exact unigram surprisal;
+        # sequential conversion funnel (one shuffle + stacked window-mins)
         "surprisal_scores": _docs(surprisal_scores),
+        "funnel_steps": A.funnel_steps,
         # r3 regressions to re-prove (events TIMESTAMP_NTZ fix)
         "sessionize": partial(A.sessionize, gap_minutes=30),
         "range_join": S.range_join_query,
@@ -213,7 +215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_summary": A.global_summary,
         "latest_day_activity": A.latest_day_activity,
         "json_extract_agg": A.json_extract_agg,
-        "regional_volume": A.regional_volume,
         "segment_status_pivot": A.segment_status_pivot,
         "distinct_profile": A.distinct_profile,
         "rollup_volume": A.rollup_volume,
@@ -298,8 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    repetition_filter≈text_quality+lang_id, split_assign≈
         #    stratified_cap, ann_topk/ann_ivf_topk≈ann_ivf_topk_nprobe2,
         #    cosine_neardup≈lsh_neardup/semantic_neardup,
-        #    decode_ladders≈fact_sales (when-ladder decodes). --
+        #    decode_ladders≈fact_sales (when-ladder decodes),
+        #    regional_volume≈fact_sales+pricing_summary (equi joins+agg). --
         "decode_ladders": decode_ladders_demo,
+        "regional_volume": A.regional_volume,
         "cube_volume": A.cube_volume,
         "shipping_priority": partial(A.shipping_priority, k=10),
         "moving_average": partial(A.moving_average, days=7),
@@ -401,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": S.LANG_ID_SQL,
         "fingerprint_dedup": S.FINGERPRINT_SQL,
         "surprisal_scores": surprisal_oracle_sql(),
+        "funnel_steps": A.FUNNEL_STEPS_SQL,
         "vocab_stats": T.vocab_stats_oracle_sql(top_n=100),
         "bpe_pair_counts": T.bpe_pair_counts_oracle_sql(top_n=50),
         "pack_sequences": T.pack_sequences_oracle_sql(budget=512, n_shards=4),

@@ -407,6 +407,91 @@ ORDER BY user_id, session_seq
 """  # session_seq cast: DuckDB window sum(int) yields HUGEINT vs Spark LONG
 
 
+FUNNEL_STEPS = ("view", "click", "signup", "purchase")
+
+
+def funnel_steps(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+) -> DataFrame:
+    """Sequential conversion funnel over the event stream: for each user,
+    the earliest step-N event strictly after their earliest step-(N-1)
+    event; per step, how many users got there and the share of step-0
+    users.
+
+    Plan shape: ONE shuffle (partition by user), then a chain of
+    unordered window-mins — step N's window condition references step
+    N-1's column, so Catalyst stacks WindowExecs over the same hash
+    partitioning without re-exchanging. The per-user frame collapses to
+    one row per user, then to a single len(steps)-column row; the unpivot
+    to (step, count) rows is driver-free. At 100 TB: events shuffle once,
+    everything after is bounded by |users| then |steps|.
+    """
+    events = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    cur = events.select("user_id", "ts", "event_type")
+    tcols: list[str] = []
+    for i, s in enumerate(steps):
+        cond = F.col("event_type") == s
+        if tcols:
+            cond = cond & (F.col("ts") > F.col(tcols[-1]))
+        cur = cur.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        tcols.append(f"_t{i}")
+    per_user = cur.groupBy("user_id").agg(
+        *[F.max(t).alias(t) for t in tcols]
+    )
+    counts = per_user.agg(
+        *[F.count(F.col(t)).alias(f"n_{i}") for i, t in enumerate(tcols)]
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    exploded = counts.select(
+        F.posexplode(
+            F.array(*[F.col(f"n_{i}") for i in range(len(steps))])
+        ).alias("step_index", "n_users"),
+        F.col("n_0").alias("_first"),
+    )
+    return exploded.select(
+        "step_index",
+        F.element_at(steps_arr, F.col("step_index") + 1).alias("step"),
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("_first").cast("double")).alias(
+            "pct_of_first"
+        ),
+    ).orderBy("step_index")
+
+
+def _funnel_oracle(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    ctes = [
+        f"t0 AS (SELECT user_id, min(ts) AS t FROM events"
+        f" WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"t{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+            f" JOIN t{i - 1} p USING (user_id)"
+            f" WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS step_index, '{s}' AS step,"
+        f" (SELECT count(*) FROM t{i}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH {", ".join(ctes)},
+cnt AS ({selects})
+SELECT step_index, step, n_users,
+       CAST(n_users AS DOUBLE) /
+       CAST((SELECT n_users FROM cnt WHERE step_index = 0) AS DOUBLE)
+         AS pct_of_first
+FROM cnt
+ORDER BY step_index
+"""
+
+
+FUNNEL_STEPS_SQL = _funnel_oracle()
+
+
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation (semi-structured scan path).
 

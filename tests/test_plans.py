@@ -123,6 +123,44 @@ def test_read_events_ts_encodings_equivalent(spark, sf_dir, tmp_path, encoding):
     assert got == want
 
 
+def test_funnel_steps_sequential_semantics(spark, tmp_path):
+    """Steps must be strictly sequential per user: a purchase BEFORE the
+    signup must not count, and step counts are monotone non-increasing."""
+    import datetime as _dt
+
+    from faers_datalakehouse_spark.plans.analytics import funnel_steps
+
+    def ev(eid, uid, minute, etype):
+        return (eid, _dt.datetime(2024, 1, 1, 0, minute), uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"),
+        ev(3, 1, 2, "signup"), ev(4, 1, 3, "purchase"),
+        # user 2: purchase happens BEFORE signup -> stops at signup
+        ev(5, 2, 0, "view"), ev(6, 2, 1, "click"),
+        ev(7, 2, 3, "signup"), ev(8, 2, 2, "purchase"),
+        # user 3: never clicks -> stops at view
+        ev(9, 3, 0, "view"), ev(10, 3, 1, "signup"),
+        # user 4: no view at all -> not even step 0
+        ev(11, 4, 0, "click"), ev(12, 4, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "funnel_events"
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    out = {r["step"]: r for r in funnel_steps(spark, str(d)).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 2
+    assert out["signup"]["n_users"] == 2
+    assert out["purchase"]["n_users"] == 1
+    assert out["purchase"]["pct_of_first"] == 1.0 / 3.0
+    # plan: a single exchange for the user partitioning, stacked windows
+    plan = funnel_steps(spark, str(d))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
 def test_csv_ingest_with_metadata(spark, tmp_path):
     p = tmp_path / "demo.csv"
     p.write_text("id$name$age\n1$alice$30\n2$bob$\nmalformed-line-without-seps\n")
