@@ -65,9 +65,12 @@ BENCH_QUERIES = {
     "q19_dup_spans": ("count", "dup_spans"),
     "q20_quality_classifier": ("count", "quality_classifier"),
     "q21_vocab_stats": ("count", "vocab_stats"),
-    # Round-4 addition: sequence packing (window prefix-sums + shard
-    # assignment) — the heaviest training-prep shape.
+    # Round-4 additions: sequence packing (window prefix-sums + shard
+    # assignment), unigram-LM surprisal (token explode + vocab broadcast),
+    # and the sequential conversion funnel (stacked window-mins).
     "q22_pack_sequences": ("count", "pack_sequences"),
+    "q23_surprisal": ("count", "surprisal_scores"),
+    "q24_funnel": ("collect", "funnel_steps"),
 }
 
 
