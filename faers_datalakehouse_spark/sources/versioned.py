@@ -1,0 +1,219 @@
+"""Snapshot-versioned parquet tables: a minimal manifest-log table format.
+
+The reference stores every table as Delta (reference
+``src/bronze/ingest_demographics.py:65-67``), whose core ACID ingredients
+are (a) an append-only log of snapshots and (b) readers that resolve a
+snapshot first and then read exactly the files it lists. No Delta/Iceberg
+jars exist in this sandbox (recorded in ARCHITECTURE.md), so this module
+implements those two ingredients directly over plain parquet — enough for
+the semantics the reference actually relies on:
+
+- **snapshot isolation**: a reader resolves one manifest and sees exactly
+  that file set; an in-flight write is invisible until its manifest is
+  published with an atomic ``os.rename``;
+- **time travel**: ``read(version=N)`` reads any retained snapshot;
+- **transactional compaction**: ``compact()`` writes new files and a new
+  manifest — at no instant can a reader observe a partially-compacted
+  table (this closes the documented non-transactional window of
+  ``sources.maintenance.compact_table`` on live directories);
+- **vacuum**: physically deletes files unreferenced by retained manifests.
+
+Deliberate non-goals (use real Delta/Iceberg on a cluster): multi-writer
+optimistic concurrency (single-writer assumed; version allocation is
+max+1), MERGE inside the log (the engine's DataFrame-native SCD2/MERGE
+compose on top), column-stat data skipping, and catalog integration.
+
+Scale notes: manifests hold file paths + sizes only — KBs per snapshot at
+thousands of files; resolution is one small JSON read on the driver, and
+the data path stays a plain multi-file parquet scan (vectorized reader,
+predicate pushdown, partition-size splitting all unchanged).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    version: int
+    operation: str
+    committed_at: str
+    files: list[dict]  # {"path": str, "bytes": int}
+
+
+class VersionedTable:
+    """A directory-rooted versioned parquet table.
+
+    Layout::
+
+        <root>/_manifests/v00000001.json   # one snapshot per commit
+        <root>/data/<uuid>/part-*.parquet  # immutable data files
+    """
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.manifest_dir = self.root / "_manifests"
+
+    # -- log resolution ---------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not self.manifest_dir.exists():
+            return []
+        return sorted(
+            int(p.stem[1:]) for p in self.manifest_dir.glob("v*.json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no snapshots under {self.root}")
+        p = self.manifest_dir / f"v{version:08d}.json"
+        doc = json.loads(p.read_text())
+        return Snapshot(
+            version=version,
+            operation=doc["operation"],
+            committed_at=doc["committed_at"],
+            files=doc["files"],
+        )
+
+    def history(self) -> list[Snapshot]:
+        return [self.snapshot(v) for v in self.versions()]
+
+    # -- commits ----------------------------------------------------------
+
+    def _stage_files(self, df: DataFrame) -> list[dict]:
+        stage = self.root / "data" / uuid.uuid4().hex
+        df.write.parquet(str(stage))
+        return [
+            {"path": str(p.relative_to(self.root)), "bytes": p.stat().st_size}
+            for p in sorted(stage.glob("*.parquet"))
+        ]
+
+    def _commit(
+        self, files: list[dict], operation: str, committed_at: str
+    ) -> int:
+        """Publish a snapshot with an atomic rename. Single-writer: the
+        version is allocated as max+1; a real multi-writer deployment
+        needs a log with optimistic concurrency (Delta/Iceberg)."""
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        version = (self.current_version() or 0) + 1
+        doc = {
+            "operation": operation,
+            "committed_at": committed_at,
+            "files": files,
+        }
+        tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps(doc, indent=1))
+        os.rename(tmp, self.manifest_dir / f"v{version:08d}.json")
+        return version
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> int:
+        """Commit ``df`` as a new snapshot (``append`` keeps the previous
+        snapshot's files; ``overwrite`` starts from the new files only).
+        ``committed_at`` is injectable for deterministic tests (the repo's
+        no-wall-clock rule). Returns the new version."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported mode: {mode}")
+        new_files = self._stage_files(df)
+        prior = (
+            self.snapshot().files
+            if mode == "append" and self.current_version()
+            else []
+        )
+        return self._commit(prior + new_files, mode, committed_at)
+
+    # -- reads ------------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        snap = self.snapshot(version)
+        if not snap.files:
+            raise FileNotFoundError(
+                f"version {snap.version} of {self.root} lists no files"
+            )
+        return spark.read.parquet(
+            *[str(self.root / f["path"]) for f in snap.files]
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> dict:
+        """Transactional bin-packing: if the current snapshot is
+        fragmented (more files than ``ceil(bytes/target)``), write
+        compacted files and publish them as a new snapshot. Readers always
+        see either the old or the new snapshot, never a mix; prior
+        versions stay readable until ``vacuum``."""
+        import math
+
+        snap = self.snapshot()
+        total = sum(f["bytes"] for f in snap.files)
+        n_target = max(1, math.ceil(total / target_file_bytes))
+        if len(snap.files) <= n_target:
+            return {
+                "compacted": False,
+                "version": snap.version,
+                "files_before": len(snap.files),
+                "files_after": len(snap.files),
+            }
+        df = self.read(spark).repartition(n_target)
+        files = self._stage_files(df)
+        version = self._commit(files, "compact", committed_at)
+        return {
+            "compacted": True,
+            "version": version,
+            "files_before": len(snap.files),
+            "files_after": len(files),
+        }
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data files referenced ONLY by dropped snapshots, then
+        drop those manifests. Keeps the newest ``keep_last`` snapshots.
+        Returns the number of data files deleted."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        if not drop:
+            return 0
+        live = {
+            f["path"] for v in keep for f in self.snapshot(v).files
+        }
+        removed = 0
+        for v in drop:
+            for f in self.snapshot(v).files:
+                if f["path"] not in live:
+                    p = self.root / f["path"]
+                    if p.exists():
+                        p.unlink()
+                        removed += 1
+            (self.manifest_dir / f"v{v:08d}.json").unlink()
+        # prune empty staging dirs
+        data_dir = self.root / "data"
+        if data_dir.exists():
+            for d in data_dir.iterdir():
+                if d.is_dir() and not any(d.iterdir()):
+                    d.rmdir()
+        return removed

@@ -1,0 +1,83 @@
+"""Snapshot-versioned parquet tables: append/overwrite snapshots, time
+travel, transactional compaction, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    assert t.versions() == []
+
+    v1 = t.write(spark.range(0, 10), mode="append", committed_at="t1")
+    v2 = t.write(spark.range(10, 15), mode="append", committed_at="t2")
+    v3 = t.write(spark.range(100, 103), mode="overwrite", committed_at="t3")
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    assert _ids(t.read(spark)) == [100, 101, 102]          # current
+    assert _ids(t.read(spark, version=1)) == list(range(10))
+    assert _ids(t.read(spark, version=2)) == list(range(15))
+    ops = [s.operation for s in t.history()]
+    assert ops == ["append", "append", "overwrite"]
+    assert [s.committed_at for s in t.history()] == ["t1", "t2", "t3"]
+
+
+def test_compact_is_transactional_and_preserves_history(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 500).repartition(8), committed_at="t1")
+    assert len(t.snapshot().files) == 8
+
+    stats = t.compact(spark, target_file_bytes=1 << 30, committed_at="t2")
+    assert stats["compacted"] and stats["files_after"] == 1
+    assert _ids(t.read(spark)) == list(range(500))
+    # the pre-compaction snapshot is still readable (time travel)
+    assert _ids(t.read(spark, version=1)) == list(range(500))
+    assert len(t.snapshot(1).files) == 8
+
+    # already-compact: no new version published
+    again = t.compact(spark, target_file_bytes=1 << 30)
+    assert not again["compacted"]
+    assert t.current_version() == stats["version"]
+
+
+def test_vacuum_drops_only_unreferenced_files(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 100).coalesce(1), committed_at="t1")
+    t.write(spark.range(100, 200).coalesce(1), mode="append", committed_at="t2")
+    t.compact(spark, target_file_bytes=1 << 30, committed_at="t3")
+    n_current = len(t.snapshot().files)
+
+    removed = t.vacuum(keep_last=1)
+    assert t.versions() == [3]
+    # v1/v2's two original files are gone; current files survive
+    assert removed == 2
+    assert _ids(t.read(spark)) == list(range(200))
+    assert len(t.snapshot().files) == n_current
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)
+
+
+def test_reader_snapshot_isolation(spark, tmp_path):
+    """A resolved DataFrame keeps reading its snapshot's files even after
+    later commits change the current version (no torn reads)."""
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 50), committed_at="t1")
+    reader = t.read(spark)  # resolves v1's file list NOW
+    t.write(spark.range(50, 60), mode="append", committed_at="t2")
+    t.write(spark.range(999, 1000), mode="overwrite", committed_at="t3")
+    assert _ids(reader) == list(range(50))  # still v1
+    assert _ids(t.read(spark)) == [999]
+
+
+def test_write_rejects_unknown_mode(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    with pytest.raises(ValueError, match="unsupported mode"):
+        t.write(spark.range(1), mode="merge")
