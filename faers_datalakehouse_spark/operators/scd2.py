@@ -156,3 +156,39 @@ def scd2_history(dim: DataFrame, business_key_values: dict[str, object]) -> Data
         c = F.col(k) == F.lit(v)
         cond = c if cond is None else (cond & c)
     return dim.filter(cond).orderBy("effective_date")
+
+
+def scd2_versioned_apply(
+    table,
+    source: DataFrame,
+    business_keys: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_date: str,
+    committed_at: str = "1970-01-01T00:00:00Z",
+) -> int:
+    """Apply one SCD2 merge against a ``sources.versioned.VersionedTable``.
+
+    The cleanest writer shape: the merge reads the current snapshot's
+    files and the commit stages brand-new files, so there is no
+    read-overwrite conflict — no staging table, no ``localCheckpoint``
+    (compare the managed-table dance in ``plans.medallion._scd2_dim_write``)
+    — and the swap is atomic: readers see the pre- or post-merge dimension,
+    never a mix. Every merge is also a retained snapshot, so
+    ``table.read(spark, version=N)`` time-travels the dimension state as
+    of merge N on top of the row-level history SCD2 itself keeps.
+    Returns the committed version.
+    """
+    spark = source.sparkSession
+    if table.current_version() is None:
+        out = scd2_initial_load(
+            source, business_keys, tracked_cols, effective_date
+        )
+    else:
+        out = scd2_merge(
+            table.read(spark),
+            source,
+            business_keys,
+            tracked_cols,
+            effective_date,
+        )
+    return table.write(out, mode="overwrite", committed_at=committed_at)

@@ -77,6 +77,33 @@ def test_reader_snapshot_isolation(spark, tmp_path):
     assert _ids(t.read(spark)) == [999]
 
 
+def test_scd2_over_versioned_table(spark, tmp_path):
+    """SCD2 merges as snapshot commits: row-level history inside the
+    dimension, merge-level history via time travel, no staging dance."""
+    from faers_datalakehouse_spark.operators.scd2 import scd2_versioned_apply
+
+    t = VersionedTable(str(tmp_path / "dim"))
+    keys, tracked = ["nk"], ["attr"]
+    b0 = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], ["nk", "attr"])
+    b1 = spark.createDataFrame([("k1", "v1b"), ("k3", "v3")], ["nk", "attr"])
+
+    v1 = scd2_versioned_apply(t, b0, keys, tracked, "2024-01-01", "c1")
+    v2 = scd2_versioned_apply(t, b1, keys, tracked, "2024-02-01", "c2")
+    assert (v1, v2) == (1, 2)
+
+    cur = {
+        r["nk"]: r["attr"]
+        for r in t.read(spark).filter("is_current").collect()
+    }
+    assert cur == {"k1": "v1b", "k2": "v2", "k3": "v3"}
+    closed = t.read(spark).filter("NOT is_current").collect()
+    assert [(r["nk"], r["attr"]) for r in closed] == [("k1", "v1")]
+    # merge-level time travel: the dimension as of merge 1
+    as_of_1 = t.read(spark, version=1)
+    assert {r["nk"] for r in as_of_1.collect()} == {"k1", "k2"}
+    assert all(r["is_current"] for r in as_of_1.collect())
+
+
 def test_write_rejects_unknown_mode(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "vt"))
     with pytest.raises(ValueError, match="unsupported mode"):
