@@ -201,9 +201,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "fingerprint_dedup": S.fingerprint_query,
         # round-4 additions: CCNet-style integer-exact unigram surprisal;
-        # sequential conversion funnel (one shuffle + stacked window-mins)
+        # sequential conversion funnel (one shuffle + stacked window-mins);
+        # large-star/small-star connected components over the same MinHash
+        # pairs (O(log n) rounds; output identical to min-label
+        # propagation, so it shares the recursive-CTE oracle verbatim)
         "surprisal_scores": _docs(surprisal_scores),
         "funnel_steps": A.funnel_steps,
+        "neardup_clusters_star": _docs(
+            lambda df: cluster_assignments(
+                minhash_lsh_pairs(
+                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
+                ),
+                src="id_a",
+                dst="id_b",
+                algorithm="star",
+            )
+        ),
         # r3 regressions to re-prove (events TIMESTAMP_NTZ fix)
         "sessionize": partial(A.sessionize, gap_minutes=30),
         "range_join": S.range_join_query,
@@ -247,17 +260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "simhash_neardup": _docs(simhash_neardup_pairs),
-        # Transitive dedup clustering: MinHash candidate pairs → connected
-        # components (min-label propagation) → canonical doc per cluster.
-        "neardup_clusters": _docs(
-            lambda df: cluster_assignments(
-                minhash_lsh_pairs(
-                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
-                ),
-                src="id_a",
-                dst="id_b",
-            )
-        ),
         # Benchmark decontamination: distinct 3-gram overlap vs a broadcast
         # benchmark set (deterministic doc_id % 97 split at every sf).
         "contamination_check": _docs(
@@ -290,9 +292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # upsampling weights toward a uniform budget.
         "mixture_weights": S.mixture_weights_query,
         "lang_id": S.lang_id_query,
-        # -- rotation tail (positions 51..63, beyond the driver's check
-        #    window): every entry below was hash-green in a previous round
-        #    (r2 or r3) and its operator family stays represented above —
+        # -- rotation tail (positions 51+, beyond the driver's 50-entry
+        #    check window): every entry below was DRIVER-hash-green in a
+        #    previous round (r2 or r3) and its operator family stays
+        #    represented above —
         #    cube≈rollup, shipping_priority/moving_average≈topk/window,
         #    temporal_trend≈sql_api_trend, profile_columns≈distinct_profile,
         #    date_standardize≈numeric_standardize, token_count/redact_pii/
@@ -300,9 +303,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    stratified_cap, ann_topk/ann_ivf_topk≈ann_ivf_topk_nprobe2,
         #    cosine_neardup≈lsh_neardup/semantic_neardup,
         #    decode_ladders≈fact_sales (when-ladder decodes),
-        #    regional_volume≈fact_sales+pricing_summary (equi joins+agg). --
+        #    regional_volume≈fact_sales+pricing_summary (equi joins+agg),
+        #    neardup_clusters (label CC, r3-green) ≈ neardup_clusters_star
+        #    (same recursive-CTE oracle, now in the check window). --
         "decode_ladders": decode_ladders_demo,
         "regional_volume": A.regional_volume,
+        # Transitive dedup clustering: MinHash candidate pairs → connected
+        # components (min-label propagation) → canonical doc per cluster.
+        "neardup_clusters": _docs(
+            lambda df: cluster_assignments(
+                minhash_lsh_pairs(
+                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
+                ),
+                src="id_a",
+                dst="id_b",
+            )
+        ),
         "cube_volume": A.cube_volume,
         "shipping_priority": partial(A.shipping_priority, k=10),
         "moving_average": partial(A.moving_average, days=7),
@@ -319,19 +335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": lambda spark, sf_dir: cosine_neardup_pairs(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=NEARDUP_COS_THRESHOLD,
-        ),
-        # Large-star/small-star connected components (O(log n) rounds) over
-        # the same MinHash pairs — output is identical to neardup_clusters,
-        # so it shares the recursive-CTE oracle verbatim.
-        "neardup_clusters_star": _docs(
-            lambda df: cluster_assignments(
-                minhash_lsh_pairs(
-                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
-                ),
-                src="id_a",
-                dst="id_b",
-                algorithm="star",
-            )
         ),
     }
 

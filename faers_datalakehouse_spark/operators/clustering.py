@@ -57,7 +57,13 @@ def connected_components(
     # (GraphX/GraphFrames checkpoint periodically for the same reason).
     # On a cluster with dynamic allocation, use a reliable
     # ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` instead:
-    # localCheckpoint blocks die with their executor.
+    # localCheckpoint blocks die with their executor. Note also that
+    # checkpoint blocks are NOT freed by ``unpersist()`` (verified —
+    # PERF.md); they release when the ContextCleaner GCs the RDD. Frontier
+    # frames here are |nodes|-sized, so rounds retain bounded storage; a
+    # reliable-checkpoint deployment sets
+    # ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to reap
+    # the files.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -195,10 +201,20 @@ def connected_components_star(
             f"large-star/small-star did not converge in {max_iter} rounds"
         )
     # fixpoint is a star forest: every non-center node has exactly one
-    # neighbor (its component min); centers label themselves.
+    # neighbor (its component min); centers label themselves. Self-loop
+    # edges carry no connectivity but DO make their node "appear in an
+    # edge" — union them back as singletons so the output contract matches
+    # connected_components exactly (min() absorbs them when the node also
+    # has real neighbors).
+    loops = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .withColumn("comp", F.col("node"))
+    )
     return (
         cur.select(F.col("a").alias("node"), F.col("b").alias("comp"))
         .union(cur.select(F.col("b").alias("node"), F.col("b").alias("comp")))
+        .union(loops)
         .groupBy("node")
         .agg(F.min("comp").alias("comp"))
     )

@@ -192,3 +192,44 @@ def scd2_versioned_apply(
             effective_date,
         )
     return table.write(out, mode="overwrite", committed_at=committed_at)
+
+
+def scd2_table_apply(
+    spark,
+    table: str,
+    source: DataFrame,
+    business_keys: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_date: str,
+) -> None:
+    """Initial-load or merge ``source`` into the managed table ``table``.
+
+    The merge plan reads ``table`` while the write overwrites it, so the
+    merged frame is materialized first by staging it as a real table
+    (write → read back → overwrite target → drop stage): durable storage
+    with a recompute path, safe on a real cluster. ``localCheckpoint``
+    was rejected for this shape — blocks live on executor local disk with
+    lineage truncated, so one executor loss mid-overwrite loses both old
+    and new state. Delta/Iceberg replace the dance with an atomic MERGE;
+    ``scd2_versioned_apply`` gets atomicity from the manifest log instead.
+    Shared by the batch dims (plans.medallion) and the streaming sink
+    (streaming.scd2) — one code path, one set of semantics.
+    """
+    if not spark.catalog.tableExists(table):
+        scd2_initial_load(
+            source, business_keys, tracked_cols, effective_date
+        ).write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(
+            table
+        )
+        return
+    dim = scd2_merge(
+        spark.table(table), source, business_keys, tracked_cols, effective_date
+    )
+    stage = f"{table}__stage"
+    dim.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(
+        stage
+    )
+    spark.table(stage).write.mode("overwrite").option(
+        "overwriteSchema", "true"
+    ).saveAsTable(table)
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")

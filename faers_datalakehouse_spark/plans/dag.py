@@ -53,6 +53,8 @@ class TaskResult:
     seconds: float = 0.0
     error: str | None = None
     blocked_by: str | None = None
+    exception: BaseException | None = None  # original, for re-raise/chaining
+    traceback: str | None = None
 
 
 @dataclass
@@ -123,8 +125,14 @@ class PipelineDAG:
                 t.fn(spark)
                 results[t.name] = TaskResult("ok", round(time.time() - t0, 3))
             except Exception as e:  # noqa: BLE001 — isolation is the point
+                import traceback as _tb
+
                 results[t.name] = TaskResult(
-                    "failed", round(time.time() - t0, 3), error=repr(e)
+                    "failed",
+                    round(time.time() - t0, 3),
+                    error=repr(e),
+                    exception=e,
+                    traceback=_tb.format_exc(),
                 )
                 if fail_fast:
                     stop = True

@@ -51,8 +51,8 @@ from ..functions.transforms import (
     standardize_date,
     standardize_name,
 )
-from ..operators.scd2 import scd2_initial_load, scd2_merge
-from ..sources.catalog import ensure_schemas, read_latest_partition, table_exists
+from ..operators.scd2 import scd2_table_apply
+from ..sources.catalog import ensure_schemas, read_latest_partition
 from ..sources.ingest import add_ingestion_metadata, all_string_schema, read_csv_enforced
 from .date_dim import build_date_dim
 
@@ -266,28 +266,11 @@ def _scd2_dim_write(
     One generic engine drives all eight dimensions (the reference repeats
     ``apply_scd_type2_merge`` per dim, ``src/utils/scd_type2.py:111-226``).
 
-    The merge plan reads ``table`` while the write overwrites it, so the
-    merged frame must be materialized first. We stage it as a real table
-    (write → read back → overwrite target → drop stage): the staging write
-    is durable storage with a recompute path, safe on a real cluster. The
-    previous ``localCheckpoint`` approach stored blocks on executor local
-    disk with lineage truncated — losing one executor mid-overwrite would
-    have made the data unrecoverable and pinned executor storage meanwhile.
-    Delta/Iceberg replace this dance with an atomic MERGE (see
-    ``sources/formats.py``); this is the format-agnostic fallback.
+    Delegates to ``operators.scd2.scd2_table_apply`` (the staging-table
+    materialization dance, shared with the streaming sink — see its
+    docstring for why ``localCheckpoint`` was rejected here).
     """
-    if not table_exists(spark, table):
-        scd2_initial_load(src, keys, tracked, effective_date).write.mode(
-            "overwrite"
-        ).option("overwriteSchema", "true").saveAsTable(table)
-        return
-    dim = scd2_merge(spark.table(table), src, keys, tracked, effective_date)
-    stage = f"{table}__stage"
-    dim.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(stage)
-    spark.table(stage).write.mode("overwrite").option(
-        "overwriteSchema", "true"
-    ).saveAsTable(table)
-    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    scd2_table_apply(spark, table, src, keys, tracked, effective_date)
 
 
 def gold_dim_drug(spark: SparkSession, effective_date: str) -> None:
@@ -762,8 +745,10 @@ def faers_pipeline_config(
 
     ``sources`` maps table name → raw CSV path (any subset of
     ``BRONZE_COLUMNS``); stages downstream of a missing source are simply
-    not generated, and at run time a failed ingest skips only its own
-    silver/dim branch (per-stage failure isolation, reference parity).
+    not generated — including the fact, which reads all seven silver
+    tables and is therefore only scheduled on a full-source run. At run
+    time a failed ingest skips only its own silver/dim branch (per-stage
+    failure isolation, reference parity).
 
     ``optimize=True`` adds a post-write compaction+ANALYZE leaf task per
     silver table (the reference runs ``OPTIMIZE`` after every silver/dim
@@ -805,13 +790,17 @@ def faers_pipeline_config(
                     "depends_on": [f"silver_{silver}"],
                 }
             )
-    cfg.append(
-        {
-            "task": "fact_adverse_events",
-            "fn": "gold_fact_adverse_events",
-            "depends_on": [f"silver_{n}" for n in sources] + ["dim_date"],
-        }
-    )
+    # gold_fact_adverse_events scans all seven silver tables — schedule it
+    # only when every source is present, matching the docstring's promise
+    # that partial-source runs succeed with just their own branches.
+    if set(sources) >= set(BRONZE_COLUMNS):
+        cfg.append(
+            {
+                "task": "fact_adverse_events",
+                "fn": "gold_fact_adverse_events",
+                "depends_on": [f"silver_{n}" for n in sources] + ["dim_date"],
+            }
+        )
     return cfg
 
 
@@ -861,7 +850,10 @@ def run_pipeline(
     if failed:
         detail = "; ".join(f"{n}: {r.error}" for n, r in failed.items())
         skipped = [n for n, r in results.items() if r.status == "skipped"]
+        first = next(iter(failed.values()))
+        # chain the first original exception so callers keep the real
+        # Spark-side type and stack trace
         raise RuntimeError(
             f"pipeline tasks failed: {detail} (skipped downstream: {skipped})"
-        )
+        ) from first.exception
     return results

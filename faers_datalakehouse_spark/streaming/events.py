@@ -26,19 +26,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+DEFAULT_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        # the driver's current testdata encoding (timestamp[us],
+        # isAdjustedToUTC=false); normalize_event_ts casts it to TIMESTAMP
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
 def stream_events_from_dir(spark: SparkSession, dir_path: str) -> DataFrame:
     """File-source stream over parquet event files (ts normalized to µs).
 
     Streaming file sources require an explicit schema; the testdata's ts
     encoding has changed across driver regenerations (LONG nanos,
-    TIMESTAMP_NTZ µs), so the schema is taken from a batch footer read of the
-    same directory — a metadata-only operation — and ``ts`` is normalized
-    with the shared batch-path rule (sources.tables.normalize_event_ts).
+    TIMESTAMP_NTZ µs), so the schema is taken from a batch footer read of
+    the same directory — a metadata-only operation — and ``ts`` is
+    normalized with the shared batch-path rule
+    (sources.tables.normalize_event_ts). An empty or not-yet-created
+    landing directory (the normal deployment order: start the stream,
+    then let producers land files) falls back to ``DEFAULT_EVENTS_SCHEMA``
+    instead of failing at stream construction.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from ..sources.tables import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(dir_path).schema
+    try:
+        schema = spark.read.parquet(dir_path).schema
+    except AnalysisException:
+        schema = DEFAULT_EVENTS_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

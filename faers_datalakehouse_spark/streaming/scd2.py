@@ -27,7 +27,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 
-from ..operators.scd2 import scd2_initial_load, scd2_merge
+from ..operators.scd2 import scd2_table_apply
 
 
 def apply_scd2_batch(
@@ -38,29 +38,22 @@ def apply_scd2_batch(
     effective_date: str,
 ) -> None:
     """Merge one micro-batch into the managed dimension table ``table``
-    (creating it on first batch). Shared by the streaming sink and any
-    batch caller that wants table-level (rather than frame-level) SCD2.
+    (creating it on first batch). Delegates to the shared staging-table
+    apply (``operators.scd2.scd2_table_apply``) — the same durable
+    materialization the batch dims use, NOT ``localCheckpoint`` (executor-
+    local blocks with truncated lineage would make an executor loss
+    mid-overwrite unrecoverable).
     """
-    spark = batch.sparkSession
     if batch.isEmpty():
         return
-    if spark.catalog.tableExists(table):
-        out = scd2_merge(
-            spark.table(table),
-            batch,
-            business_keys,
-            tracked_cols,
-            effective_date,
-        )
-    else:
-        out = scd2_initial_load(
-            batch, business_keys, tracked_cols, effective_date
-        )
-    # cut lineage before overwriting the table the merge just read
-    # (Spark refuses read-and-overwrite plans); dimension-sized state.
-    out.localCheckpoint().write.mode("overwrite").option(
-        "overwriteSchema", "true"
-    ).saveAsTable(table)
+    scd2_table_apply(
+        batch.sparkSession,
+        table,
+        batch,
+        business_keys,
+        tracked_cols,
+        effective_date,
+    )
 
 
 def scd2_streaming_sink(

@@ -125,6 +125,13 @@ def test_faers_pipeline_config_shape():
     # config validates as a DAG (no cycles, all deps known)
     dag_from_config(cfg, reg, ingest_ts="t", processed_ts="t", effective_date="d")
 
+    # a partial-source run schedules only its own branches — the fact
+    # reads all seven silver tables, so it must NOT be generated
+    partial = faers_pipeline_config({"demographics": "/tmp/demo.csv"})
+    names = {r["task"] for r in partial}
+    assert names == {"bronze_demographics", "silver_demographics",
+                     "dim_date", "dim_patient"}
+
     # optimize=True adds one post-write compaction leaf per silver table
     cfg_opt = faers_pipeline_config(sources, optimize=True)
     assert len(cfg_opt) == 23 + len(sources)

@@ -394,7 +394,8 @@ def test_star_components_match_label_propagation_random(spark):
         edges = [
             (rng.randrange(n), rng.randrange(n)) for _ in range(25 + trial * 10)
         ]
-        edges = [(a, b) for a, b in edges if a != b]
+        # keep self-loops in: both variants must treat a self-loop-only
+        # node as a singleton component (contract: identical output)
         df = spark.createDataFrame(edges, ["src", "dst"])
         want = {
             r["node"]: r["comp"] for r in connected_components(df).collect()

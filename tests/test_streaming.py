@@ -64,6 +64,23 @@ def test_streaming_session_windows(spark, events_dir):
     assert all(r["n_events"] >= 1 for r in out)
 
 
+def test_stream_starts_on_empty_landing_dir(spark, tmp_path):
+    """The normal deployment order is stream-first, files-later: an empty
+    landing directory must not fail stream construction (falls back to
+    DEFAULT_EVENTS_SCHEMA), and files landing afterwards flow through."""
+    import shutil as _sh
+
+    d = tmp_path / "empty_landing"
+    d.mkdir()
+    stream = stream_events_from_dir(spark, str(d))  # must not raise
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    _sh.copy("/root/testdata/sf0.001/events.parquet", d / "late.parquet")
+    out = run_to_completion(
+        streaming_type_counts(stream), "late_counts", "complete"
+    )
+    assert sum(r["n_events"] for r in out.collect()) == 1000
+
+
 def test_streaming_type_counts_complete(spark, events_dir):
     stream = stream_events_from_dir(spark, events_dir)
     counts = streaming_type_counts(stream)
