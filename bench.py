@@ -74,8 +74,29 @@ BENCH_QUERIES = {
 }
 
 
-def _run_once(spark, queries, key: str, action: str) -> float:
+def _proc_stat() -> tuple[int, int]:
+    """(steal_ticks, busy_ticks) from the aggregate cpu line of /proc/stat.
+
+    Fields: user nice system idle iowait irq softirq steal guest guest_nice.
+    Steal is time the hypervisor ran someone else while this VM was runnable
+    — the direct signature of the burstable-credit throttling documented in
+    PERF.md. Recording the per-query delta makes a throttled measurement
+    machine-detectable inside the bench artifact itself.
+    """
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        return steal, busy
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _run_once(spark, queries, key: str, action: str) -> tuple[float, int, int]:
     fn = queries[key]
+    steal0, busy0 = _proc_stat()
     t0 = time.time()
     df = fn(spark, SF_DIR)
     if action == "collect":
@@ -83,12 +104,13 @@ def _run_once(spark, queries, key: str, action: str) -> float:
     else:
         df.count()
     elapsed = time.time() - t0
+    steal1, busy1 = _proc_stat()
     # Operators that persist intermediates (MinHash's shingle frame) would
     # otherwise re-register the same plan against a warming/evicting cache on
     # every run — the q8 run-to-run spread in round 2 was cache churn, not
     # plan noise. Clearing makes every run measure the operator cold.
     spark.catalog.clearCache()
-    return elapsed
+    return elapsed, steal1 - steal0, busy1 - busy0
 
 
 def main() -> None:
@@ -109,6 +131,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    best: dict[str, float] = {}
+    steal: dict[str, int] = {}
+    run_detail: dict[str, list[float]] = {}
+    cores_used: dict[str, list[float]] = {}
     total = 0.0
     for label, (action, key) in BENCH_QUERIES.items():
         # One untimed warm-up per query: the first execution of a plan pays
@@ -117,10 +143,38 @@ def main() -> None:
         # steady-state measurement shouldn't include. Data cache is cleared
         # inside _run_once, so only code warmth carries over.
         _run_once(spark, queries, key, action)
-        runs = [_run_once(spark, queries, key, action) for _ in range(N_RUNS)]
+        results = [_run_once(spark, queries, key, action) for _ in range(N_RUNS)]
+        runs = [r[0] for r in results]
+        # Adaptive outlier defense: the sandbox host intermittently stalls
+        # one run 2-4x (PERF.md: steal/burstable-credit behavior). If the
+        # spread exceeds the median itself (and 1 s), the sample is
+        # contaminated — take 2 more runs so the median is over 5 and a
+        # single stalled run can no longer drag it.
+        if max(runs) - min(runs) > max(1.0, statistics.median(runs)):
+            extra = [_run_once(spark, queries, key, action) for _ in range(2)]
+            results += extra
+            runs += [r[0] for r in extra]
         med = statistics.median(runs)
         timings[label] = round(med, 3)
         spread[label] = round(max(runs) - min(runs), 3)
+        # min is the throttle-insensitive statistic: host steal only ever
+        # ADDS wall time, so the fastest run is the closest observable to the
+        # unthrottled cost of the plan.
+        best[label] = round(min(runs), 3)
+        # steal ticks (USER_HZ=100/s, whole machine) accumulated during the
+        # MEDIAN-adjacent runs; >~100 ticks during a 1 s query means the
+        # host was running someone else and the median is contaminated.
+        steal[label] = sum(r[1] for r in results)
+        run_detail[label] = [round(r, 3) for r in runs]
+        # Effective cores per run: machine-wide busy ticks (USER_HZ=100)
+        # over wall time. These queries are CPU-bound on local[32]; a run
+        # whose wall time doubles while effective cores COLLAPSE is the
+        # host throttling this VM (the credits show neither in steal nor
+        # cgroup counters here), whereas honest slowness keeps cores high.
+        cores_used[label] = [
+            round((r[2] / 100.0) / r[0], 1) if r[0] > 0 else 0.0
+            for r in results
+        ]
         total += med
 
     m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
@@ -133,6 +187,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "best": best,
+                "steal_ticks": steal,
+                "runs": run_detail,
+                "cores_used": cores_used,
                 "runs_per_query": N_RUNS,
                 "sf": sf,
             }

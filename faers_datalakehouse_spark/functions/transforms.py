@@ -149,10 +149,11 @@ def row_hash(tracked_cols: Sequence[Column | str]) -> Column:
 
 
 def surrogate_key(
-    business_keys: Sequence[Column | str], effective_date: Column | None = None
+    business_keys: Sequence[Column | str], *extra: Column
 ) -> Column:
-    """md5 surrogate key over business keys (+ effective date for SCD2)."""
+    """md5 surrogate key over business keys (+ effective date for SCD2;
+    streaming merges append a per-batch token so intraday versions of the
+    same key never share a surrogate)."""
     cols: list[Column | str] = list(business_keys)
-    if effective_date is not None:
-        cols.append(effective_date)
+    cols.extend(c for c in extra if c is not None)
     return F.md5(_hash_input(cols))

@@ -240,6 +240,10 @@ def cluster_assignments(
     """
     from pyspark.sql.window import Window
 
+    if algorithm not in ("label", "star"):
+        raise ValueError(
+            f"algorithm must be 'label' or 'star', got {algorithm!r}"
+        )
     cc_fn = (
         connected_components_star if algorithm == "star" else connected_components
     )

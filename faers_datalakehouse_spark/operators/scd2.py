@@ -40,9 +40,23 @@ def add_scd2_metadata(
     business_keys: Sequence[str],
     tracked_cols: Sequence[str],
     effective_date: str,
+    key_extra: str | None = None,
 ) -> DataFrame:
-    """Stamp SCD2 metadata on a source frame (reference ``scd_type2.py:19-89``)."""
+    """Stamp SCD2 metadata on a source frame (reference ``scd_type2.py:19-89``).
+
+    ``key_extra`` is an optional extra surrogate-key component. The default
+    key md5(business_keys + effective_date) matches the reference, but it
+    collides when the SAME business key changes twice under the SAME
+    effective date — impossible for quarterly batch loads, routine for a
+    change stream merging several micro-batches per day. Streaming callers
+    pass a per-batch token (the micro-batch id) so every inserted version
+    gets a unique ``dim_key``; batch callers omit it and keep
+    reference-identical keys.
+    """
     eff = F.to_date(F.lit(effective_date))
+    key_parts = [F.col("effective_date").cast("string")]
+    if key_extra is not None:
+        key_parts.append(F.lit(key_extra))
     return (
         df.withColumn("row_hash", row_hash(list(tracked_cols)))
         .withColumn("effective_date", eff)
@@ -50,7 +64,7 @@ def add_scd2_metadata(
         .withColumn("is_current", F.lit(True))
         .withColumn(
             "dim_key",
-            surrogate_key(list(business_keys), F.col("effective_date").cast("string")),
+            surrogate_key(list(business_keys), *key_parts),
         )
     )
 
@@ -60,6 +74,7 @@ def scd2_initial_load(
     business_keys: Sequence[str],
     tracked_cols: Sequence[str],
     effective_date: str,
+    key_extra: str | None = None,
 ) -> DataFrame:
     """First load: every (deduplicated) source row becomes a current version.
 
@@ -72,6 +87,7 @@ def scd2_initial_load(
         business_keys,
         tracked_cols,
         effective_date,
+        key_extra=key_extra,
     ).select(*attr_cols, *SCD2_META_COLS)
 
 
@@ -81,6 +97,7 @@ def scd2_merge(
     business_keys: Sequence[str],
     tracked_cols: Sequence[str],
     effective_date: str,
+    key_extra: str | None = None,
 ) -> DataFrame:
     """Apply one SCD2 merge; returns the full new dimension state.
 
@@ -98,7 +115,8 @@ def scd2_merge(
     attr_cols = [c for c in target.columns if c not in SCD2_META_COLS]
 
     src = add_scd2_metadata(
-        source.dropDuplicates(keys), keys, tracked_cols, effective_date
+        source.dropDuplicates(keys), keys, tracked_cols, effective_date,
+        key_extra=key_extra,
     ).select(*attr_cols, *SCD2_META_COLS)
 
     current = target.filter(F.col("is_current"))
@@ -201,6 +219,7 @@ def scd2_table_apply(
     business_keys: Sequence[str],
     tracked_cols: Sequence[str],
     effective_date: str,
+    key_extra: str | None = None,
 ) -> None:
     """Initial-load or merge ``source`` into the managed table ``table``.
 
@@ -217,13 +236,15 @@ def scd2_table_apply(
     """
     if not spark.catalog.tableExists(table):
         scd2_initial_load(
-            source, business_keys, tracked_cols, effective_date
+            source, business_keys, tracked_cols, effective_date,
+            key_extra=key_extra,
         ).write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(
             table
         )
         return
     dim = scd2_merge(
-        spark.table(table), source, business_keys, tracked_cols, effective_date
+        spark.table(table), source, business_keys, tracked_cols, effective_date,
+        key_extra=key_extra,
     )
     stage = f"{table}__stage"
     dim.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(

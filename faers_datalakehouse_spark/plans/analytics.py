@@ -380,6 +380,102 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
     )
 
 
+def sessionize_events_skew(
+    events: DataFrame, gap_minutes: int = 30, bucket_hours: int = 24
+) -> DataFrame:
+    """Skew-hardened sessionize: identical output to ``sessionize`` with
+    bounded window-partition sizes for hot users.
+
+    The plain path partitions ONE window by ``user_id`` — at 100× event
+    volume a hot user (bot, load test, default/anonymous id) serializes
+    into a single task. Here the event-level window partitions by
+    ``(user_id, time-bucket)`` so no task ever holds more than one
+    bucket's worth of one user's events; sessions that the bucket edges
+    cut are repaired by a second *stitch* window that runs over the
+    per-(user, bucket, local-session) AGGREGATE frame — compressed by the
+    events-per-session factor, and the correct altitude for the merge
+    decision because only each local session's boundary timestamps matter.
+
+    Stitch correctness: local sessions of one user are time-disjoint,
+    ordered intervals (within a bucket by construction; across buckets
+    because bucket ranges are disjoint), so "merge iff this session's
+    first event is within ``gap`` of the previous session's last event"
+    over the start-ordered sequence reproduces exactly the plain path's
+    lag-gap decisions; running-summing the merge markers reproduces its
+    session numbering. Property-tested equal on boundary-straddling
+    inputs (tests/test_plans.py) and sharing the driver oracle
+    (``SESSIONIZE_SQL``) verbatim.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    ev = events.withColumn(
+        "_bucket", F.floor(F.unix_micros("ts") / F.lit(bucket_us))
+    )
+    by_ub = Window.partitionBy("user_id", "_bucket").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros("ts")).over(by_ub)
+    local_new = F.when(
+        lag_us.isNull() | (F.unix_micros("ts") - lag_us > gap_us), 1
+    ).otherwise(0)
+    local = (
+        ev.withColumn("_local_new", local_new)
+        .withColumn(
+            "_local_seq",
+            F.sum("_local_new").over(
+                by_ub.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "_bucket", "_local_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+    )
+    by_user = Window.partitionBy("user_id").orderBy("session_start")
+    prev_end = F.lag(F.unix_micros("session_end")).over(by_user)
+    merge_break = F.when(
+        prev_end.isNull()
+        | (F.unix_micros("session_start") - prev_end > gap_us),
+        1,
+    ).otherwise(0)
+    stitched = local.withColumn("_new", merge_break).withColumn(
+        "session_seq",
+        F.sum("_new").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        stitched.groupBy("user_id", "session_seq")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("value_c").alias("value_c"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "session_start",
+            "session_end",
+            (F.col("value_c").cast("double") / 100.0).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def sessionize_skew(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30,
+    bucket_hours: int = 24,
+) -> DataFrame:
+    """Driver entry for the skew-hardened sessionize (same oracle as
+    ``sessionize`` — output is identical by construction)."""
+    return sessionize_events_skew(
+        read_events(spark, sf_dir),
+        gap_minutes=gap_minutes,
+        bucket_hours=bucket_hours,
+    )
+
+
 SESSIONIZE_SQL = """
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*)  AS n_events,

@@ -949,3 +949,44 @@ SELECT lang, doc_id FROM (
 ) WHERE rk <= {cap}
 ORDER BY lang, doc_id
 """
+
+
+def versioned_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + transactional compaction over a snapshot-versioned
+    table (``sources.versioned.VersionedTable``), oracle-checkable.
+
+    Builds a fresh versioned table from ``documents``: commit v1
+    (``doc_id % 3 == 0``, overwrite), commit v2 (``doc_id % 3 == 1``,
+    append), then compact (v3, same logical content as v2). The result
+    unions the **v1 snapshot read back after two further commits** with the
+    **post-compaction current read** — so the hashes prove (a) time travel
+    returns exactly the v1 file set, (b) append accumulated both batches,
+    and (c) compaction rewrote files without changing a single row. The
+    oracle reproduces both slices straight from ``documents``.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs.filter(F.col("doc_id") % 3 == 0), mode="overwrite")
+    vt.write(docs.filter(F.col("doc_id") % 3 == 1), mode="append")
+    vt.compact(spark, target_file_bytes=256 * 1024 * 1024)
+
+    v1 = vt.read(spark, version=1).withColumn("as_of", F.lit("v1"))
+    cur = vt.read(spark).withColumn("as_of", F.lit("current"))
+    return v1.unionByName(cur).orderBy("as_of", "doc_id")
+
+
+VERSIONED_READ_SQL = """
+SELECT doc_id, lang, 'v1' AS as_of FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, lang, 'current' AS as_of FROM documents WHERE doc_id % 3 IN (0, 1)
+ORDER BY as_of, doc_id
+"""

@@ -46,6 +46,10 @@ class Snapshot:
     operation: str
     committed_at: str
     files: list[dict]  # {"path": str, "bytes": int}
+    # Spark StructType JSON of the committed frame; lets empty snapshots
+    # (overwrite-truncate, zero-row merge) stay readable as typed empty
+    # frames. None only for pre-schema manifests.
+    schema_json: str | None = None
 
 
 class VersionedTable:
@@ -86,6 +90,7 @@ class VersionedTable:
             operation=doc["operation"],
             committed_at=doc["committed_at"],
             files=doc["files"],
+            schema_json=doc.get("schema"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -102,7 +107,11 @@ class VersionedTable:
         ]
 
     def _commit(
-        self, files: list[dict], operation: str, committed_at: str
+        self,
+        files: list[dict],
+        operation: str,
+        committed_at: str,
+        schema_json: str | None = None,
     ) -> int:
         """Publish a snapshot with an atomic rename. Single-writer: the
         version is allocated as max+1; a real multi-writer deployment
@@ -113,6 +122,7 @@ class VersionedTable:
             "operation": operation,
             "committed_at": committed_at,
             "files": files,
+            "schema": schema_json,
         }
         tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(doc, indent=1))
@@ -137,7 +147,9 @@ class VersionedTable:
             if mode == "append" and self.current_version()
             else []
         )
-        return self._commit(prior + new_files, mode, committed_at)
+        return self._commit(
+            prior + new_files, mode, committed_at, schema_json=df.schema.json()
+        )
 
     # -- reads ------------------------------------------------------------
 
@@ -146,9 +158,18 @@ class VersionedTable:
     ) -> DataFrame:
         snap = self.snapshot(version)
         if not snap.files:
-            raise FileNotFoundError(
-                f"version {snap.version} of {self.root} lists no files"
-            )
+            # An empty commit (overwrite-truncate, zero-row merge) is a
+            # legitimate table state, not an error: reproduce it as a typed
+            # empty frame from the manifest's persisted schema.
+            if snap.schema_json is None:
+                raise FileNotFoundError(
+                    f"version {snap.version} of {self.root} lists no files "
+                    "and records no schema (pre-schema manifest)"
+                )
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            return spark.createDataFrame([], schema)
         return spark.read.parquet(
             *[str(self.root / f["path"]) for f in snap.files]
         )
@@ -180,7 +201,9 @@ class VersionedTable:
             }
         df = self.read(spark).repartition(n_target)
         files = self._stage_files(df)
-        version = self._commit(files, "compact", committed_at)
+        version = self._commit(
+            files, "compact", committed_at, schema_json=df.schema.json()
+        )
         return {
             "compacted": True,
             "version": version,

@@ -120,6 +120,56 @@ def streaming_session_windows(
     )
 
 
+def streaming_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """EXACT streaming twin of ``plans.analytics.sessionize`` (up to the
+    final per-user numbering — ``finish_sessionize``).
+
+    ``session_window(gap)`` implements precisely the batch definition: a
+    session extends while the next event arrives within ``gap`` of the
+    previous one. Carrying ``min(ts)``/``max(ts)`` as aggregates gives the
+    batch frame's ``session_start``/``session_end`` (the window's own
+    ``end`` is last-event+gap, which the batch frame doesn't use). Value
+    is summed in integer cents exactly like the batch path.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "value_c")
+    )
+
+
+def finish_sessionize(sessions: DataFrame) -> DataFrame:
+    """Number a closed session frame per user by start time and project the
+    batch ``sessionize`` schema. Runs over ONE ROW PER SESSION (already
+    aggregated), so the per-user window here is orders of magnitude
+    smaller than the event-level window the batch path shuffles."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return (
+        sessions.withColumn(
+            "session_seq", F.row_number().over(w).cast("long")
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "session_start",
+            "session_end",
+            (F.col("value_c").cast("double") / 100.0).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def streaming_type_counts(events: DataFrame) -> DataFrame:
     """Running per-type counts (update-mode stateful aggregate)."""
     return events.groupBy("event_type").agg(

@@ -518,3 +518,11 @@ def test_kmeans_lite_empty_cluster_keeps_centroid(spark):
     assert len(out) == 4
     assert {r["cluster_id"] for r in out} == {0}
     assert all(r["cluster_size"] == 4 for r in out)
+
+
+def test_cluster_assignments_rejects_unknown_algorithm(spark):
+    from faers_datalakehouse_spark.operators.clustering import cluster_assignments
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="algorithm"):
+        cluster_assignments(edges, algorithm="Star")

@@ -184,3 +184,105 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double" in plan
+
+
+def _skew_events(spark):
+    """Synthetic events engineered to straddle bucket boundaries: a hot
+    user with sessions crossing hour edges (including one session spanning
+    THREE consecutive buckets) plus normal users."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(user, minutes_offsets):
+        nonlocal eid
+        for m in minutes_offsets:
+            rows.append(
+                (user, eid, base + dt.timedelta(minutes=m), float(eid % 7))
+            )
+            eid += 1
+
+    # hot user: a session from 00:50 to 02:10 crossing two hour boundaries
+    # (10-min steps < 30-min gap), then a >gap break, then a short session
+    add("hot", [50, 60, 70, 80, 90, 100, 110, 120, 130])
+    add("hot", [300, 305])
+    # user whose events sit exactly at a bucket edge
+    add("edge", [59, 61])          # one session across the boundary
+    add("edge", [240, 241])        # later separate session
+    # user entirely inside one bucket
+    add("plain", [10, 15, 200])
+    return spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "value"]
+    )
+
+
+def test_sessionize_skew_equals_plain_on_boundary_straddling_input(spark):
+    from faers_datalakehouse_spark.plans.analytics import (
+        sessionize_events_skew,
+    )
+
+    ev = _skew_events(spark)
+
+    # plain path inline (same shape as analytics.sessionize, over ev)
+    from pyspark.sql.window import Window as W
+
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+    plain = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(by_user.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    # 1-hour buckets force several boundary stitches, including a 3-bucket
+    # session for the hot user
+    skew = sessionize_events_skew(ev, gap_minutes=30, bucket_hours=1)
+
+    p = sorted(
+        (r["user_id"], r["session_seq"], r["n_events"],
+         str(r["session_start"]), str(r["session_end"]))
+        for r in plain.collect()
+    )
+    s = sorted(
+        (r["user_id"], r["session_seq"], r["n_events"],
+         str(r["session_start"]), str(r["session_end"]))
+        for r in skew.collect()
+    )
+    assert s == p
+    # the hot user's long session must have been stitched back into ONE
+    hot = [t for t in s if t[0] == "hot"]
+    assert [t[2] for t in hot] == [9, 2]
+
+
+def test_sessionize_skew_equals_plain_on_testdata(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import sessionize_skew
+
+    want = sessionize(spark, sf_dir, gap_minutes=30).collect()
+    got = sessionize_skew(spark, sf_dir, gap_minutes=30).collect()
+    assert got == want
+
+
+def test_sessionize_skew_plan_partitions_events_by_bucket(spark, sf_dir):
+    """The event-level window must partition by (user_id, _bucket) — that
+    bound on per-task partition size is the whole point; only the stitch
+    pass over the compressed session frame may partition by user alone."""
+    from faers_datalakehouse_spark.plans.analytics import sessionize_skew
+
+    plan = sessionize_skew(spark, sf_dir, gap_minutes=30)._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    event_level = [s for s in specs if "_bucket" in s]
+    assert event_level, f"no (user_id, _bucket)-partitioned window in plan:\n{plan[:2000]}"

@@ -93,3 +93,52 @@ def test_scd2_batch_replay_is_noop(spark):
     # at-least-once delivery: the same micro-batch arrives again
     apply_scd2_batch(batch, t, KEYS, TRACKED, "2024-03-01")
     assert _state(spark.table(t)) == first
+
+
+def test_multi_update_batch_keeps_latest_by_order_col(spark):
+    ensure_schemas(spark)
+    t = "gold.dim_multiupdate_scd2"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # three updates for k1 inside ONE micro-batch — latest (ts=3) must win,
+    # deterministically, never an arbitrary dropDuplicates survivor
+    batch = spark.createDataFrame(
+        [("k1", "v-old", 1), ("k1", "v-mid", 2), ("k1", "v-new", 3), ("k2", "x", 1)],
+        ["nk", "attr", "ts"],
+    )
+    apply_scd2_batch(batch, t, KEYS, TRACKED, "2024-01-01", order_col="ts")
+    cur = {r["nk"]: r["attr"] for r in spark.table(t).filter("is_current").collect()}
+    assert cur == {"k1": "v-new", "k2": "x"}
+    assert spark.table(t).count() == 2  # no intermediate versions
+
+
+def test_multi_update_batch_without_order_col_raises(spark):
+    import pytest
+
+    ensure_schemas(spark)
+    t = "gold.dim_dupkey_scd2"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    batch = _frame(spark, [("k1", "a"), ("k1", "b")])
+    with pytest.raises(ValueError, match="order_col"):
+        apply_scd2_batch(batch, t, KEYS, TRACKED, "2024-01-01")
+
+
+def test_same_day_changes_across_batches_get_distinct_dim_keys(spark):
+    ensure_schemas(spark)
+    t = "gold.dim_intraday_scd2"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # two micro-batches change the SAME key under the SAME effective date
+    # (routine for a change stream) — the per-batch surrogate token must
+    # keep dim_key unique across the closed and the new version
+    apply_scd2_batch(
+        _frame(spark, [("k1", "v1")]), t, KEYS, TRACKED, "2024-01-01",
+        key_extra="b0",
+    )
+    apply_scd2_batch(
+        _frame(spark, [("k1", "v2")]), t, KEYS, TRACKED, "2024-01-01",
+        key_extra="b1",
+    )
+    rows = spark.table(t).collect()
+    assert len(rows) == 2
+    assert len({r["dim_key"] for r in rows}) == 2
+    cur = [r for r in rows if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["attr"] == "v2"

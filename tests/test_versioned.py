@@ -108,3 +108,18 @@ def test_write_rejects_unknown_mode(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "vt"))
     with pytest.raises(ValueError, match="unsupported mode"):
         t.write(spark.range(1), mode="merge")
+
+
+def test_empty_commit_reads_back_as_typed_empty_frame(spark, tmp_path):
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_empty"))
+    df = spark.createDataFrame([(1, "a")], ["id", "val"])
+    vt.write(df, mode="overwrite")
+    # overwrite-truncate: committing an empty frame is a legitimate state
+    vt.write(df.filter("id < 0"), mode="overwrite")
+    got = vt.read(spark)
+    assert got.count() == 0
+    assert got.schema == df.schema
+    # prior version still time-travels
+    assert vt.read(spark, version=1).count() == 1
