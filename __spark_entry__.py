@@ -49,6 +49,16 @@ from faers_datalakehouse_spark.operators.kmeans import (
     kmeans_lite,
     kmeans_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.ranking import (
+    bm25_oracle_sql,
+    bm25_topk,
+    inverted_index,
+    inverted_index_oracle_sql,
+)
+from faers_datalakehouse_spark.operators.dsir import (
+    dsir_oracle_sql,
+    dsir_weights,
+)
 from faers_datalakehouse_spark.operators.semdedup import (
     semantic_neardup_oracle_sql,
     semantic_neardup_pairs,
@@ -87,6 +97,10 @@ NEARDUP_COS_THRESHOLD = 0.45
 JACCARD_K = 8
 JACCARD_THRESHOLD = 0.5
 JACCARD_BAND = 100
+BM25_QUERY_TERMS = ("hash", "join", "vector", "stream")
+# the synthetic corpus has a 31-word vocabulary with df >= 25 at sf0.01;
+# 450 prunes only the most ubiquitous words while keeping output nonzero
+INVIDX_MAX_DF = 450
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -173,8 +187,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 window: versioned_read is new; the 16-entry r4 tail
     # (last verified r2/r3) rotates in; 17 r4-green entries rotate out.
     return {
-        # -- new this round: snapshot-versioned table time travel --
+        # -- new this round: snapshot-versioned table time travel; corpus
+        #    search (inverted index + integer-exact BM25); DSIR-lite
+        #    importance weights --
         "versioned_read": S.versioned_read_query,
+        "bm25_topk": _docs(
+            lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
+        ),
+        "inverted_index": _docs(
+            lambda df: inverted_index(df, max_df=INVIDX_MAX_DF)
+        ),
+        "dsir_weights": lambda spark, sf_dir: dsir_weights(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+                F.col("lang") == "en"
+            ),
+            n_buckets=256,
+        ),
         # -- rotated in (last driver check r2/r3) --
         "ann_topk": _ann_queries,
         "ann_ivf_topk": _ann_ivf,
@@ -229,8 +258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- core relational / star-schema suite (SURVEY §2) --
         "pricing_summary": A.pricing_summary,
         "topk_parts": partial(A.topk_parts, k=20),
-        "topk_by_group": partial(A.topk_by_group, k=3),
-        "global_summary": A.global_summary,
         "latest_day_activity": A.latest_day_activity,
         "json_extract_agg": A.json_extract_agg,
         "segment_status_pivot": A.segment_status_pivot,
@@ -240,7 +267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
         "scd2_merge": S.scd2_scenario,
-        "numeric_standardize": S.numeric_standardize_demo,
         "asof_join": S.asof_join_query,
         "salted_join": S.salted_join_query,
         "multimodal_decode": S.multimodal_decode_query,
@@ -298,7 +324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    fingerprint_dedup/incremental_dedup≈dedup_exact+minhash_lsh,
         #    neardup_clusters_star≈neardup_clusters (same oracle),
         #    chunk_documents≈token_count, stratified_cap≈split_assign,
-        #    mixture_weights≈regional_volume, rollup_volume≈cube_volume.
+        #    mixture_weights≈regional_volume, rollup_volume≈cube_volume,
+        #    topk_by_group≈topk_parts+shipping_priority,
+        #    global_summary≈pricing_summary+distinct_profile,
+        #    numeric_standardize≈lang_id+redact_pii (regex family).
         #    All re-enter the window by r6
         #    under the 2-round rule; tools/oracle_sweep.py covers them
         #    locally in the meantime. --
@@ -326,6 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": A.unpivot_measures,
         "quantiles_by_group": A.quantiles_by_group,
         "rollup_volume": A.rollup_volume,
+        "topk_by_group": partial(A.topk_by_group, k=3),
+        "global_summary": A.global_summary,
+        "numeric_standardize": S.numeric_standardize_demo,
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -355,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "versioned_read": S.VERSIONED_READ_SQL,
+        "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
+        "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
+        "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),
         "pricing_summary": A.PRICING_SUMMARY_SQL,
         "topk_parts": A.TOPK_PARTS_SQL.format(k=20),
         "topk_by_group": A.TOPK_BY_GROUP_SQL.format(k=3),

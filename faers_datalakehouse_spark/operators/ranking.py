@@ -1,0 +1,198 @@
+"""Corpus search primitives: inverted index + integer-exact BM25 top-k.
+
+A curation pipeline needs corpus-wide lexical search — for deduplication
+forensics ("which documents contain this leaked string"), benchmark
+decontamination drill-downs, and quality auditing. The two classic
+primitives:
+
+- **inverted index**: token → (document frequency, sorted posting list).
+  One ``groupBy(word)`` over the token stream; map-side partial
+  aggregation makes the shuffle vocabulary-sized, not corpus-sized.
+  ``max_df`` prunes stopword-class terms (their posting lists are the
+  corpus itself — at 100 TB a single array row would be GBs; standard
+  practice drops or caps them, and the pruned terms carry no search
+  signal anyway).
+- **BM25 top-k**: Robertson/Spärck-Jones ranking, made **integer-exact**
+  (the repo-wide cross-engine float rule): idf uses the bit-length
+  ``floor(log2(N div df))`` (same trick as ``operators.surprisal``), and
+  the tf normalization with k1=1.2, b=0.75 is cleared of fractions by
+  multiplying through by ``10·Σdl``:
+
+      tf_norm = 2.2·tf / (tf + 0.3 + 0.9·dl·N/Σdl)
+              = 22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N)
+
+  so each term's score is one integer division
+  ``idf_bits · 22000 · tf · Σdl  div  (10·tf·Σdl + 3·Σdl + 9·dl·N)``
+  (milli-scaled), and a document's score is an integer SUM — exact,
+  summation-order-free, reproducible in DuckDB to the last digit.
+  Int64 headroom: the numerator is ≲ 2^50 up to Σdl ≈ 10^9 tokens per
+  statistics partition; beyond that, compute corpus statistics per shard
+  or widen to decimal(38,0) — the plan shape is unchanged.
+
+Scale layout: token stats are two vocabulary/doc-sized aggregates; the
+query-term filter is an ``isin`` over a handful of literals (pushed to
+the scan of the tf frame); scoring joins are broadcasts (vocab-row
+per-term stats); top-k is ``orderBy().limit()`` → TakeOrderedAndProject.
+
+No counterpart in the reference (LLM-pipeline extension surface).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .surprisal import corpus_tokens
+
+K1_NUM = 22  # 2·(k1+1)·10 with k1=1.2 → numerator factor 22·tf·Σdl
+D_TF = 10  # 10·tf·Σdl
+D_CONST = 3  # 0.3·10 → 3·Σdl
+D_LEN = 9  # 0.9·10 → 9·dl·N
+SCALE = 1000  # milli-scaled integer scores
+
+
+def inverted_index(
+    docs: DataFrame,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(word, df, postings)`` with ``postings`` the sorted list of doc
+    ids containing the word. ``max_df`` drops stopword-class terms."""
+    toks = corpus_tokens(docs, id_col, text_col)
+    idx = toks.groupBy("word").agg(
+        F.countDistinct("id").alias("df"),
+        F.sort_array(F.collect_set("id")).alias("postings"),
+    )
+    if max_df is not None:
+        idx = idx.filter(F.col("df") <= max_df)
+    return idx.orderBy("word")
+
+
+def _corpus_stats(toks: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, dl, global) frames: per-(doc, word) counts, per-doc lengths,
+    and the 1-row (n_docs, sum_dl) global — all exact integers."""
+    tf = toks.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    glob = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    return tf, dl, glob
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under integer-exact
+    BM25-lite: ``(doc_id, n_terms_hit, score_milli)``, ties broken by
+    doc id ascending. Only documents containing at least one query term
+    are candidates (inner join — the standard impact-ordered behavior).
+    """
+    terms = sorted(set(query_terms))
+    toks = corpus_tokens(docs, id_col, text_col)
+    tf, dl, glob = _corpus_stats(toks)
+
+    qtf = tf.filter(F.col("word").isin(list(terms)))
+    qdf = qtf.groupBy("word").agg(F.countDistinct("id").alias("df"))
+
+    scored = (
+        qtf.join(F.broadcast(qdf), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(glob))
+    )
+    idf_bits = (
+        F.length(F.bin(F.expr("n_docs div df"))) - F.lit(1)
+    ).cast("long")
+    num = (
+        idf_bits
+        * F.lit(K1_NUM * SCALE)
+        * F.col("tf").cast("long")
+        * F.col("sum_dl").cast("long")
+    )
+    den = (
+        F.lit(D_TF) * F.col("tf").cast("long") * F.col("sum_dl").cast("long")
+        + F.lit(D_CONST) * F.col("sum_dl").cast("long")
+        + F.lit(D_LEN) * F.col("dl").cast("long") * F.col("n_docs").cast("long")
+    )
+    # true integer division (Spark SQL `div`) — exact at any magnitude,
+    # never routed through a double (which would lose bits past 2^53)
+    per_term = (
+        scored.withColumn("num_c", num)
+        .withColumn("den_c", den)
+        .withColumn("term_score", F.expr("num_c div den_c"))
+    )
+    return (
+        per_term.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("term_score").alias("score_milli"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_terms_hit", "score_milli"
+        )
+        .orderBy(F.desc("score_milli"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(query_terms: Sequence[str], k: int = 10) -> str:
+    """DuckDB twin of ``bm25_topk`` — identical normalization, identical
+    integer arithmetic, identical tie-break."""
+    terms = sorted(set(query_terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE word <> ''),
+tf AS (SELECT id, word, count(*) AS tf FROM toks2 GROUP BY id, word),
+dl AS (SELECT id, count(*) AS dl FROM toks2 GROUP BY id),
+gstats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+qtf AS (SELECT * FROM tf WHERE word IN ({in_list})),
+qdf AS (SELECT word, count(DISTINCT id) AS df FROM qtf GROUP BY word),
+per_term AS (
+  SELECT qtf.id,
+         (length(bin(gstats.n_docs // qdf.df)) - 1)
+           * {K1_NUM * SCALE} * qtf.tf * gstats.sum_dl AS num,
+         {D_TF} * qtf.tf * gstats.sum_dl
+           + {D_CONST} * gstats.sum_dl
+           + {D_LEN} * dl.dl * gstats.n_docs AS den
+  FROM qtf JOIN qdf USING (word) JOIN dl USING (id) CROSS JOIN gstats
+)
+SELECT id AS doc_id,
+       count(*) AS n_terms_hit,
+       CAST(sum(num // den) AS BIGINT) AS score_milli
+FROM per_term
+GROUP BY id
+ORDER BY score_milli DESC, doc_id
+LIMIT {k}
+"""
+
+
+def inverted_index_oracle_sql(max_df: int) -> str:
+    """DuckDB twin of ``inverted_index`` (with stopword pruning)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+toks2 AS (SELECT DISTINCT id, word FROM toks WHERE word <> '')
+SELECT word,
+       count(*) AS df,
+       list_sort(list(id)) AS postings
+FROM toks2
+GROUP BY word
+HAVING count(*) <= {max_df}
+ORDER BY word
+"""

@@ -511,7 +511,16 @@ def funnel_steps(
     sf_dir: str,
     steps: tuple[str, ...] = FUNNEL_STEPS,
 ) -> DataFrame:
-    """Sequential conversion funnel over the event stream: for each user,
+    """Sequential conversion funnel over the event stream (driver entry —
+    see :func:`funnel_over` for the semantics and plan shape)."""
+    return funnel_over(read_events(spark, sf_dir), steps)
+
+
+def funnel_over(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+) -> DataFrame:
+    """Sequential conversion funnel over an events frame: for each user,
     the earliest step-N event strictly after their earliest step-(N-1)
     event; per step, how many users got there and the share of step-0
     users.
@@ -524,7 +533,6 @@ def funnel_steps(
     to (step, count) rows is driver-free. At 100 TB: events shuffle once,
     everything after is bounded by |users| then |steps|.
     """
-    events = read_events(spark, sf_dir)
     w = Window.partitionBy("user_id")
     cur = events.select("user_id", "ts", "event_type")
     tcols: list[str] = []

@@ -170,6 +170,51 @@ def finish_sessionize(sessions: DataFrame) -> DataFrame:
     )
 
 
+def streaming_funnel_sink(
+    stream: DataFrame,
+    landing_table: str,
+    result_table: str,
+    steps: tuple[str, ...] = ("view", "click", "signup", "purchase"),
+    checkpoint_dir: str | None = None,
+    query_name: str = "funnel_sink",
+):
+    """Continuously-maintained conversion funnel: each micro-batch appends
+    to ``landing_table`` and refreshes ``result_table`` with the EXACT
+    funnel over all events so far (batch operator ``plans.analytics.
+    funnel_over`` reused verbatim).
+
+    Why recompute instead of bounded incremental state: the funnel's
+    step-N time depends on step-(N-1)'s — an out-of-order event that
+    LOWERS a user's earliest step-0 time can retroactively qualify
+    step-1 events that were previously discarded, so no bounded per-user
+    state short of retaining every step-candidate timestamp is correct.
+    Recompute-per-trigger is exact under any arrival order; the funnel
+    aggregate itself is one shuffle over the landing table, and on a real
+    cluster the landing table is partitioned by event date so the scan
+    stays pruned. (Same engineering stance as ``streaming.scd2``: the
+    batch engine IS the streaming engine, applied per micro-batch.)
+    """
+    from ..plans.analytics import funnel_over
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch.write.mode("append").saveAsTable(landing_table)
+        result = funnel_over(spark.table(landing_table), steps)
+        # tiny frame (len(steps) rows): materialize via collect, then
+        # overwrite — avoids read-overwrite staging for a 4-row table
+        rows = result.collect()
+        spark.createDataFrame(rows, result.schema).write.mode(
+            "overwrite"
+        ).option("overwriteSchema", "true").saveAsTable(result_table)
+
+    writer = stream.writeStream.foreachBatch(_apply).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_type_counts(events: DataFrame) -> DataFrame:
     """Running per-type counts (update-mode stateful aggregate)."""
     return events.groupBy("event_type").agg(

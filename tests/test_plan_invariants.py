@@ -22,6 +22,8 @@ ALLOWED_NESTED_LOOP = {
     "cosine_neardup",    # all-pairs verify kernel (docstring-scoped)
     "ngram_jaccard",     # blocked self-join uses non-equi len-band residual
     "surprisal_scores",  # 1-row corpus-total broadcast onto the vocabulary
+    "bm25_topk",         # 1-row (n_docs, sum_dl) broadcast onto candidates
+    "dsir_weights",      # 1-row smoothed-totals broadcast onto the stream
 }
 
 

@@ -274,3 +274,68 @@ def test_stateless_text_ops_are_streaming_safe(spark, tmp_path):
         assert got[k]["pred_lang"] == want[k]["pred_lang"]
         assert got[k]["q_score"] == want[k]["q_score"]
         assert got[k]["redacted_hash"] == want[k]["redacted_hash"]
+
+
+def test_streaming_sessionize_equals_batch_exactly(spark, events_dir, sf_dir):
+    """The streaming sessionize twin (session_window + min/max-ts
+    aggregates + per-session numbering) must reproduce the batch
+    ``plans.analytics.sessionize`` frame EXACTLY — every column, every
+    session boundary — over the same events file."""
+    from faers_datalakehouse_spark.plans.analytics import sessionize
+    from faers_datalakehouse_spark.streaming.events import (
+        finish_sessionize,
+        streaming_sessionize,
+    )
+
+    stream = stream_events_from_dir(spark, events_dir)
+    # complete mode: every session in state is emitted, including those the
+    # watermark has not closed (availableNow input is finite)
+    closed = run_to_completion(
+        streaming_sessionize(stream, gap="30 minutes", watermark="1 hour"),
+        "sessionize_stream",
+        "complete",
+    )
+    got = finish_sessionize(closed).collect()
+    want = sessionize(spark, sf_dir, gap_minutes=30).collect()
+    assert got == want
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path, sf_dir):
+    """foreachBatch accumulate + exact recompute: after consuming the whole
+    stream, the maintained funnel table equals the batch funnel exactly."""
+    from faers_datalakehouse_spark.plans.analytics import funnel_steps
+    from faers_datalakehouse_spark.sources.catalog import ensure_schemas
+    from faers_datalakehouse_spark.sources.tables import read_events
+    from faers_datalakehouse_spark.streaming.events import streaming_funnel_sink
+
+    ensure_schemas(spark)
+    landing, result = "gold.funnel_landing", "gold.funnel_result"
+    for t in (landing, result):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # two micro-batches via maxFilesPerTrigger over two parquet files
+    src = tmp_path / "funnel_stream"
+    src.mkdir()
+    ev = read_events(spark, sf_dir)
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "batch-a")
+    )
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "batch-b")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch-*"))
+    )
+    q = streaming_funnel_sink(
+        stream, landing, result, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.table(result).orderBy("step_index").collect()
+    want = funnel_steps(spark, sf_dir).collect()
+    assert got == want

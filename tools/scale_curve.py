@@ -1,0 +1,148 @@
+"""Scale-curve probe for the dedup/similarity stack: measure wall time at
+sf0.1 vs a generated 5x corpus and report the scaling exponent per
+operator (exponent = log(t_5x/t_1x)/log(5); ~1.0 = linear).
+
+The 5x corpus is sf0.1's documents/embeddings replicated 5 times with
+**re-keyed ids and per-copy perturbation** — text copies get a distinct
+prefix (shifts every shingle) and embedding copies get a cyclic rotation
+(preserves norms, decorrelates cross-copy cosines). Perturbation matters:
+verbatim duplication would multiply the corpus 5x but the near-duplicate
+PAIR count ~25x for the duplicated groups, turning a linearity probe into
+a join-output-size test. With perturbation the duplicate-rate stays
+constant, so a linear operator should land near exponent 1.0.
+
+Timing is MIN of N runs — the throttle-insensitive statistic on this
+sandbox (PERF.md round 5: the host adds wall time intermittently; it
+never subtracts).
+
+Usage: python tools/scale_curve.py [--runs N] [--factor K]
+Writes SCALE_CURVE.json to the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from faers_datalakehouse_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OPS = ["minhash_lsh", "neardup_clusters_star", "semantic_neardup", "dup_spans"]
+
+
+def generate(spark, out_dir: str, factor: int) -> None:
+    """Write a ``factor``x corpus. IMPORTANT: the 1x BASE must be generated
+    through this same writer (factor=1) — measuring against the driver's
+    own sf0.1 files confounds the curve with file-layout differences
+    (number/size of parquet files sets scan parallelism; the first probe
+    of this tool measured a NEGATIVE exponent for dup_spans purely
+    because the 5x corpus had 32 well-sized files and the base did not).
+    """
+    out = Path(out_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_id))
+        .withColumn(
+            "text",
+            F.concat(F.lit(f"copyset{i} shard{i} "), F.col("text"))
+            if i
+            else F.col("text"),
+        )
+        for i in range(factor)
+    ]
+    u = copies[0]
+    for c in copies[1:]:
+        u = u.unionByName(c)
+    u.repartition(32).write.parquet(str(out / "documents.parquet"))
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    max_vid = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    ecopies = []
+    for i in range(factor):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vid))
+        if i:
+            # cyclic rotation by i: same norms, decorrelated cosines
+            c = c.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i),
+                    F.slice("embedding", 1, i),
+                ),
+            )
+        ecopies.append(c)
+    eu = ecopies[0]
+    for c in ecopies[1:]:
+        eu = eu.unionByName(c)
+    eu.repartition(32).write.parquet(str(out / "embeddings.parquet"))
+
+
+def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
+    fn = queries[name]
+    best = math.inf
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+        spark.catalog.clearCache()
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--factor", type=int, default=5)
+    args = ap.parse_args()
+
+    spark = get_spark("scale_curve")
+    base_dir = "/tmp/spark_graft_sf_x1"
+    big_dir = f"/tmp/spark_graft_sf_x{args.factor}"
+    print(f"generating 1x corpus at {base_dir} (identical layout) ...")
+    generate(spark, base_dir, 1)
+    print(f"generating {args.factor}x corpus at {big_dir} ...")
+    generate(spark, big_dir, args.factor)
+
+    queries = entrymod.queries()
+    results = {}
+    for name in OPS:
+        # warm-up both scales (codegen/JIT), then interleave measurements
+        time_op(spark, queries, name, base_dir, 1)
+        t1 = time_op(spark, queries, name, base_dir, args.runs)
+        time_op(spark, queries, name, big_dir, 1)
+        t5 = time_op(spark, queries, name, big_dir, args.runs)
+        exp = math.log(t5 / t1) / math.log(args.factor)
+        results[name] = {
+            "t_base_sec": round(t1, 3),
+            "t_big_sec": round(t5, 3),
+            "ratio": round(t5 / t1, 2),
+            "exponent": round(exp, 2),
+        }
+        print(f"{name:24s} {t1:7.3f}s -> {t5:7.3f}s  ratio {t5 / t1:5.2f}x  exp {exp:4.2f}")
+
+    out = {
+        "base": BASE,
+        "factor": args.factor,
+        "runs_per_point": args.runs,
+        "statistic": "min",
+        "ops": results,
+    }
+    artifact = Path(__file__).resolve().parent.parent / "SCALE_CURVE.json"
+    artifact.write_text(json.dumps(out, indent=1))
+    print(f"-> {artifact}")
+
+
+if __name__ == "__main__":
+    main()
