@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _md5_hash64
+from .parallelism import ensure_compute_parallelism
 from .similarity import QUANT
 
 
@@ -90,6 +91,7 @@ def train_centroids(
     """Run ``iters`` Lloyd rounds from deterministic seeds and return the
     trained model: ``[(cid, quantized centroid vector)]`` — k·dims driver
     integers, the bounded state callers turn into an ``assign_expr``."""
+    emb = ensure_compute_parallelism(emb)
     q = emb.select(F.col(id_col), _quantized(F.col(emb_col)).alias("qv")).persist()
     seeds = (
         q.select(
@@ -142,7 +144,7 @@ def kmeans_assign(
     ``cluster_id`` is the seed index (0..k-1), NOT a row id.
     """
     cents = train_centroids(emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
-    return emb.select(
+    return ensure_compute_parallelism(emb).select(
         F.col(id_col),
         assign_expr(cents, _quantized(F.col(emb_col))).alias("cluster_id"),
     )

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .kmeans import assign_expr, kmeans_ctes, train_centroids
+from .parallelism import ensure_compute_parallelism
 from .similarity import _dot, with_quantized_norm
 
 
@@ -59,6 +60,7 @@ def semantic_neardup_pairs(
     cents = train_centroids(
         emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col
     )
+    emb = ensure_compute_parallelism(emb)
     e = with_quantized_norm(emb.select(id_col, emb_col), emb_col).select(
         F.col(id_col).alias("id"),
         "q_emb",

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _md5_hash64
+from .parallelism import ensure_compute_parallelism
 
 TERM_RE = "[a-z0-9]+"
 
@@ -62,6 +63,7 @@ def duplicated_window_spans(
     windows at starts p < p' merge when ``p' - p <= k`` (their token
     ranges overlap or adjoin).
     """
+    docs = ensure_compute_parallelism(docs)
     # Docs shorter than k tokens are filtered BEFORE building the window
     # array: F.sequence(1, n-k+1) with n < k would produce a *descending*
     # sequence, not an empty one (Spark reverses when start > stop).
