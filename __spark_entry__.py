@@ -57,7 +57,17 @@ from faers_datalakehouse_spark.operators.ranking import (
 )
 from faers_datalakehouse_spark.operators.dsir import (
     dsir_oracle_sql,
+    dsir_select,
+    dsir_select_oracle_sql,
     dsir_weights,
+)
+from faers_datalakehouse_spark.operators.substring import (
+    winnowing_fingerprints,
+    winnowing_oracle_sql,
+)
+from faers_datalakehouse_spark.operators.surprisal import (
+    bigram_surprisal_oracle_sql,
+    bigram_surprisal_scores,
 )
 from faers_datalakehouse_spark.operators.semdedup import (
     semantic_neardup_oracle_sql,
@@ -204,6 +214,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             n_buckets=256,
         ),
+        # DSIR selection: deterministic top-n most-target-like documents
+        "dsir_select": lambda spark, sf_dir: dsir_select(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+                F.col("lang") == "en"
+            ),
+            n=100,
+            n_buckets=256,
+        ),
+        # Winnowing (MOSS) fingerprints: windowed-min hash selection with
+        # the w+k-1 shared-run guarantee
+        "winnowing_fingerprints": _docs(
+            lambda df: winnowing_fingerprints(df, k=5, w=4)
+        ),
+        # conditional-probability upgrade of unigram surprisal
+        "bigram_surprisal": _docs(bigram_surprisal_scores),
         # -- rotated in (last driver check r2/r3) --
         "ann_topk": _ann_queries,
         "ann_ivf_topk": _ann_ivf,
@@ -259,7 +285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": A.pricing_summary,
         "topk_parts": partial(A.topk_parts, k=20),
         "latest_day_activity": A.latest_day_activity,
-        "json_extract_agg": A.json_extract_agg,
         "segment_status_pivot": A.segment_status_pivot,
         "distinct_profile": A.distinct_profile,
         "customer_retention_setops": A.customer_retention_setops,
@@ -268,8 +293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_sales": build_fact_sales,
         "scd2_merge": S.scd2_scenario,
         "asof_join": S.asof_join_query,
-        "salted_join": S.salted_join_query,
-        "multimodal_decode": S.multimodal_decode_query,
         # -- LLM-data-pipeline extensions --
         "dedup_exact": _docs(dedup_exact),
         "ngram_jaccard": _docs(
@@ -327,7 +350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    mixture_weights≈regional_volume, rollup_volume≈cube_volume,
         #    topk_by_group≈topk_parts+shipping_priority,
         #    global_summary≈pricing_summary+distinct_profile,
-        #    numeric_standardize≈lang_id+redact_pii (regex family).
+        #    numeric_standardize≈lang_id+redact_pii (regex family),
+        #    json_extract_agg≈segment_status_pivot (semi-structured),
+        #    salted_join≈sessionize_skew (salting family),
+        #    multimodal_decode≈(Arrow-kernel family w/ simhash_neardup).
         #    All re-enter the window by r6
         #    under the 2-round rule; tools/oracle_sweep.py covers them
         #    locally in the meantime. --
@@ -358,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_by_group": partial(A.topk_by_group, k=3),
         "global_summary": A.global_summary,
         "numeric_standardize": S.numeric_standardize_demo,
+        "json_extract_agg": A.json_extract_agg,
+        "salted_join": S.salted_join_query,
+        "multimodal_decode": S.multimodal_decode_query,
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -390,6 +419,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
         "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
         "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),
+        "dsir_select": dsir_select_oracle_sql(
+            "TRUE", "lang = 'en'", n=100, n_buckets=256
+        ),
+        "winnowing_fingerprints": winnowing_oracle_sql(k=5, w=4),
+        "bigram_surprisal": bigram_surprisal_oracle_sql(),
         "pricing_summary": A.PRICING_SUMMARY_SQL,
         "topk_parts": A.TOPK_PARTS_SQL.format(k=20),
         "topk_by_group": A.TOPK_BY_GROUP_SQL.format(k=3),

@@ -166,3 +166,41 @@ FROM scored
 GROUP BY id
 ORDER BY doc_id
 """
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``n`` most target-like raw
+    documents by ``(weight_bits desc, per-token avg desc, doc_id asc)`` —
+    a global top-n, planned as TakeOrderedAndProject (no full sort, no
+    single-partition window). The tie-break chain makes selection exact
+    and repartition-stable; the full importance-*sampling* variant (draw
+    proportional to exp(weight)) needs seeded randomness that has no
+    cross-engine twin, so selection-by-rank is the oracle-able production
+    default (top-k selection is what DSIR's released pipeline does too).
+    """
+    w = dsir_weights(raw, target, n_buckets, id_col, text_col)
+    return (
+        w.orderBy(
+            F.desc("weight_bits"), F.desc("avg_weight_bits"), F.col(id_col)
+        )
+        .limit(n)
+    )
+
+
+def dsir_select_oracle_sql(
+    raw_pred: str, target_pred: str, n: int, n_buckets: int = 256
+) -> str:
+    inner = dsir_oracle_sql(raw_pred, target_pred, n_buckets).rstrip()
+    # reuse the weights oracle verbatim as a subquery; re-sort for top-n
+    return f"""
+SELECT * FROM ({inner})
+ORDER BY weight_bits DESC, avg_weight_bits DESC, doc_id
+LIMIT {n}
+"""

@@ -151,3 +151,105 @@ ORDER BY doc_id, span_start
 
 def dup_spans_oracle_sql(k: int = 8, min_count: int = 2) -> str:
     return DUP_SPANS_SQL_TEMPLATE.format(term_re=TERM_RE, k=k, min_count=min_count)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): from the k-token window hashes, every
+    window of ``w`` consecutive hashes contributes its MINIMUM (rightmost
+    position on ties); the distinct selected (position, hash) pairs are
+    the document's fingerprint set. Guarantees: any shared run of at
+    least ``w + k - 1`` tokens between two documents shares at least one
+    fingerprint, while storing only ~2/(w+1) of all window hashes.
+
+    Returns ``(doc_id, pos, fhash)`` ordered by (doc_id, pos).
+
+    Scale shape: the per-position explode into the ≤ ``w`` windows that
+    contain it is a flatMap (×w row growth with w ~ 4, linear); both
+    aggregations partition by (doc, window-start) and stay inside one
+    document — the same bounded-partition profile as
+    ``duplicated_window_spans``. All arithmetic is md5-int64 → exact
+    DuckDB twin (``winnowing_oracle_sql``).
+    """
+    docs = ensure_compute_parallelism(docs)
+    toks_ok = docs.filter(
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), 0))
+        >= k + w - 1
+    )
+    hashes = toks_ok.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_window_hashes(F.col(text_col), k)).alias("pos", "whash"),
+    )
+    # each hash position p participates in window starts [p-w+1, p] ∩ [0, n-w]
+    n_starts = hashes.groupBy("doc_id").agg(
+        (F.max("pos") - F.lit(w) + 2).alias("n_start")  # max valid start + 1
+    )
+    wins = (
+        hashes.join(n_starts, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            "whash",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("pos") - F.lit(w) + 1, F.lit(0)),
+                    F.least(F.col("pos"), F.col("n_start") - 1),
+                )
+            ).alias("s"),
+        )
+    )
+    minw = wins.groupBy("doc_id", "s").agg(F.min("whash").alias("mh"))
+    sel = (
+        wins.join(minw, ["doc_id", "s"])
+        .filter(F.col("whash") == F.col("mh"))
+        .groupBy("doc_id", "s", "mh")
+        .agg(F.max("pos").alias("p"))  # rightmost minimal hash per window
+    )
+    return (
+        sel.select("doc_id", F.col("p").alias("pos"), F.col("mh").alias("fhash"))
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )
+
+
+WINNOWING_SQL_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{term_re}') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + {k} - 1), ' ')),
+                         1, 15))::BIGINT AS whash
+  FROM toks, unnest(range(1, len(t) - {k} + 2)) AS u(i)
+  WHERE len(t) >= {k} + {w} - 1
+),
+n AS (SELECT doc_id, max(pos) - {w} + 2 AS n_start FROM h GROUP BY doc_id),
+wins AS (
+  SELECT h.doc_id, h.pos, h.whash, s
+  FROM h JOIN n USING (doc_id),
+       unnest(range(greatest(h.pos - {w} + 1, 0),
+                    least(h.pos, n.n_start - 1) + 1)) AS u(s)
+),
+minw AS (SELECT doc_id, s, min(whash) AS mh FROM wins GROUP BY doc_id, s),
+sel AS (
+  SELECT w.doc_id, w.s, w.whash AS mh, max(w.pos) AS p
+  FROM wins w JOIN minw m
+    ON w.doc_id = m.doc_id AND w.s = m.s AND w.whash = m.mh
+  GROUP BY w.doc_id, w.s, w.whash
+)
+SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos, mh AS fhash
+FROM sel
+ORDER BY doc_id, pos
+"""
+
+
+def winnowing_oracle_sql(k: int = 5, w: int = 4) -> str:
+    return WINNOWING_SQL_TEMPLATE.format(term_re=TERM_RE, k=k, w=w)

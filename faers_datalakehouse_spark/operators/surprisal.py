@@ -152,3 +152,101 @@ SELECT id AS doc_id,
 FROM scored
 ORDER BY doc_id
 """
+
+
+def corpus_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) adjacent-token bigram stream under the repo-wide
+    normalization — built by zipping the token array with itself shifted
+    one position (a flatMap; no shuffle, no self-join)."""
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.filter(n >= 2)
+        .filter(F.element_at(toks, 1) != "")
+        .select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_surprisal_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document integer-exact BIGRAM surprisal — the conditional
+    upgrade of :func:`surprisal_scores`:
+
+        bits(w1 w2) = floor(log2(count(w1*))) - floor(log2(count(w1 w2)))
+                    ≈ -log2( P(w2 | w1) )
+
+    where ``count(w1*)`` is w1's count as a bigram PREFIX (so the
+    conditional is properly normalized over the same event space).
+    Returns ``(doc_id, n_bigrams, sum_bits, avg_surprisal_bits)``.
+
+    Scale: the bigram model is a groupBy over the bigram stream (vocab²-
+    bounded but realistically corpus-vocabulary-sized × small constant);
+    it joins back by (w1, w2) hash shuffle — NOT broadcast, since web-scale
+    bigram tables outgrow broadcast budgets; the prefix counts derive from
+    the same model frame by a second tiny aggregation.
+    """
+    bgs = corpus_bigrams(docs, id_col, text_col)
+    model = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    prefix = model.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    bits = (F.length(F.bin("n1")) - 1) - (F.length(F.bin("n2")) - 1)
+    return (
+        bgs.join(model, ["w1", "w2"])
+        .join(F.broadcast(prefix), "w1")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits.cast("long")).alias("sum_bits"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "sum_bits",
+            (
+                F.col("sum_bits").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_surprisal_bits"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bigram_surprisal_oracle_sql() -> str:
+    """DuckDB twin of ``bigram_surprisal_scores``."""
+    return """
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+bgs AS (
+  SELECT id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2 AND t[1] <> ''
+),
+model AS (SELECT w1, w2, count(*) AS n2 FROM bgs GROUP BY w1, w2),
+prefix AS (SELECT w1, sum(n2) AS n1 FROM model GROUP BY w1),
+scored AS (
+  SELECT b.id,
+         count(*) AS n_bigrams,
+         sum((length(bin(p.n1)) - 1) - (length(bin(m.n2)) - 1)) AS sum_bits
+  FROM bgs b JOIN model m USING (w1, w2) JOIN prefix p USING (w1)
+  GROUP BY b.id
+)
+SELECT id AS doc_id,
+       n_bigrams,
+       CAST(sum_bits AS BIGINT) AS sum_bits,
+       CAST(sum_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS avg_surprisal_bits
+FROM scored
+ORDER BY doc_id
+"""

@@ -24,6 +24,7 @@ ALLOWED_NESTED_LOOP = {
     "surprisal_scores",  # 1-row corpus-total broadcast onto the vocabulary
     "bm25_topk",         # 1-row (n_docs, sum_dl) broadcast onto candidates
     "dsir_weights",      # 1-row smoothed-totals broadcast onto the stream
+    "dsir_select",       # same totals broadcast via dsir_weights
 }
 
 

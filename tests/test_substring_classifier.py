@@ -101,3 +101,59 @@ def test_classifier_empty_docs_absent(spark):
     docs = _docs(spark, [(1, "words here"), (2, "!!!")])
     out = quality_scores(docs, hashed_weights(spark, 64), n_buckets=64).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Schleimer et al. guarantee: documents sharing a token run of at
+    least w + k - 1 tokens share at least one fingerprint."""
+    from faers_datalakehouse_spark.operators.substring import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"nine ten {shared} eleven twelve"),
+            (3, "completely different words everywhere here today now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fhash"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: winnowing must select strictly fewer than all windows
+    n_windows_doc1 = len(docs.filter("doc_id = 1").collect()[0]["text"].split()) - 5 + 1
+    assert len(by_doc[1]) < n_windows_doc1
+
+
+def test_winnowing_deterministic(spark, sf_dir):
+    from faers_datalakehouse_spark.operators.substring import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    a = winnowing_fingerprints(docs).collect()
+    b = winnowing_fingerprints(docs).collect()
+    assert a == b and len(a) > 0
+
+
+def test_bigram_surprisal_rewards_predictable_sequences(spark):
+    """A document of maximally predictable bigrams scores fewer bits per
+    bigram than one full of unique transitions."""
+    from faers_datalakehouse_spark.operators.surprisal import (
+        bigram_surprisal_scores,
+    )
+
+    rows = [(1, "x y " * 20)]  # x->y and y->x dominate their prefixes
+    rows += [(i, f"u{i} v{i} w{i} z{i}") for i in range(2, 12)]  # unique transitions
+    rows += [(99, "x q")]  # x->q is rare given prefix x appears 40 times
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["avg_surprisal_bits"] for r in bigram_surprisal_scores(docs).collect()}
+    # common prefix, rare continuation -> high conditional surprisal
+    assert out[1] < out[99]
+    # a once-seen prefix determines its continuation: exactly 0 bits
+    assert out[2] == 0.0
