@@ -69,6 +69,11 @@ from faers_datalakehouse_spark.operators.surprisal import (
     bigram_surprisal_oracle_sql,
     bigram_surprisal_scores,
 )
+from faers_datalakehouse_spark.operators.timeseries import (
+    gap_fill_daily,
+    gap_fill_oracle_sql,
+)
+from faers_datalakehouse_spark.sources.tables import read_events
 from faers_datalakehouse_spark.operators.semdedup import (
     semantic_neardup_oracle_sql,
     semantic_neardup_pairs,
@@ -230,6 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # conditional-probability upgrade of unigram surprisal
         "bigram_surprisal": _docs(bigram_surprisal_scores),
+        # time-series regularization: date-spine gap fill + forward fill
+        "gap_fill_daily": lambda spark, sf_dir: gap_fill_daily(
+            read_events(spark, sf_dir)
+        ),
         # -- rotated in (last driver check r2/r3) --
         "ann_topk": _ann_queries,
         "ann_ivf_topk": _ann_ivf,
@@ -286,7 +295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_parts": partial(A.topk_parts, k=20),
         "latest_day_activity": A.latest_day_activity,
         "segment_status_pivot": A.segment_status_pivot,
-        "distinct_profile": A.distinct_profile,
         "customer_retention_setops": A.customer_retention_setops,
         "sql_api_trend": A.sql_api_trend,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
@@ -387,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_agg": A.json_extract_agg,
         "salted_join": S.salted_join_query,
         "multimodal_decode": S.multimodal_decode_query,
+        "distinct_profile": A.distinct_profile,
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -424,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnowing_fingerprints": winnowing_oracle_sql(k=5, w=4),
         "bigram_surprisal": bigram_surprisal_oracle_sql(),
+        "gap_fill_daily": gap_fill_oracle_sql(),
         "pricing_summary": A.PRICING_SUMMARY_SQL,
         "topk_parts": A.TOPK_PARTS_SQL.format(k=20),
         "topk_by_group": A.TOPK_BY_GROUP_SQL.format(k=3),

@@ -1,0 +1,105 @@
+"""Time-series regularization: date-spine gap fill + forward fill.
+
+Event streams are irregular; downstream consumers (trend models, freshness
+monitors, training-mixture schedulers) want a REGULAR daily grid per
+series. The classic two-step:
+
+1. **date spine**: one row per (series, day) over the series' observed
+   range — built with ``sequence`` + ``explode`` (the same generator idiom
+   as ``plans.date_dim``), then a LEFT join of the daily aggregates;
+2. **fill**: counts/sums zero-fill (no events = zero activity);
+   level-style metrics forward-fill with ``last(..., ignorenulls=True)``
+   over the per-series date order (carry the last observation forward).
+
+Scale: the spine is |series| x |days| rows — output-sized, not
+event-sized; the daily aggregate is one shuffle with map-side partial
+aggregation; the forward-fill window partitions by series (bounded by the
+grid, never by raw events). All filled values are exact integers (cents),
+so the DuckDB twin (``gap_fill_oracle_sql``) matches to the last bit.
+
+No counterpart in the reference (engine extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regular daily grid per series:
+    ``(series, day, n_events, value_c, ffill_value_c)`` where missing days
+    carry ``n_events = 0``, ``value_c = 0`` and the forward-filled last
+    observed daily total (NULL before the first observation — leading-edge
+    fill is a modeling choice left to callers)."""
+    cents = F.sum(
+        F.round(F.col(value_col) * 100).cast("long")
+    ).alias("value_c")
+    daily = (
+        events.select(
+            F.col(series_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col),
+        )
+        .groupBy("series", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"), cents)
+    )
+    spine = (
+        daily.groupBy("series")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "series",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    by_series = Window.partitionBy("series").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(daily, ["series", "day"], "left")
+        .select(
+            "series",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_c", F.lit(0)).alias("value_c"),
+            F.last(F.col("value_c"), ignorenulls=True)
+            .over(by_series)
+            .alias("ffill_value_c"),
+        )
+        .orderBy("series", "day")
+    )
+
+
+def gap_fill_oracle_sql() -> str:
+    """DuckDB twin of ``gap_fill_daily`` over the ``events`` table."""
+    return """
+WITH daily AS (
+  SELECT event_type AS series,
+         CAST(ts AS DATE) AS day,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+  FROM events
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT series, CAST(d AS DATE) AS day
+  FROM (SELECT series, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY series),
+       unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)
+)
+SELECT s.series,
+       s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.value_c, 0) AS value_c,
+       last_value(d.value_c IGNORE NULLS)
+         OVER (PARTITION BY s.series ORDER BY s.day
+               ROWS UNBOUNDED PRECEDING) AS ffill_value_c
+FROM spine s LEFT JOIN daily d USING (series, day)
+ORDER BY series, day
+"""

@@ -526,3 +526,33 @@ def test_cluster_assignments_rejects_unknown_algorithm(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError, match="algorithm"):
         cluster_assignments(edges, algorithm="Star")
+
+
+def test_gap_fill_daily_fills_missing_days_and_forward_fills(spark):
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.timeseries import gap_fill_daily
+
+    d = dt.datetime
+    events = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1, 10), 10.0),
+            ("a", d(2024, 1, 1, 11), 5.0),
+            # Jan 2-3 missing entirely
+            ("a", d(2024, 1, 4, 9), 7.0),
+            ("b", d(2024, 1, 2, 8), 1.0),
+        ],
+        ["event_type", "ts", "value"],
+    )
+    out = {
+        (r["series"], str(r["day"])): (
+            r["n_events"], r["value_c"], r["ffill_value_c"]
+        )
+        for r in gap_fill_daily(events).collect()
+    }
+    assert out[("a", "2024-01-01")] == (2, 1500, 1500)
+    assert out[("a", "2024-01-02")] == (0, 0, 1500)  # gap: zero + carry
+    assert out[("a", "2024-01-03")] == (0, 0, 1500)
+    assert out[("a", "2024-01-04")] == (1, 700, 700)
+    assert out[("b", "2024-01-02")] == (1, 100, 100)
+    assert len([k for k in out if k[0] == "a"]) == 4  # full spine, no holes
