@@ -69,6 +69,10 @@ from faers_datalakehouse_spark.operators.surprisal import (
     bigram_surprisal_oracle_sql,
     bigram_surprisal_scores,
 )
+from faers_datalakehouse_spark.operators.graph import (
+    pagerank_lite,
+    pagerank_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.timeseries import (
     gap_fill_daily,
     gap_fill_oracle_sql,
@@ -177,6 +181,21 @@ def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_EDGES_SQL = (
+    "SELECT l_suppkey AS src, o_custkey AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return pagerank_lite(edges, iters=2)
+
+
 def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faers_datalakehouse_spark.operators.classifier import (
         hashed_weights,
@@ -239,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_daily": lambda spark, sf_dir: gap_fill_daily(
             read_events(spark, sf_dir)
         ),
+        # integer-exact damped power iteration over the supplier->customer
+        # shipment graph (2 iterations, micro-rank units)
+        "pagerank": _pagerank,
         # -- rotated in (last driver check r2/r3) --
         "ann_topk": _ann_queries,
         "ann_ivf_topk": _ann_ivf,
@@ -318,7 +340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 df, threshold=JACCARD_THRESHOLD, portable_hash=True
             )
         ),
-        "simhash_neardup": _docs(simhash_neardup_pairs),
         # Benchmark decontamination: distinct 3-gram overlap vs a broadcast
         # benchmark set (deterministic doc_id % 97 split at every sf).
         "contamination_check": _docs(
@@ -396,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": S.salted_join_query,
         "multimodal_decode": S.multimodal_decode_query,
         "distinct_profile": A.distinct_profile,
+        "simhash_neardup": _docs(simhash_neardup_pairs),
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -434,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprints": winnowing_oracle_sql(k=5, w=4),
         "bigram_surprisal": bigram_surprisal_oracle_sql(),
         "gap_fill_daily": gap_fill_oracle_sql(),
+        # iterative oracle: 2 damped integer power steps unrolled as CTEs
+        "pagerank": pagerank_oracle_sql(PAGERANK_EDGES_SQL, iters=2),
         "pricing_summary": A.PRICING_SUMMARY_SQL,
         "topk_parts": A.TOPK_PARTS_SQL.format(k=20),
         "topk_by_group": A.TOPK_BY_GROUP_SQL.format(k=3),

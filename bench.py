@@ -71,6 +71,16 @@ BENCH_QUERIES = {
     "q22_pack_sequences": ("count", "pack_sequences"),
     "q23_surprisal": ("count", "surprisal_scores"),
     "q24_funnel": ("collect", "funnel_steps"),
+    # Round-5 additions: corpus search (inverted-index stats + integer
+    # BM25), DSIR selection, winnowing fingerprints, bigram conditional
+    # surprisal, and time-series gap fill. Keys q1-q24 unchanged for
+    # round-over-round comparison.
+    "q25_bm25_topk": ("collect", "bm25_topk"),
+    "q26_dsir_select": ("collect", "dsir_select"),
+    "q27_winnowing": ("count", "winnowing_fingerprints"),
+    "q28_bigram_surprisal": ("count", "bigram_surprisal"),
+    "q29_gap_fill": ("count", "gap_fill_daily"),
+    "q30_pagerank": ("count", "pagerank"),
 }
 
 

@@ -556,3 +556,21 @@ def test_gap_fill_daily_fills_missing_days_and_forward_fills(spark):
     assert out[("a", "2024-01-04")] == (1, 700, 700)
     assert out[("b", "2024-01-02")] == (1, 100, 100)
     assert len([k for k in out if k[0] == "a"]) == 4  # full spine, no holes
+
+
+def test_pagerank_ranks_authority_above_leaves(spark):
+    from faers_datalakehouse_spark.operators.graph import pagerank_lite
+
+    # star: 1,2,3 all point at 9; 9 points at 5
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 5)], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank_micro"] for r in pagerank_lite(edges, iters=6).collect()}
+    # converged: 5 inherits 9's ENTIRE rank (outdeg 1) plus its own base,
+    # so 5 > 9; 9 collects three teleport-level sources, beating the
+    # leaves, which keep only the teleport base
+    assert out[5] > out[9] > out[1]
+    assert out[1] == out[2] == out[3]
+    # deterministic integers
+    again = {r["node"]: r["rank_micro"] for r in pagerank_lite(edges, iters=6).collect()}
+    assert out == again
