@@ -83,11 +83,13 @@ from faers_datalakehouse_spark.operators.semdedup import (
     semantic_neardup_pairs,
 )
 from faers_datalakehouse_spark.operators.similarity import (
+    ANN_RECALL_SQL_TEMPLATE,
     ANN_TOPK_SQL_TEMPLATE,
     COSINE_NEARDUP_SQL_TEMPLATE,
     IVF_TOPK_SQL_TEMPLATE,
     QUANT,
     ann_lsh_oracle_sql,
+    ann_recall,
     cosine_neardup_pairs,
     ivf_topk_neighbors,
     lsh_bucketed_neardup,
@@ -151,6 +153,17 @@ def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
         k=ANN_K,
         n_cells=16,
         nprobe=nprobe,
+    )
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_recall(
+        emb,
+        emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0),
+        k=ANN_K,
+        n_cells=16,
+        nprobe=1,
     )
 
 
@@ -261,6 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact damped power iteration over the supplier->customer
         # shipment graph (2 iterations, micro-rank units)
         "pagerank": _pagerank,
+        # ANN quality harness: recall@k of the IVF path vs exact top-k —
+        # the recall numbers themselves are oracle-reproducible
+        "ann_recall": _ann_recall,
         # -- rotated in (last driver check r2/r3) --
         "ann_topk": _ann_queries,
         "ann_ivf_topk": _ann_ivf,
@@ -353,9 +369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # maximal per-doc spans (distributed analog of suffix-array
         # exact-substring dedup, Lee et al. 2022).
         "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
-        # Hashed-feature linear quality classifier (integer-quantized
-        # weights, broadcast model table).
-        "quality_classifier": _quality_classifier,
         # End-to-end curation composition: dedup → lang+quality → filter →
         # per-language corpus stats (the real training-data pipeline shape).
         "corpus_curation": partial(
@@ -418,6 +431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": S.multimodal_decode_query,
         "distinct_profile": A.distinct_profile,
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        # Hashed-feature linear quality classifier (integer-quantized
+        # weights, broadcast model table).
+        "quality_classifier": _quality_classifier,
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -458,6 +474,15 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_daily": gap_fill_oracle_sql(),
         # iterative oracle: 2 damped integer power steps unrolled as CTEs
         "pagerank": pagerank_oracle_sql(PAGERANK_EDGES_SQL, iters=2),
+        "ann_recall": ANN_RECALL_SQL_TEMPLATE.format(
+            exact_sql=ANN_TOPK_SQL_TEMPLATE.format(
+                quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K
+            ),
+            ivf_sql=IVF_TOPK_SQL_TEMPLATE.format(
+                quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K,
+                n_cells=16, nprobe=1,
+            ),
+        ),
         "pricing_summary": A.PRICING_SUMMARY_SQL,
         "topk_parts": A.TOPK_PARTS_SQL.format(k=20),
         "topk_by_group": A.TOPK_BY_GROUP_SQL.format(k=3),

@@ -588,3 +588,66 @@ SELECT id_a, id_b, cosine FROM scored
 WHERE cosine >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the IVF approximate path against the exact
+    brute-force neighbors, per query: ``(query_id, n_exact, n_hits,
+    recall_pct)``.
+
+    An ANN index you can't measure is an ANN index you can't trust —
+    every production vector store ships a recall harness; this is the
+    engine-native one, and because both paths are integer-exact the
+    recall numbers themselves are oracle-reproducible (recall_pct is an
+    integer ``hits*100 div n_exact``). The exact side is the
+    declared-quadratic verify kernel — this harness inherits its
+    verify-only scale contract (sample queries, never the full corpus).
+    """
+    exact = topk_neighbors_bruteforce(
+        corpus, queries, id_col=id_col, emb_col=emb_col, k=k
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk_neighbors(
+        corpus, queries, id_col=id_col, emb_col=emb_col, k=k,
+        n_cells=n_cells, nprobe=nprobe,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(n_hits * 100) div n_exact").alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_SQL_TEMPLATE = """
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({exact_sql})
+),
+approx AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM ({ivf_sql})
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(COALESCE(sum(a.hit), 0) AS BIGINT) AS n_hits,
+       (CAST(COALESCE(sum(a.hit), 0) AS BIGINT) * 100) // count(*)
+         AS recall_pct
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id
+ORDER BY query_id
+"""

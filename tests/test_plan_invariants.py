@@ -19,6 +19,7 @@ import __spark_entry__ as entrymod
 # the RIGHT plan):
 ALLOWED_NESTED_LOOP = {
     "ann_topk",          # broadcast query set x corpus scan — exact baseline
+    "ann_recall",        # recall harness embeds the exact baseline side
     "cosine_neardup",    # all-pairs verify kernel (docstring-scoped)
     "ngram_jaccard",     # blocked self-join uses non-equi len-band residual
     "surprisal_scores",  # 1-row corpus-total broadcast onto the vocabulary
