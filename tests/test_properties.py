@@ -205,3 +205,88 @@ def test_asof_join_matches_naive_argmax(spark, lrows, rrows):
         cands = [(rs, rj) for rk, rs, rj in rt if rk == k and rs <= s]
         expect = cands[-1][1] if cands else None
         assert got[i] == expect, (i, k, s, cands)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=60_000), # minutes offset
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=48),             # bucket_hours
+)
+def test_sessionize_skew_equals_plain_for_random_events(spark, evs, bucket_hours):
+    """The skew path must equal the plain path for ANY event placement and
+    ANY bucket width — including widths far smaller than session gaps."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window as W
+
+    from faers_datalakehouse_spark.plans.analytics import sessionize_events_skew
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"u{u}", i, base + dt.timedelta(minutes=m), float(i % 5))
+        for i, (u, m) in enumerate(evs)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+    plain = (
+        ev.withColumn(
+            "new",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new").over(by_user.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    skew = sessionize_events_skew(ev, gap_minutes=30, bucket_hours=bucket_hours)
+    p = sorted(
+        (r["user_id"], r["session_seq"], r["n"], str(r["s"]), str(r["e"]))
+        for r in plain.collect()
+    )
+    s = sorted(
+        (r["user_id"], r["session_seq"], r["n_events"],
+         str(r["session_start"]), str(r["session_end"]))
+        for r in skew.collect()
+    )
+    assert s == p
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=14),  # shared run
+    st.lists(st.sampled_from("pqrstuvw"), min_size=0, max_size=6),   # prefix 1
+    st.lists(st.sampled_from("klmnoxyz"), min_size=0, max_size=6),   # prefix 2
+)
+def test_winnowing_shared_run_guarantee_random(spark, shared, pre1, pre2):
+    """Random contexts around a random shared run of >= w+k-1 tokens: the
+    two documents must always share a fingerprint (k=5, w=4)."""
+    from faers_datalakehouse_spark.operators.substring import (
+        winnowing_fingerprints,
+    )
+
+    mk = lambda toks: " ".join(f"t{c}{i % 3}" for i, c in enumerate(toks))
+    shared_txt = " ".join(f"s{c}" for c in shared)
+    docs = spark.createDataFrame(
+        [
+            (1, (mk(pre1) + " " + shared_txt).strip()),
+            (2, (mk(pre2) + " " + shared_txt).strip()),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fhash"])
+    assert by_doc.get(1, set()) & by_doc.get(2, set())
