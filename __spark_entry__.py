@@ -395,7 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    numeric_standardize≈lang_id+redact_pii (regex family),
         #    json_extract_agg≈segment_status_pivot (semi-structured),
         #    salted_join≈sessionize_skew (salting family),
-        #    multimodal_decode≈(Arrow-kernel family w/ simhash_neardup).
+        #    multimodal_decode/simhash_neardup≈(Arrow-kernel family),
+        #    distinct_profile≈profile_columns,
+        #    quality_classifier≈dsir_weights (hashed-feature scoring).
         #    All re-enter the window by r6
         #    under the 2-round rule; tools/oracle_sweep.py covers them
         #    locally in the meantime. --
