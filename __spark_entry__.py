@@ -69,6 +69,7 @@ from faers_datalakehouse_spark.operators.surprisal import (
     bigram_surprisal_oracle_sql,
     bigram_surprisal_scores,
 )
+from faers_datalakehouse_spark.operators.bpe import bpe_encode, train_bpe_merges
 from faers_datalakehouse_spark.operators.graph import (
     pagerank_lite,
     pagerank_oracle_sql,
@@ -78,6 +79,7 @@ from faers_datalakehouse_spark.operators.timeseries import (
     gap_fill_oracle_sql,
 )
 from faers_datalakehouse_spark.sources.tables import read_events
+from faers_datalakehouse_spark.sources.zorder import z_value, z_value_sql
 from faers_datalakehouse_spark.operators.semdedup import (
     semantic_neardup_oracle_sql,
     semantic_neardup_pairs,
@@ -154,6 +156,34 @@ def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
         n_cells=16,
         nprobe=nprobe,
     )
+
+
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe_merges(docs, n_merges=10)
+    return bpe_encode(docs, merges)
+
+
+def _zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    x = (F.col("o_orderkey") % 1024).cast("long")
+    y = (F.col("o_custkey") % 1024).cast("long")
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        x.alias("zx"),
+        y.alias("zy"),
+        z_value(x, y, bits=10).alias("z"),
+    ).orderBy("order_key")
+
+
+ZORDER_CURVE_SQL = f"""
+SELECT o_orderkey AS order_key,
+       CAST(o_orderkey % 1024 AS BIGINT) AS zx,
+       CAST(o_custkey % 1024 AS BIGINT) AS zy,
+       {z_value_sql('(o_orderkey % 1024)', '(o_custkey % 1024)', bits=10)} AS z
+FROM orders
+ORDER BY order_key
+"""
 
 
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +307,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN quality harness: recall@k of the IVF path vs exact top-k —
         # the recall numbers themselves are oracle-reproducible
         "ann_recall": _ann_recall,
+        # Morton-curve (ZORDER) values — the clustering expression behind
+        # sources.zorder.write_zordered, bit-exact cross-engine
+        "zorder_curve": _zorder_curve,
+        # BPE train+encode (rows-only: ordered greedy merging has no SQL
+        # twin; unit tests pin fold-vs-Python parity + round-trip)
+        "bpe_encode": _bpe_encode,
         # -- rotated in (last driver check r2/r3) --
         "ann_topk": _ann_queries,
         "ann_ivf_topk": _ann_ivf,
@@ -338,17 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
         "scd2_merge": S.scd2_scenario,
-        "asof_join": S.asof_join_query,
         # -- LLM-data-pipeline extensions --
         "dedup_exact": _docs(dedup_exact),
-        "ngram_jaccard": _docs(
-            lambda df: ngram_jaccard_pairs(
-                df,
-                k=JACCARD_K,
-                threshold=JACCARD_THRESHOLD,
-                length_band=JACCARD_BAND,
-            )
-        ),
         # portable_hash: md5-int64 shingle/band hashes → DuckDB reproduces the
         # exact signatures, buckets, and candidate pairs (hash-checked oracle).
         "minhash_lsh": _docs(
@@ -436,6 +463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Hashed-feature linear quality classifier (integer-quantized
         # weights, broadcast model table).
         "quality_classifier": _quality_classifier,
+        "ngram_jaccard": _docs(
+            lambda df: ngram_jaccard_pairs(
+                df,
+                k=JACCARD_K,
+                threshold=JACCARD_THRESHOLD,
+                length_band=JACCARD_BAND,
+            )
+        ),
+        "asof_join": S.asof_join_query,
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -476,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_daily": gap_fill_oracle_sql(),
         # iterative oracle: 2 damped integer power steps unrolled as CTEs
         "pagerank": pagerank_oracle_sql(PAGERANK_EDGES_SQL, iters=2),
+        "zorder_curve": ZORDER_CURVE_SQL,
         "ann_recall": ANN_RECALL_SQL_TEMPLATE.format(
             exact_sql=ANN_TOPK_SQL_TEMPLATE.format(
                 quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K
