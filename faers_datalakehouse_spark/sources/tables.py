@@ -47,7 +47,14 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dt, T.TimestampNTZType):
         return df.withColumn(col, F.col(col).cast("timestamp"))
-    return df
+    if isinstance(dt, T.TimestampType):
+        return df
+    # a FOURTH encoding would otherwise surface as silent hash mismatches
+    # rounds later (the r3 sessionize incident) — fail loudly at the scan
+    raise TypeError(
+        f"unhandled events.{col} encoding {dt!r}; extend normalize_event_ts "
+        "(see tests/test_plans.py::test_read_events_ts_encodings_equivalent)"
+    )
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
