@@ -313,6 +313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE train+encode (rows-only: ordered greedy merging has no SQL
         # twin; unit tests pin fold-vs-Python parity + round-trip)
         "bpe_encode": _bpe_encode,
+        # first/last-touch attribution (stacked frame windows + full join)
+        "attribution": A.attribution,
+        # fixed-width integer-cents histogram (1-row bounds broadcast)
+        "value_histogram": partial(A.value_histogram, n_bins=20),
         # -- rotated in (last driver check r2/r3) --
         "ann_topk": _ann_queries,
         "ann_ivf_topk": _ann_ivf,
@@ -344,8 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 dst="id_b",
             )
         ),
-        # -- training-prep family representatives (r4-green) --
-        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
+        # -- training-prep family representative (r4-green) --
         "pack_sequences": partial(T.pack_sequences_query, budget=512, n_shards=4),
         # DEFAULT near-dup path: LSH bucket blocking + exact in-bucket cosine
         # (linear; the quadratic verify kernel cosine_neardup is above).
@@ -370,7 +373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_day_activity": A.latest_day_activity,
         "segment_status_pivot": A.segment_status_pivot,
         "customer_retention_setops": A.customer_retention_setops,
-        "sql_api_trend": A.sql_api_trend,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
         "scd2_merge": S.scd2_scenario,
@@ -472,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "asof_join": S.asof_join_query,
+        "sql_api_trend": A.sql_api_trend,
+        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -513,6 +517,8 @@ def oracle_sql() -> dict[str, str]:
         # iterative oracle: 2 damped integer power steps unrolled as CTEs
         "pagerank": pagerank_oracle_sql(PAGERANK_EDGES_SQL, iters=2),
         "zorder_curve": ZORDER_CURVE_SQL,
+        "attribution": A.ATTRIBUTION_SQL.format(conv="purchase"),
+        "value_histogram": A.VALUE_HISTOGRAM_SQL.format(n_bins=20),
         "ann_recall": ANN_RECALL_SQL_TEMPLATE.format(
             exact_sql=ANN_TOPK_SQL_TEMPLATE.format(
                 quant=QUANT, query_mod=ANN_QUERY_MOD, k=ANN_K

@@ -1106,3 +1106,148 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
+
+
+def attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Marketing attribution over the event stream: every conversion
+    event credits its user's FIRST-touch and LAST-touch channel (the
+    event_type of the earliest / latest preceding non-conversion event).
+    Output per channel: conversions credited and value in exact cents
+    under each model.
+
+    Plan shape: one shuffle on user, two frame windows over it (running
+    first/last of the preceding non-conversion touches — the same
+    stacked-window idiom as the funnel), then a channel-sized aggregate.
+    Conversions with no preceding touch attribute to the literal
+    ``'(none)'`` channel rather than being dropped.
+    """
+    events = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != conversion_type, F.col("event_type"))
+    enriched = events.withColumn(
+        "first_touch", F.first(touch, ignorenulls=True).over(w)
+    ).withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    conv = enriched.filter(F.col("event_type") == conversion_type).select(
+        F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    first = conv.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("first_touch_conversions"),
+        F.sum("value_c").alias("first_touch_value_c"),
+    )
+    last = conv.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("last_touch_conversions"),
+        F.sum("value_c").alias("last_touch_value_c"),
+    )
+    return (
+        first.join(last, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("first_touch_conversions", F.lit(0)).alias(
+                "first_touch_conversions"
+            ),
+            F.coalesce("first_touch_value_c", F.lit(0)).alias(
+                "first_touch_value_c"
+            ),
+            F.coalesce("last_touch_conversions", F.lit(0)).alias(
+                "last_touch_conversions"
+            ),
+            F.coalesce("last_touch_value_c", F.lit(0)).alias(
+                "last_touch_value_c"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH enriched AS (
+  SELECT event_type, value,
+         first_value(CASE WHEN event_type <> '{conv}' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> '{conv}' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM events
+),
+conv AS (
+  SELECT COALESCE(first_touch, '(none)') AS first_touch,
+         COALESCE(last_touch, '(none)') AS last_touch,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM enriched WHERE event_type = '{conv}'
+),
+f AS (
+  SELECT first_touch AS channel, count(*) AS fc,
+         CAST(sum(value_c) AS BIGINT) AS fv
+  FROM conv GROUP BY 1
+),
+l AS (
+  SELECT last_touch AS channel, count(*) AS lc,
+         CAST(sum(value_c) AS BIGINT) AS lv
+  FROM conv GROUP BY 1
+)
+SELECT COALESCE(f.channel, l.channel) AS channel,
+       COALESCE(fc, 0) AS first_touch_conversions,
+       COALESCE(fv, 0) AS first_touch_value_c,
+       COALESCE(lc, 0) AS last_touch_conversions,
+       COALESCE(lv, 0) AS last_touch_value_c
+FROM f FULL JOIN l ON f.channel = l.channel
+ORDER BY channel
+"""
+
+
+def value_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of ``lineitem.l_extendedprice``: one global
+    min/max aggregate (2 scalars, broadcast back as literals via a 1-row
+    cross join would also work — here the bin expression uses the
+    aggregate-derived bounds through a broadcast join), then a
+    width-bucket projection + count. Bin ids and edges are exact
+    integers in cents, so the histogram hash-matches DuckDB.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_c")
+    )
+    bounds = li.agg(
+        F.min("p_c").alias("lo"), F.max("p_c").alias("hi")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.expr(f"(p_c - lo) * {n_bins} div (hi - lo + 1)"),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).orderBy("bin")
+
+
+VALUE_HISTOGRAM_SQL = """
+WITH p AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c FROM lineitem
+),
+b AS (SELECT min(p_c) AS lo, max(p_c) AS hi FROM p)
+SELECT LEAST((p.p_c - b.lo) * {n_bins} // (b.hi - b.lo + 1),
+             {n_bins} - 1) AS bin,
+       count(*) AS n
+FROM p CROSS JOIN b
+GROUP BY 1
+ORDER BY bin
+"""

@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "bm25_topk",         # 1-row (n_docs, sum_dl) broadcast onto candidates
     "dsir_weights",      # 1-row smoothed-totals broadcast onto the stream
     "dsir_select",       # same totals broadcast via dsir_weights
+    "value_histogram",   # 1-row min/max bounds broadcast onto the scan
 }
 
 

@@ -286,3 +286,40 @@ def test_sessionize_skew_plan_partitions_events_by_bucket(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     event_level = [s for s in specs if "_bucket" in s]
     assert event_level, f"no (user_id, _bucket)-partitioned window in plan:\n{plan[:2000]}"
+
+
+def test_attribution_credits_first_and_last_touch(spark, tmp_path):
+    """Engineered journey: first touch and last touch differ; conversions
+    with no prior touch credit '(none)'."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.plans.analytics import attribution
+
+    d = dt.datetime
+    rows = [
+        # u1: view -> click -> purchase(10): first=view, last=click
+        (1, 1, d(2024, 1, 1, 9), "view", 0.0),
+        (1, 2, d(2024, 1, 1, 10), "click", 0.0),
+        (1, 3, d(2024, 1, 1, 11), "purchase", 10.0),
+        # u2: cold purchase(5): '(none)'
+        (2, 4, d(2024, 1, 2, 9), "purchase", 5.0),
+        # u1 second purchase(2) after another view: first=view, last=view
+        (1, 5, d(2024, 1, 2, 8), "view", 0.0),
+        (1, 6, d(2024, 1, 2, 9), "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "value"][:0] or
+        ["user_id", "event_id", "ts", "event_type", "value"]
+    )
+    dirp = tmp_path / "attr_events"
+    df.select("user_id", "event_id", "ts", "event_type", "value").write.parquet(
+        str(dirp / "events.parquet")
+    )
+    out = {r["channel"]: r for r in attribution(spark, str(dirp)).collect()}
+    assert out["view"]["first_touch_conversions"] == 2
+    assert out["view"]["first_touch_value_c"] == 1200
+    assert out["click"]["last_touch_conversions"] == 1
+    assert out["click"]["last_touch_value_c"] == 1000
+    assert out["view"]["last_touch_conversions"] == 1  # second purchase
+    assert out["(none)"]["first_touch_conversions"] == 1
+    assert out["(none)"]["first_touch_value_c"] == 500
