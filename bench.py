@@ -81,6 +81,8 @@ BENCH_QUERIES = {
     "q28_bigram_surprisal": ("count", "bigram_surprisal"),
     "q29_gap_fill": ("count", "gap_fill_daily"),
     "q30_pagerank": ("count", "pagerank"),
+    "q31_attribution": ("collect", "attribution"),
+    "q32_histogram": ("collect", "value_histogram"),
 }
 
 
