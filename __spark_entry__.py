@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    search (inverted index + integer-exact BM25); DSIR-lite
         #    importance weights --
         "versioned_read": S.versioned_read_query,
+        # copy-on-write row-level DELETE: pre/post snapshots both checked
+        "versioned_delete": S.versioned_delete_query,
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
         ),
@@ -385,15 +387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 df, threshold=JACCARD_THRESHOLD, portable_hash=True
             )
         ),
-        # Benchmark decontamination: distinct 3-gram overlap vs a broadcast
-        # benchmark set (deterministic doc_id % 97 split at every sf).
-        "contamination_check": _docs(
-            lambda df: contamination_check(
-                df.filter(F.col("doc_id") % 97 != 0),
-                df.filter(F.col("doc_id") % 97 == 0),
-                n=3,
-            )
-        ),
         # Substring-level dedup: duplicated k-token window fingerprints →
         # maximal per-doc spans (distributed analog of suffix-array
         # exact-substring dedup, Lee et al. 2022).
@@ -476,6 +469,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": S.asof_join_query,
         "sql_api_trend": A.sql_api_trend,
         "vocab_stats": partial(T.vocab_stats_query, top_n=100),
+        # Benchmark decontamination: distinct 3-gram overlap vs a broadcast
+        # benchmark set (deterministic doc_id % 97 split at every sf).
+        "contamination_check": _docs(
+            lambda df: contamination_check(
+                df.filter(F.col("doc_id") % 97 != 0),
+                df.filter(F.col("doc_id") % 97 == 0),
+                n=3,
+            )
+        ),
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -505,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "versioned_read": S.VERSIONED_READ_SQL,
+        "versioned_delete": S.VERSIONED_DELETE_SQL,
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
         "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
         "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),

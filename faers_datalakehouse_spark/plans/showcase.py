@@ -990,3 +990,43 @@ UNION ALL
 SELECT doc_id, lang, 'current' AS as_of FROM documents WHERE doc_id % 3 IN (0, 1)
 ORDER BY as_of, doc_id
 """
+
+
+def versioned_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE on a snapshot-versioned table,
+    oracle-checkable end-to-end.
+
+    Build the same two-commit table as ``versioned_read_query``, then
+    ``delete_where(lang = 'de')``. The result unions the PRE-delete
+    snapshot (time travel to v2) with the POST-delete current read — so
+    the hashes prove the delete removed exactly the matching rows from
+    the current version while leaving history intact, and the oracle
+    reproduces both slices straight from ``documents``.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_del/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs.filter(F.col("doc_id") % 3 == 0), mode="overwrite")
+    vt.write(docs.filter(F.col("doc_id") % 3 == 1), mode="append")
+    vt.delete_where(spark, "lang = 'de'")
+
+    pre = vt.read(spark, version=2).withColumn("as_of", F.lit("pre"))
+    post = vt.read(spark).withColumn("as_of", F.lit("post"))
+    return pre.unionByName(post).orderBy("as_of", "doc_id")
+
+
+VERSIONED_DELETE_SQL = """
+SELECT doc_id, lang, 'pre' AS as_of FROM documents WHERE doc_id % 3 IN (0, 1)
+UNION ALL
+SELECT doc_id, lang, 'post' AS as_of FROM documents
+WHERE doc_id % 3 IN (0, 1) AND lang <> 'de'
+ORDER BY as_of, doc_id
+"""

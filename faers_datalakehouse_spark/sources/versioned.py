@@ -211,6 +211,114 @@ class VersionedTable:
             "files_after": len(files),
         }
 
+    def rewrite_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        transform=None,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> dict:
+        """Copy-on-write row-level mutation — the Delta DELETE/UPDATE
+        execution model: only files that CONTAIN matching rows are
+        rewritten; untouched files are carried into the new manifest by
+        reference (no data movement, byte-identical). Readers see the
+        pre- or post-mutation snapshot atomically; prior versions keep
+        time-traveling to the unmodified data.
+
+        ``transform(matched_df) -> DataFrame | None``: None (default)
+        deletes matching rows; otherwise the returned frame REPLACES them
+        (must keep the table schema). Returns
+        ``{version, files_rewritten, files_kept, rows_matched}``.
+
+        File pruning is one aggregation over ``input_file_name()`` —
+        distributed, no per-file driver loop; at cluster scale this is
+        exactly why copy-on-write deletes are cheap when predicates align
+        with the layout (partition/Z-order pruning shrinks the matched
+        file set — see ``sources.zorder``).
+        """
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if not snap.files:
+            return {
+                "version": snap.version,
+                "files_rewritten": 0,
+                "files_kept": 0,
+                "rows_matched": 0,
+            }
+        df = self.read(spark).withColumn("_file", F.input_file_name())
+        matched_files = {
+            r["_file"]
+            for r in df.filter(predicate).select("_file").distinct().collect()
+        }  # bounded: file count, not row count
+        rows_matched = df.filter(predicate).count()
+        # input_file_name() yields a URI (file://...); manifests hold
+        # root-relative paths whose data/<uuid>/part-*.parquet tail is
+        # unique per file — suffix match avoids scheme/normalization drift
+        kept, hit = [], []
+        for f in snap.files:
+            is_hit = any(m.endswith(f["path"]) for m in matched_files)
+            (hit if is_hit else kept).append(f)
+        if not hit:
+            return {
+                "version": snap.version,
+                "files_rewritten": 0,
+                "files_kept": len(kept),
+                "rows_matched": 0,
+            }
+        hit_paths = [str(self.root / f["path"]) for f in hit]
+        affected = spark.read.parquet(*hit_paths)
+        survivors = affected.filter(f"NOT ({predicate})")
+        if transform is not None:
+            replaced = transform(affected.filter(predicate))
+            if replaced is not None:
+                survivors = survivors.unionByName(replaced)
+        new_files = self._stage_files(survivors)
+        version = self._commit(
+            kept + new_files,
+            "rewrite",
+            committed_at,
+            schema_json=self.read(spark).schema.json(),
+        )
+        return {
+            "version": version,
+            "files_rewritten": len(hit),
+            "files_kept": len(kept),
+            "rows_matched": rows_matched,
+        }
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> dict:
+        """Row-level DELETE (copy-on-write; see ``rewrite_where``)."""
+        return self.rewrite_where(
+            spark, predicate, transform=None, committed_at=committed_at
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        set_exprs: dict[str, str],
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> dict:
+        """Row-level UPDATE: matching rows get ``set_exprs`` (column ->
+        SQL expression) applied; copy-on-write like ``rewrite_where``."""
+        from pyspark.sql import functions as F
+
+        def apply(matched):
+            out = matched
+            for col, expr in set_exprs.items():
+                out = out.withColumn(col, F.expr(expr))
+            return out
+
+        return self.rewrite_where(
+            spark, predicate, transform=apply, committed_at=committed_at
+        )
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by dropped snapshots, then
         drop those manifests. Keeps the newest ``keep_last`` snapshots.

@@ -123,3 +123,50 @@ def test_empty_commit_reads_back_as_typed_empty_frame(spark, tmp_path):
     assert got.schema == df.schema
     # prior version still time-travels
     assert vt.read(spark, version=1).count() == 1
+
+
+def _vt_two_files(spark, tmp_path, name):
+    """A versioned table whose snapshot holds two physically separate
+    files (two commits), so copy-on-write file pruning is observable."""
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / name))
+    lo = spark.createDataFrame([(i, "lo") for i in range(10)], ["id", "tag"])
+    hi = spark.createDataFrame([(i, "hi") for i in range(100, 110)], ["id", "tag"])
+    vt.write(lo.coalesce(1), mode="overwrite")
+    vt.write(hi.coalesce(1), mode="append")
+    return vt
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    vt = _vt_two_files(spark, tmp_path, "vt_del")
+    before = {f["path"] for f in vt.snapshot().files}
+    info = vt.delete_where(spark, "id = 105")
+    assert info["rows_matched"] == 1
+    assert info["files_rewritten"] == 1 and info["files_kept"] == 1
+    after = vt.snapshot()
+    # the untouched file is carried BY REFERENCE (same path, no rewrite)
+    assert len(set(f["path"] for f in after.files) & before) == 1
+    ids = sorted(r["id"] for r in vt.read(spark).collect())
+    assert ids == list(range(10)) + [100, 101, 102, 103, 104, 106, 107, 108, 109]
+    # time travel: pre-delete snapshot still has the row
+    assert vt.read(spark, version=2).filter("id = 105").count() == 1
+
+
+def test_update_where_replaces_matching_rows(spark, tmp_path):
+    vt = _vt_two_files(spark, tmp_path, "vt_upd")
+    info = vt.update_where(spark, "id < 3", {"tag": "'patched'"})
+    assert info["rows_matched"] == 3
+    assert info["files_rewritten"] == 1 and info["files_kept"] == 1
+    got = {r["id"]: r["tag"] for r in vt.read(spark).collect()}
+    assert got[0] == got[1] == got[2] == "patched"
+    assert got[3] == "lo" and got[105] == "hi"
+    assert len(got) == 20  # no rows lost
+
+
+def test_delete_where_no_match_is_noop_commit_free(spark, tmp_path):
+    vt = _vt_two_files(spark, tmp_path, "vt_nm")
+    v_before = vt.current_version()
+    info = vt.delete_where(spark, "id = 99999")
+    assert info["files_rewritten"] == 0
+    assert vt.current_version() == v_before  # no new snapshot published
