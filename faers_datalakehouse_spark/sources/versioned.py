@@ -170,7 +170,11 @@ class VersionedTable:
 
             schema = StructType.fromJson(json.loads(snap.schema_json))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(
+        # mergeSchema: appends may widen the schema (new columns); the
+        # union of all file footers in the snapshot is the table schema,
+        # with missing columns null-filled per file — Delta-style
+        # schema evolution on the read path
+        return spark.read.option("mergeSchema", "true").parquet(
             *[str(self.root / f["path"]) for f in snap.files]
         )
 

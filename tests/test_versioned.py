@@ -170,3 +170,27 @@ def test_delete_where_no_match_is_noop_commit_free(spark, tmp_path):
     info = vt.delete_where(spark, "id = 99999")
     assert info["files_rewritten"] == 0
     assert vt.current_version() == v_before  # no new snapshot published
+
+
+def test_append_with_new_column_evolves_schema(spark, tmp_path):
+    """Delta-style schema evolution: an append with an extra column
+    widens the table; old files' rows read back null for it, and
+    time-traveling to v1 shows the original narrow schema."""
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_evolve"))
+    vt.write(
+        spark.createDataFrame([(1, "a")], ["id", "val"]).coalesce(1),
+        mode="overwrite",
+    )
+    vt.write(
+        spark.createDataFrame(
+            [(2, "b", "extra")], ["id", "val", "note"]
+        ).coalesce(1),
+        mode="append",
+    )
+    cur = vt.read(spark)
+    assert set(cur.columns) == {"id", "val", "note"}
+    got = {r["id"]: r["note"] for r in cur.collect()}
+    assert got[1] is None and got[2] == "extra"
+    assert set(vt.read(spark, version=1).columns) == {"id", "val"}
