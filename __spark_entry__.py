@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         # first/last-touch attribution (stacked frame windows + full join)
         "attribution": A.attribution,
+        # weekly cohort retention matrix (epoch-week integers)
+        "cohort_retention": A.cohort_retention,
         # fixed-width integer-cents histogram (1-row bounds broadcast)
         "value_histogram": partial(A.value_histogram, n_bins=20),
         # -- rotated in (last driver check r2/r3) --
@@ -396,7 +398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": partial(
             S.corpus_curation_query, min_score=0.5, min_tokens=10
         ),
-        "text_quality": S.text_quality_query,
         "lang_id": S.lang_id_query,
         # -- rotation tail (positions 51+, beyond the driver's 50-entry
         #    check window): every entry below was DRIVER-hash-green in
@@ -478,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 n=3,
             )
         ),
+        "text_quality": S.text_quality_query,
         "funnel_steps": A.funnel_steps,
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
@@ -521,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(PAGERANK_EDGES_SQL, iters=2),
         "zorder_curve": ZORDER_CURVE_SQL,
         "attribution": A.ATTRIBUTION_SQL.format(conv="purchase"),
+        "cohort_retention": A.COHORT_RETENTION_SQL,
         "value_histogram": A.VALUE_HISTOGRAM_SQL.format(n_bins=20),
         "ann_recall": ANN_RECALL_SQL_TEMPLATE.format(
             exact_sql=ANN_TOPK_SQL_TEMPLATE.format(

@@ -1251,3 +1251,75 @@ FROM p CROSS JOIN b
 GROUP BY 1
 ORDER BY bin
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by first-activity
+    week; for each (cohort_week, week_offset), distinct active users and
+    integer retention percent of the cohort's size.
+
+    Plan: distinct (user, week) — one shuffle; per-user min week — an
+    aggregate over that (already user-partitioned) frame; matrix — one
+    more |user-weeks|-sized aggregate; cohort sizes broadcast back.
+    Weeks are epoch-week integers (days since 1970-01-05, a Monday,
+    div 7) — exact cross-engine arithmetic, no WEEK() locale traps.
+    """
+    ev = read_events(spark, sf_dir)
+    wk = F.expr("datediff(to_date(ts), date'1970-01-05') div 7")
+    user_weeks = ev.select(
+        F.col("user_id"), wk.cast("long").alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    matrix = (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = matrix.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        matrix.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("(n_active * 100) div cohort_size").alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM user_weeks GROUP BY user_id
+),
+matrix AS (
+  SELECT c.cohort_week,
+         u.week - c.cohort_week AS week_offset,
+         count(DISTINCT u.user_id) AS n_active
+  FROM user_weeks u JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM matrix WHERE week_offset = 0
+)
+SELECT m.cohort_week,
+       CAST(m.week_offset AS BIGINT) AS week_offset,
+       m.n_active,
+       s.cohort_size,
+       (m.n_active * 100) // s.cohort_size AS retention_pct
+FROM matrix m JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
