@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_read": S.versioned_read_query,
         # copy-on-write row-level DELETE: pre/post snapshots both checked
         "versioned_delete": S.versioned_delete_query,
+        # manifest min/max data skipping: pruned read loses no rows
+        "versioned_skip_read": S.versioned_skip_read_query,
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
         ),
@@ -352,8 +354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 dst="id_b",
             )
         ),
-        # -- training-prep family representative (r4-green) --
-        "pack_sequences": partial(T.pack_sequences_query, budget=512, n_shards=4),
         # DEFAULT near-dup path: LSH bucket blocking + exact in-bucket cosine
         # (linear; the quadratic verify kernel cosine_neardup is above).
         # 8 planes (not the operator's 10-plane default): the synthetic
@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": S.asof_join_query,
         "sql_api_trend": A.sql_api_trend,
         "vocab_stats": partial(T.vocab_stats_query, top_n=100),
+        "pack_sequences": partial(T.pack_sequences_query, budget=512, n_shards=4),
         # Benchmark decontamination: distinct 3-gram overlap vs a broadcast
         # benchmark set (deterministic doc_id % 97 split at every sf).
         "contamination_check": _docs(
@@ -510,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "versioned_read": S.VERSIONED_READ_SQL,
         "versioned_delete": S.VERSIONED_DELETE_SQL,
+        "versioned_skip_read": S.VERSIONED_SKIP_READ_SQL,
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
         "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
         "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),

@@ -1030,3 +1030,39 @@ SELECT doc_id, lang, 'post' AS as_of FROM documents
 WHERE doc_id % 3 IN (0, 1) AND lang <> 'de'
 ORDER BY as_of, doc_id
 """
+
+
+def versioned_skip_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping end-to-end: write ``documents`` as a
+    range-clustered versioned table with per-file min/max stats on
+    ``doc_id``, then ``read_pruned`` a doc_id range. The oracle is the
+    plain slice of ``documents`` — equality proves pruning lost no rows;
+    the skipping itself (files_read << files_total) is asserted in
+    ``tests/test_versioned.py``.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_skip/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(
+        docs.repartitionByRange(8, "doc_id"),
+        mode="overwrite",
+        stats_cols=("doc_id",),
+    )
+    lo, hi = 100, 199
+    pruned, _report = vt.read_pruned(spark, "doc_id", lo, hi)
+    return pruned.orderBy("doc_id")
+
+
+VERSIONED_SKIP_READ_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id BETWEEN 100 AND 199
+ORDER BY doc_id
+"""

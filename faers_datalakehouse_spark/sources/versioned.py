@@ -40,6 +40,16 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _json_safe(v):
+    """Manifest-storable scalar: dates/timestamps to ISO strings, the
+    rest as-is (ints/floats/strings/None are already JSON types)."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return v
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -98,13 +108,45 @@ class VersionedTable:
 
     # -- commits ----------------------------------------------------------
 
-    def _stage_files(self, df: DataFrame) -> list[dict]:
+    def _stage_files(
+        self, df: DataFrame, stats_cols: tuple[str, ...] = ()
+    ) -> list[dict]:
         stage = self.root / "data" / uuid.uuid4().hex
         df.write.parquet(str(stage))
-        return [
+        entries = [
             {"path": str(p.relative_to(self.root)), "bytes": p.stat().st_size}
             for p in sorted(stage.glob("*.parquet"))
         ]
+        if stats_cols and entries:
+            # per-file min/max for the skipping index: ONE distributed
+            # aggregation over the staged files keyed by input_file_name —
+            # no per-file driver loop; result is file-count-sized
+            from pyspark.sql import functions as F
+
+            spark = df.sparkSession
+            aggs = []
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            rows = (
+                spark.read.parquet(str(stage))
+                .withColumn("_file", F.input_file_name())
+                .groupBy("_file")
+                .agg(*aggs)
+                .collect()
+            )
+            by_suffix = {}
+            for r in rows:
+                stats = {
+                    c: [_json_safe(r[f"lo_{c}"]), _json_safe(r[f"hi_{c}"])]
+                    for c in stats_cols
+                }
+                by_suffix[r["_file"]] = stats
+            for e in entries:
+                for f, stats in by_suffix.items():
+                    if f.endswith(e["path"]):
+                        e["stats"] = stats
+                        break
+        return entries
 
     def _commit(
         self,
@@ -134,14 +176,18 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "append",
         committed_at: str = "1970-01-01T00:00:00Z",
+        stats_cols: tuple[str, ...] = (),
     ) -> int:
         """Commit ``df`` as a new snapshot (``append`` keeps the previous
         snapshot's files; ``overwrite`` starts from the new files only).
         ``committed_at`` is injectable for deterministic tests (the repo's
-        no-wall-clock rule). Returns the new version."""
+        no-wall-clock rule). ``stats_cols`` records per-file min/max in
+        the manifest — the data-skipping index ``read_pruned`` consults
+        (narrow ranges require a clustered layout: ``repartitionByRange``
+        upstream or ``sources.zorder``). Returns the new version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
-        new_files = self._stage_files(df)
+        new_files = self._stage_files(df, stats_cols=stats_cols)
         prior = (
             self.snapshot().files
             if mode == "append" and self.current_version()
@@ -176,6 +222,50 @@ class VersionedTable:
         # schema evolution on the read path
         return spark.read.option("mergeSchema", "true").parquet(
             *[str(self.root / f["path"]) for f in snap.files]
+        )
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Manifest-level data skipping: read only the files whose
+        recorded ``[min, max]`` for ``col`` intersects ``[lo, hi]``
+        (``hi`` defaults to ``lo`` — point lookup), then apply the exact
+        predicate on the surviving files. Files with no recorded stats
+        are conservatively read (correctness first). Returns
+        ``(frame, {"files_total", "files_read", "files_skipped"})`` — at
+        100 TB this is the difference between a full scan and touching a
+        handful of files, decided from KBs of manifest on the driver.
+        """
+        hi = lo if hi is None else hi
+        snap = self.snapshot(version)
+        keep = []
+        for f in snap.files:
+            stats = f.get("stats", {}).get(col) if isinstance(f, dict) else None
+            if stats is None or stats[0] is None:
+                keep.append(f)  # no stats -> cannot skip safely
+            elif not (stats[1] < lo or stats[0] > hi):
+                keep.append(f)
+        report = {
+            "files_total": len(snap.files),
+            "files_read": len(keep),
+            "files_skipped": len(snap.files) - len(keep),
+        }
+        if not keep:
+            df = self.read(spark, version).limit(0)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[str(self.root / f["path"]) for f in keep]
+            )
+        from pyspark.sql import functions as F
+
+        return (
+            df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))),
+            report,
         )
 
     # -- maintenance ------------------------------------------------------

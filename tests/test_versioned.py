@@ -194,3 +194,42 @@ def test_append_with_new_column_evolves_schema(spark, tmp_path):
     got = {r["id"]: r["note"] for r in cur.collect()}
     assert got[1] is None and got[2] == "extra"
     assert set(vt.read(spark, version=1).columns) == {"id", "val"}
+
+
+def test_data_skipping_reads_only_intersecting_files(spark, tmp_path):
+    """Min/max stats in the manifest + a range-clustered layout: a point
+    lookup touches 1 of 8 files; an unstatted table reads everything."""
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_skip"))
+    df = spark.range(8000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    vt.write(
+        df.repartitionByRange(8, "id"), mode="overwrite", stats_cols=("id",)
+    )
+    snap = vt.snapshot()
+    assert len(snap.files) == 8
+    assert all("stats" in f and "id" in f["stats"] for f in snap.files)
+
+    out, rep = vt.read_pruned(spark, "id", 4242)
+    assert rep == {"files_total": 8, "files_read": 1, "files_skipped": 7}
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 4242
+
+    out, rep = vt.read_pruned(spark, "id", 1000, 3000)
+    assert rep["files_read"] <= 3 and rep["files_skipped"] >= 5
+    assert out.count() == 2001
+
+    # out-of-range lookup: zero files, still a valid empty typed frame
+    out, rep = vt.read_pruned(spark, "id", 10**9)
+    assert rep["files_read"] == 0 and out.count() == 0
+
+
+def test_data_skipping_is_conservative_without_stats(spark, tmp_path):
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_nostats"))
+    df = spark.range(100).select(F.col("id"))
+    vt.write(df.repartition(4), mode="overwrite")  # no stats recorded
+    out, rep = vt.read_pruned(spark, "id", 50)
+    assert rep["files_skipped"] == 0  # cannot skip safely
+    assert [r["id"] for r in out.collect()] == [50]
