@@ -275,12 +275,21 @@ class VersionedTable:
         spark: SparkSession,
         target_file_bytes: int = 128 * 1024 * 1024,
         committed_at: str = "1970-01-01T00:00:00Z",
+        sort_by: tuple[str, ...] = (),
     ) -> dict:
         """Transactional bin-packing: if the current snapshot is
         fragmented (more files than ``ceil(bytes/target)``), write
         compacted files and publish them as a new snapshot. Readers always
         see either the old or the new snapshot, never a mix; prior
-        versions stay readable until ``vacuum``."""
+        versions stay readable until ``vacuum``.
+
+        The skipping index survives compaction: whatever columns the
+        current snapshot carries stats for are re-recorded on the new
+        files. ``sort_by`` range-clusters the rewrite on those columns
+        (narrow post-compaction min/max = skipping stays EFFECTIVE, not
+        just present; pair with ``sources.zorder.z_value`` for
+        multi-column clustering). Default plain ``repartition`` matches
+        the pre-round-5 behavior."""
         import math
 
         snap = self.snapshot()
@@ -293,8 +302,17 @@ class VersionedTable:
                 "files_before": len(snap.files),
                 "files_after": len(snap.files),
             }
-        df = self.read(spark).repartition(n_target)
-        files = self._stage_files(df)
+        stats_cols = tuple(
+            sorted({c for f in snap.files for c in f.get("stats", {})})
+        )
+        df = self.read(spark)
+        if sort_by:
+            df = df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.repartition(n_target)
+        files = self._stage_files(df, stats_cols=stats_cols)
         version = self._commit(
             files, "compact", committed_at, schema_json=df.schema.json()
         )

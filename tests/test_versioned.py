@@ -233,3 +233,26 @@ def test_data_skipping_is_conservative_without_stats(spark, tmp_path):
     out, rep = vt.read_pruned(spark, "id", 50)
     assert rep["files_skipped"] == 0  # cannot skip safely
     assert [r["id"] for r in out.collect()] == [50]
+
+
+def test_compact_preserves_skipping_index_and_clustering(spark, tmp_path):
+    """Compaction re-records per-file stats and (with sort_by) keeps the
+    layout skippable: a point lookup still touches a strict subset."""
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_compact_stats"))
+    df = spark.range(4000).select(F.col("id"))
+    # fragmented: 16 range-clustered files with stats
+    vt.write(
+        df.repartitionByRange(16, "id"), mode="overwrite", stats_cols=("id",)
+    )
+    info = vt.compact(
+        spark, target_file_bytes=20_000, sort_by=("id",)
+    )
+    assert info["compacted"] and info["files_after"] < info["files_before"]
+    snap = vt.snapshot()
+    assert all("stats" in f for f in snap.files)
+    out, rep = vt.read_pruned(spark, "id", 1234)
+    assert rep["files_read"] == 1
+    assert rep["files_total"] == info["files_after"]
+    assert [r["id"] for r in out.collect()] == [1234]
