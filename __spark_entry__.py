@@ -272,6 +272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_delete": S.versioned_delete_query,
         # manifest min/max data skipping: pruned read loses no rows
         "versioned_skip_read": S.versioned_skip_read_query,
+        # change data feed (Delta CDF analog): row diff between snapshots,
+        # computed from the manifests' file-list symmetric difference only
+        # (this entry's window slot comes from lang_id, r4-green, whose
+        # regex family stays represented by numeric_standardize/redact_pii)
+        "versioned_changes": S.versioned_changes_query,
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
         ),
@@ -512,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "versioned_read": S.VERSIONED_READ_SQL,
         "versioned_delete": S.VERSIONED_DELETE_SQL,
         "versioned_skip_read": S.VERSIONED_SKIP_READ_SQL,
+        "versioned_changes": S.VERSIONED_CHANGES_SQL,
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
         "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
         "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),

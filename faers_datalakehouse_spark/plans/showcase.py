@@ -1032,6 +1032,46 @@ ORDER BY as_of, doc_id
 """
 
 
+def versioned_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshots of a versioned table
+    (``VersionedTable.changes`` — the Delta CDF analog), oracle-checkable.
+
+    Build: v1 overwrite (``doc_id % 3 == 0``), v2 append
+    (``doc_id % 3 == 1``), v3 ``delete_where(lang = 'de')``. The result is
+    ``changes(v1, v3)``: every ``% 3 == 1`` row that survived the delete is
+    an ``insert``; every ``% 3 == 0`` row with ``lang = 'de'`` is a
+    ``delete``; unchanged rows are absent. Because data files are
+    immutable, the diff reads only the file-list symmetric difference of
+    the two manifests — the oracle reproduces both slices straight from
+    ``documents``.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_cdf/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs.filter(F.col("doc_id") % 3 == 0), mode="overwrite")
+    vt.write(docs.filter(F.col("doc_id") % 3 == 1), mode="append")
+    vt.delete_where(spark, "lang = 'de'")
+    return vt.changes(spark, 1, 3).orderBy("change_type", "doc_id")
+
+
+VERSIONED_CHANGES_SQL = """
+SELECT doc_id, lang, 'insert' AS change_type FROM documents
+WHERE doc_id % 3 = 1 AND lang <> 'de'
+UNION ALL
+SELECT doc_id, lang, 'delete' AS change_type FROM documents
+WHERE doc_id % 3 = 0 AND lang = 'de'
+ORDER BY change_type, doc_id
+"""
+
+
 def versioned_skip_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-level data skipping end-to-end: write ``documents`` as a
     range-clustered versioned table with per-file min/max stats on

@@ -224,6 +224,74 @@ class VersionedTable:
             *[str(self.root / f["path"]) for f in snap.files]
         )
 
+    def changes(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+    ) -> DataFrame:
+        """Change data feed: the row-level difference between snapshot
+        ``v_from`` and snapshot ``v_to`` (default: current), as a frame of
+        the table's columns plus ``change_type`` (``'insert'`` /
+        ``'delete'``). An UPDATE surfaces as a delete of the old row and an
+        insert of the new one. Multiset-exact: a row appearing twice more
+        in ``v_to`` yields two ``insert`` rows.
+
+        The Delta CDF analog, computed *from the log*: data files are
+        immutable, so files listed by BOTH snapshots cancel exactly and are
+        never read — only the symmetric difference of the two file lists is
+        scanned. A pure append therefore reads just the appended files
+        (zero old data); a compaction reads its rewritten files and nets to
+        zero changes. The row diff itself is a +1/-1-weighted union +
+        groupBy over all columns — one shuffle with map-side partial
+        aggregation, null-safe by construction (no join on nullable keys).
+        """
+        from pyspark.sql import functions as F
+
+        if v_to is None:
+            v_to = self.current_version()
+        old = self.snapshot(v_from)
+        new = self.snapshot(v_to)
+        old_paths = {f["path"] for f in old.files}
+        new_paths = {f["path"] for f in new.files}
+        only_old = sorted(old_paths - new_paths)
+        only_new = sorted(new_paths - old_paths)
+
+        def _read(paths: list[str]) -> DataFrame | None:
+            if not paths:
+                return None
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[str(self.root / p) for p in paths]
+            )
+
+        added, removed = _read(only_new), _read(only_old)
+        if added is None and removed is None:
+            base = self.read(spark, v_to).limit(0)
+            return base.withColumn("change_type", F.lit(""))
+        parts = []
+        if added is not None:
+            parts.append(added.withColumn("_w", F.lit(1)))
+        if removed is not None:
+            parts.append(removed.withColumn("_w", F.lit(-1)))
+        both = parts[0]
+        for p in parts[1:]:
+            both = both.unionByName(p, allowMissingColumns=True)
+        data_cols = [c for c in both.columns if c != "_w"]
+        net = both.groupBy(*data_cols).agg(F.sum("_w").alias("_net"))
+        return (
+            net.filter(F.col("_net") != 0)
+            .withColumn(
+                "change_type",
+                F.when(F.col("_net") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            # multiset multiplicity: |net| copies of each changed row,
+            # generated executor-side (no collect)
+            .withColumn("_i", F.explode(F.sequence(F.lit(1), F.abs("_net"))))
+            .select(*data_cols, "change_type")
+        )
+
     def read_pruned(
         self,
         spark: SparkSession,

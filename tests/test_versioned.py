@@ -256,3 +256,69 @@ def test_compact_preserves_skipping_index_and_clustering(spark, tmp_path):
     assert rep["files_read"] == 1
     assert rep["files_total"] == info["files_after"]
     assert [r["id"] for r in out.collect()] == [1234]
+
+
+def test_changes_pure_append_reads_only_new_files(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 10), committed_at="t1")
+    t.write(spark.range(10, 13), mode="append", committed_at="t2")
+
+    cdf = t.changes(spark, 1, 2)
+    rows = {(r["id"], r["change_type"]) for r in cdf.collect()}
+    assert rows == {(10, "insert"), (11, "insert"), (12, "insert")}
+    # manifest-level: only the appended files appear in the scan
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    v1_paths = {f["path"] for f in t.snapshot(1).files}
+    assert not any(p.split("/")[-1] in plan for p in v1_paths)
+
+
+def test_changes_overwrite_yields_deletes_and_inserts(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 5), committed_at="t1")
+    t.write(spark.range(3, 8), mode="overwrite", committed_at="t2")
+
+    rows = {(r["id"], r["change_type"]) for r in t.changes(spark, 1).collect()}
+    assert rows == {
+        (0, "delete"), (1, "delete"), (2, "delete"),
+        (5, "insert"), (6, "insert"), (7, "insert"),
+    }  # 3, 4 unchanged -> absent
+
+
+def test_changes_across_compaction_is_empty(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 200).repartition(6), committed_at="t1")
+    t.compact(spark, target_file_bytes=1 << 30, committed_at="t2")
+    assert t.changes(spark, 1, 2).count() == 0
+
+
+def test_changes_update_is_delete_plus_insert(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    df = spark.range(0, 6).withColumn("flag", F.lit("a"))
+    t.write(df, committed_at="t1")
+    t.update_where(spark, "id = 4", {"flag": "'b'"}, committed_at="t2")
+
+    rows = {
+        (r["id"], r["flag"], r["change_type"])
+        for r in t.changes(spark, 1).collect()
+    }
+    assert rows == {(4, "a", "delete"), (4, "b", "insert")}
+
+
+def test_changes_multiset_multiplicity(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    one = spark.createDataFrame([(1,)], "id long")
+    t.write(one, committed_at="t1")
+    t.write(one.union(one), mode="append", committed_at="t2")  # now 3 copies
+
+    cdf = t.changes(spark, 1, 2).collect()
+    assert [(r["id"], r["change_type"]) for r in cdf] == [
+        (1, "insert"), (1, "insert"),
+    ]
+
+
+def test_changes_identical_versions_empty_with_schema(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 5), committed_at="t1")
+    cdf = t.changes(spark, 1, 1)
+    assert cdf.columns == ["id", "change_type"]
+    assert cdf.count() == 0
