@@ -277,6 +277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (this entry's window slot comes from lang_id, r4-green, whose
         # regex family stays represented by numeric_standardize/redact_pii)
         "versioned_changes": S.versioned_changes_query,
+        # incrementally-maintained materialized aggregate: 3 batch
+        # refreshes rewriting only affected hash buckets must equal the
+        # one-shot GROUP BY (window slot from corpus_curation, r4-green;
+        # its dedup/quality constituents stay in-window via dedup_exact,
+        # minhash_lsh, dup_spans, dsir_weights)
+        "incremental_matview": S.incremental_matview_query,
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
         ),
@@ -518,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "versioned_delete": S.VERSIONED_DELETE_SQL,
         "versioned_skip_read": S.VERSIONED_SKIP_READ_SQL,
         "versioned_changes": S.VERSIONED_CHANGES_SQL,
+        "incremental_matview": S.INCREMENTAL_MATVIEW_SQL,
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
         "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
         "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),

@@ -1072,6 +1072,65 @@ ORDER BY change_type, doc_id
 """
 
 
+def incremental_matview_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate
+    (``operators.matview.IncrementalMatView``), oracle-checkable.
+
+    ``orders`` arrives as three deterministic batches
+    (``o_orderkey % 3``); each refresh folds one batch's partial
+    aggregates into bucket-partitioned state, rewriting only affected
+    buckets. The final read must equal a one-shot GROUP BY over all of
+    ``orders`` — which is exactly the oracle. Measures stay in exact
+    integer space (cents); the average is derived at read time from the
+    same IEEE double formula both engines evaluate.
+    """
+    import shutil
+
+    from ..operators.matview import IncrementalMatView
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_matview/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    mv = IncrementalMatView(
+        path=root,
+        group_keys=["o_orderstatus", "o_orderpriority"],
+        measures={
+            "order_count": ("count", ""),
+            "total_cents": ("sum", "CAST(round(o_totalprice * 100) AS LONG)"),
+            "first_date": ("min", "CAST(o_orderdate AS DATE)"),
+            "last_date": ("max", "CAST(o_orderdate AS DATE)"),
+        },
+        n_buckets=16,
+    )
+    for i in range(3):
+        mv.refresh(orders.filter(F.col("o_orderkey") % 3 == i))
+    return (
+        mv.read(spark)
+        .withColumn(
+            "avg_price",
+            F.col("total_cents").cast("double")
+            / 100.0
+            / F.col("order_count"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+INCREMENTAL_MATVIEW_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS order_count,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       min(CAST(o_orderdate AS DATE)) AS first_date,
+       max(CAST(o_orderdate AS DATE)) AS last_date,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / count(*) AS avg_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def versioned_skip_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-level data skipping end-to-end: write ``documents`` as a
     range-clustered versioned table with per-file min/max stats on
