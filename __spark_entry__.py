@@ -283,6 +283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its dedup/quality constituents stay in-window via dedup_exact,
         # minhash_lsh, dup_spans, dsir_weights)
         "incremental_matview": S.incremental_matview_query,
+        # deterministic sketches: the register STATE is oracle-checked
+        # bit-for-bit, covering the approximate-distinct / approximate-
+        # frequency paths themselves (window slots from minhash_lsh and
+        # dup_spans, both r4-green; their families stay represented by
+        # neardup_clusters, ngram_jaccard, and winnowing_fingerprints)
+        "hll_registers": S.hll_registers_query,
+        "cms_counts": S.cms_counts_query,
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
         ),
@@ -525,6 +532,8 @@ def oracle_sql() -> dict[str, str]:
         "versioned_skip_read": S.VERSIONED_SKIP_READ_SQL,
         "versioned_changes": S.VERSIONED_CHANGES_SQL,
         "incremental_matview": S.INCREMENTAL_MATVIEW_SQL,
+        "hll_registers": S.hll_registers_oracle(),
+        "cms_counts": S.cms_counts_oracle(),
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
         "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
         "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),

@@ -1131,6 +1131,60 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def hll_registers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog registers over ``lineitem.l_orderkey``
+    (``operators.sketches.hll_sketch``, p=8 -> <=256 registers). The
+    oracle reproduces every register bit-for-bit, so the correctness gate
+    covers the approximate-distinct path itself, not just its API. The
+    estimate derived from these registers is bounded in
+    ``tests/test_sketches.py``.
+    """
+    from ..operators.sketches import hll_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hll_sketch(li, "l_orderkey", p=8).orderBy("bucket")
+
+
+def hll_registers_oracle() -> str:
+    from ..operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("l_orderkey", "lineitem", p=8)
+
+
+def cms_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequencies (``operators.sketches``): build a
+    4x64 sketch of ``orders.o_orderpriority``, then point-query every
+    distinct priority. With 5 keys in 64 columns the min-over-rows is
+    collision-free, so the estimates equal the exact counts — and the
+    oracle recomputes the identical registers and probes.
+    """
+    from ..operators.sketches import cms_build, cms_point
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sketch = cms_build(orders, "o_orderpriority", depth=4, width=64)
+    keys = orders.select("o_orderpriority").distinct()
+    return (
+        cms_point(sketch, keys, "o_orderpriority", depth=4, width=64)
+        .withColumnRenamed("o_orderpriority", "key")
+        .orderBy("key")
+    )
+
+
+def cms_counts_oracle() -> str:
+    from ..operators.sketches import cms_point_oracle_sql
+
+    return (
+        cms_point_oracle_sql(
+            "o_orderpriority",
+            "orders",
+            "SELECT DISTINCT CAST(o_orderpriority AS VARCHAR) AS k FROM orders",
+            depth=4,
+            width=64,
+        )
+        + " ORDER BY key"
+    )
+
+
 def versioned_skip_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-level data skipping end-to-end: write ``documents`` as a
     range-clustered versioned table with per-file min/max stats on

@@ -1,0 +1,87 @@
+"""Deterministic HLL / count-min sketches: exact mergeability (the
+property that makes them distributable), estimate error bounds, and
+one-sided CMS error."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.operators.sketches import (
+    cms_build,
+    cms_merge,
+    cms_point,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def _regs(df):
+    return {(r["bucket"], r["max_rank"]) for r in df.collect()}
+
+
+def test_hll_merge_is_exact(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) register-for-register
+    — so partial sketches from any partitioning agree bit-exactly."""
+    full = spark.range(0, 2000)
+    a, b = spark.range(0, 1300), spark.range(1100, 2000)  # overlapping
+    merged = hll_merge(hll_sketch(a, "id"), hll_sketch(b, "id"))
+    assert _regs(merged) == _regs(hll_sketch(full, "id"))
+
+
+def test_hll_estimate_within_bound(spark):
+    p = 8  # expected relative error ~1.04/sqrt(256) ~= 6.5%
+    for n in (500, 5000, 50000):
+        est = hll_estimate(hll_sketch(spark.range(n), "id", p=p), p=p)
+        assert abs(est - n) / n < 0.2, (n, est)
+
+
+def test_hll_order_and_duplication_invariant(spark):
+    base = spark.range(0, 1000)
+    dup = base.union(base).union(base).orderBy(F.rand(seed=7))
+    assert _regs(hll_sketch(dup, "id")) == _regs(hll_sketch(base, "id"))
+
+
+def test_hll_p_validation(spark):
+    with pytest.raises(ValueError, match="p must be"):
+        hll_sketch(spark.range(5), "id", p=20)
+
+
+def test_cms_overestimates_never_under(spark):
+    df = spark.range(0, 3000).withColumn(
+        "k", (F.col("id") % 37).cast("string")
+    )
+    truth = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    sketch = cms_build(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_point(sketch, keys, "k", depth=4, width=64).collect()
+    }
+    assert est.keys() == truth.keys()
+    assert all(est[k] >= truth[k] for k in truth)
+    # 37 keys in 64 columns x 4 rows: the min-over-rows is exact for most
+    assert sum(est[k] == truth[k] for k in truth) >= 30
+
+
+def test_cms_merge_is_exact(spark):
+    df = spark.range(0, 2000).withColumn("k", (F.col("id") % 11).cast("string"))
+    a, b = df.filter("id < 900"), df.filter("id >= 900")
+    merged = cms_merge(cms_build(a, "k"), cms_build(b, "k"))
+    whole = cms_build(df, "k")
+    as_set = lambda s: {(r["row"], r["col"], r["cnt"]) for r in s.collect()}
+    assert as_set(merged) == as_set(whole)
+
+
+def test_cms_absent_key_small(spark):
+    df = spark.range(0, 1000).withColumn("k", (F.col("id") % 5).cast("string"))
+    sketch = cms_build(df, "k", depth=4, width=128)
+    ghost = spark.createDataFrame([("nope",)], "k string")
+    [row] = cms_point(sketch, ghost, "k", depth=4, width=128).collect()
+    # 5 real keys in 128 columns: overwhelmingly likely no collision on
+    # all 4 rows -> estimate 0; any value is necessarily < total rows
+    assert row["est_count"] == 0
