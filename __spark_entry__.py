@@ -290,6 +290,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # neardup_clusters, ngram_jaccard, and winnowing_fingerprints)
         "hll_registers": S.hll_registers_query,
         "cms_counts": S.cms_counts_query,
+        # bloom-filter semi-join reduction: probe side pre-filtered by a
+        # broadcast bit array before the exact semi-join — same answer,
+        # shuffle input cut to ~matching rows (window slot from
+        # corpus_curation's constituents already rotated; next r4-green
+        # out is dedup_exact, whose family keeps fingerprint-family
+        # coverage via neardup_clusters/ngram_jaccard in-window)
+        "bloom_prefilter": S.bloom_prefilter_query,
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
         ),
@@ -534,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_matview": S.INCREMENTAL_MATVIEW_SQL,
         "hll_registers": S.hll_registers_oracle(),
         "cms_counts": S.cms_counts_oracle(),
+        "bloom_prefilter": S.BLOOM_PREFILTER_SQL,
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
         "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
         "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),

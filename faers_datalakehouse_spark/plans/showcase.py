@@ -1185,6 +1185,46 @@ def cms_counts_oracle() -> str:
     )
 
 
+def bloom_prefilter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (``operators.bloom``): lineitem
+    rows for URGENT orders, with the probe side cut down by a broadcast
+    bloom filter BEFORE the exact semi-join. ``exact=True`` means the
+    result is identical to the plain semi-join — which is the oracle; the
+    bloom stage is a pure scan-side expression whose no-false-negative /
+    bounded-false-positive properties are pinned in ``tests/test_bloom.py``.
+    """
+    from ..operators.bloom import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    kept = bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey", fp_rate=0.01, exact=True
+    )
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+BLOOM_PREFILTER_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def versioned_skip_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-level data skipping end-to-end: write ``documents`` as a
     range-clustered versioned table with per-file min/max stats on
