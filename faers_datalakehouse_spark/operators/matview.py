@@ -113,23 +113,66 @@ class IncrementalMatView:
     def refresh(self, batch: DataFrame) -> dict:
         """Fold one source batch into the view. Returns
         ``{"buckets_touched", "buckets_total", "groups_in_batch"}``."""
-        spark = batch.sparkSession
-        partials = self._partials(batch)
+        return self._fold(self._partials(batch))
+
+    def refresh_changes(self, cdf: DataFrame) -> dict:
+        """Fold a change feed (``sources.versioned.VersionedTable.changes``
+        output: table columns + ``change_type`` in insert/delete) into the
+        view — incremental maintenance under DELETEs, not just appends.
+
+        Deletes retract: counts fold as -1, sums as the negated measure.
+        ``min``/``max`` are NOT retractable (removing the current extreme
+        would need the runner-up, which the state doesn't keep), so this
+        raises if the view declares them — recompute those views, or keep
+        their sources append-only."""
+        bad = [o for o, (a, _) in self.measures.items() if a in ("min", "max")]
+        if bad:
+            raise ValueError(
+                f"measures {bad} use min/max, which cannot be maintained "
+                "under deletes; refresh_changes supports count/sum only"
+            )
+        if not any(a == "count" for a, _ in self.measures.values()):
+            raise ValueError(
+                "refresh_changes needs a count measure: fully-retracted "
+                "groups are kept as zero-count tombstones in state (so "
+                "their bucket still rewrites under dynamic partition "
+                "overwrite) and filtered out at read()"
+            )
+        sign = F.when(F.col("change_type") == "delete", F.lit(-1)).otherwise(
+            F.lit(1)
+        )
+        signed = cdf.withColumn("_sign", sign)
+        aggs = []
+        for out, (agg, expr) in self.measures.items():
+            src = F.lit(1) if agg == "count" else F.expr(expr)
+            aggs.append(F.sum(src * F.col("_sign")).alias(out))
+        partials = (
+            signed.groupBy(*self.group_keys)
+            .agg(*aggs)
+            .withColumn("_bucket", self._bucket_col())
+        )
+        return self._fold(partials)
+
+    def _fold(self, partials: DataFrame) -> dict:
+        """Merge partial-aggregate rows into the bucket-partitioned state
+        (shared by refresh and refresh_changes). Fully-retracted groups
+        stay as zero-count tombstone rows: writing them keeps their
+        bucket in the dynamic-overwrite output (an empty bucket would be
+        silently left stale), and ``read()`` filters them out."""
+        spark = partials.sparkSession
         if not self._exists(spark):
-            out = self._merge(partials)  # collapse dup keys within batch
+            out = self._merge(partials)
             (
                 out.repartition("_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(self.path)
             )
-            n = out.select("_bucket").distinct().count()
             return {
-                "buckets_touched": n,
+                "buckets_touched": out.select("_bucket").distinct().count(),
                 "buckets_total": self.n_buckets,
                 "groups_in_batch": None,
             }
-        # bounded driver state: at most n_buckets integers
         affected = sorted(
             r["_bucket"]
             for r in partials.select("_bucket").distinct().collect()
@@ -158,10 +201,16 @@ class IncrementalMatView:
         }
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """The current view: group keys + measure columns (no bucket)."""
-        return spark.read.parquet(self.path).select(
-            *self.group_keys, *self.measures.keys()
-        )
+        """The current view: group keys + measure columns (no bucket).
+        Zero-count tombstones (groups fully retracted by
+        ``refresh_changes``) are filtered out."""
+        df = spark.read.parquet(self.path)
+        count_cols = [
+            o for o, (a, _) in self.measures.items() if a == "count"
+        ]
+        if count_cols:
+            df = df.filter(F.col(count_cols[0]) > 0)
+        return df.select(*self.group_keys, *self.measures.keys())
 
     def streaming_sink(self, stream_df: DataFrame, checkpoint: str):
         """Maintain the view from a stream: ``foreachBatch`` folds each
