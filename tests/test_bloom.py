@@ -8,8 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from faers_datalakehouse_spark.operators.bloom import (
+    bloom_apply,
     bloom_build,
-    bloom_might_contain,
     bloom_semi_join,
     sizing,
 )
@@ -26,9 +26,7 @@ def test_no_false_negatives(spark):
     members = spark.range(0, 5000).select((F.col("id") * 7).alias("k"))
     m, k = sizing(5000, 0.01)
     words = bloom_build(members, "k", m, k)
-    hits = members.filter(
-        bloom_might_contain(F.col("k").cast("string"), words, m, k)
-    ).count()
+    hits = bloom_apply(members, F.col("k"), words, m, k).count()
     assert hits == 5000  # every true member passes, always
 
 
@@ -39,9 +37,7 @@ def test_false_positive_rate_bounded(spark):
     non_members = spark.range(1_000_000, 1_050_000).select(
         F.col("id").alias("k")
     )
-    fp = non_members.filter(
-        bloom_might_contain(F.col("k").cast("string"), words, m, k)
-    ).count()
+    fp = bloom_apply(non_members, F.col("k"), words, m, k).count()
     assert fp / 50_000 < 0.03  # 3x headroom over the 1% design point
 
 
@@ -67,9 +63,10 @@ def test_inexact_mode_superset_and_shuffle_free(spark):
     loose_keys = {r["key"] for r in loose.collect()}
     strict_keys = {r["key"] for r in strict.collect()}
     assert strict_keys <= loose_keys  # superset: FPs allowed, FNs never
-    # the probe side of the inexact path is a pure filter: no exchange
+    # the probe side of the inexact path never shuffles: the only
+    # exchange is the 1-row broadcast of the filter words
     plan = loose._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan
 
 
 def test_build_rejects_bad_m(spark):
