@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_spans, both r4-green; their families stay represented by
         # neardup_clusters, ngram_jaccard, and winnowing_fingerprints)
         "hll_registers": S.hll_registers_query,
+        "hll_by_group": S.hll_by_group_query,
         "cms_counts": S.cms_counts_query,
         # bloom-filter semi-join reduction: probe side pre-filtered by a
         # broadcast bit array before the exact semi-join — same answer,
@@ -396,12 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows + a stitch pass; byte-identical output, shared oracle.
         "sessionize_skew": partial(A.sessionize_skew, gap_minutes=30),
         "range_join": S.range_join_query,
-        # -- core relational / star-schema suite (SURVEY §2) --
+        # -- core relational / star-schema suite (SURVEY §2): the parity
+        #    flagships stay driver-verified every round --
         "pricing_summary": A.pricing_summary,
-        "topk_parts": partial(A.topk_parts, k=20),
-        "latest_day_activity": A.latest_day_activity,
-        "segment_status_pivot": A.segment_status_pivot,
-        "customer_retention_setops": A.customer_retention_setops,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
         "fact_sales": build_fact_sales,
         "scd2_merge": S.scd2_scenario,
@@ -414,20 +412,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 df, threshold=JACCARD_THRESHOLD, portable_hash=True
             )
         ),
-        # Substring-level dedup: duplicated k-token window fingerprints →
-        # maximal per-doc spans (distributed analog of suffix-array
-        # exact-substring dedup, Lee et al. 2022).
-        "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         # End-to-end curation composition: dedup → lang+quality → filter →
         # per-language corpus stats (the real training-data pipeline shape).
         "corpus_curation": partial(
             S.corpus_curation_query, min_score=0.5, min_tokens=10
         ),
-        "lang_id": S.lang_id_query,
         # -- rotation tail (positions 51+, beyond the driver's 50-entry
         #    check window): every entry below was DRIVER-hash-green in
         #    round 4 (CORRECTNESS_r04.json) and keeps a same-family
-        #    representative in the window —
+        #    representative in the window. Batch-3 adjustment: the six
+        #    new-this-round entries (versioned_changes,
+        #    incremental_matview, hll_registers, hll_by_group, cms_counts,
+        #    bloom_prefilter) take window slots from topk_parts
+        #    (≈shipping_priority in-window), latest_day_activity
+        #    (≈temporal_trend/moving_average time family),
+        #    segment_status_pivot (≈unpivot_measures/json_extract_agg
+        #    tail family), customer_retention_setops (set-ops, r4-green,
+        #    re-enters r6), dup_spans (≈winnowing_fingerprints in-window)
+        #    and lang_id (≈token_count/repetition_filter in-window). --
+        "topk_parts": partial(A.topk_parts, k=20),
+        "latest_day_activity": A.latest_day_activity,
+        "segment_status_pivot": A.segment_status_pivot,
+        "customer_retention_setops": A.customer_retention_setops,
+        # Substring-level dedup: duplicated k-token window fingerprints →
+        # maximal per-doc spans (distributed analog of suffix-array
+        # exact-substring dedup, Lee et al. 2022).
+        "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
+        "lang_id": S.lang_id_query,
+        #    (r4-green families, continued:)
         #    bpe_pair_counts/shard_manifest≈vocab_stats+pack_sequences,
         #    ann_ivf_topk_nprobe2≈ann_ivf_topk, ann_lsh_topk≈ann_topk+
         #    lsh_neardup, kmeans_clusters/semantic_neardup≈cosine_neardup+
@@ -540,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "versioned_changes": S.VERSIONED_CHANGES_SQL,
         "incremental_matview": S.INCREMENTAL_MATVIEW_SQL,
         "hll_registers": S.hll_registers_oracle(),
+        "hll_by_group": S.hll_by_group_oracle(),
         "cms_counts": S.cms_counts_oracle(),
         "bloom_prefilter": S.BLOOM_PREFILTER_SQL,
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),

@@ -46,6 +46,17 @@ def hll_sketch(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     rank = leading zeros of a 32-bit hash + 1, computed integer-exactly
     as ``33 - bit_length(w)`` (no floating point, no libm).
     """
+    return hll_sketch_grouped(df, [], col, p)
+
+
+def hll_sketch_grouped(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 8
+) -> DataFrame:
+    """Per-group sparse HLL registers: ``group_cols + (bucket, max_rank)``
+    — the production shape for "distinct users per segment" at 100 TB:
+    one groupBy whose shuffle carries at most ``2**p`` rows per group
+    (after map-side partial max), instead of shuffling every raw
+    (group, user) pair for an exact distinct."""
     if not 4 <= p <= 12:
         raise ValueError(f"p must be in [4, 12], got {p}")
     m = 1 << p
@@ -56,12 +67,60 @@ def hll_sketch(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     )
     return (
         df.select(
+            *group_cols,
             F.pmod(_hex_int(s, 1), F.lit(m)).alias("bucket"),
             rank.alias("rank"),
         )
-        .groupBy("bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("max_rank"))
     )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Cardinality estimate per group, fully engine-side (no collect):
+    the harmonic sum's terms are dyadic rationals (2^-rank), so the
+    double sum is EXACT and order-independent; only the final log in the
+    small-range correction is real floating point. Columns:
+    ``group_cols + (estimate,)``."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("_harm_present"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    harm = F.col("_harm_present") + (F.lit(m) - F.col("_present"))
+    zeros = F.lit(m) - F.col("_present")  # sparse: absent bucket == rank 0
+    raw = F.lit(alpha * m * m) / harm
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("estimate"))
+
+
+def hll_grouped_oracle_sql(
+    source_expr: str, group_exprs: str, table: str, p: int = 8
+) -> str:
+    """DuckDB twin of ``hll_sketch_grouped`` (register state only — the
+    estimate's log is libm-dependent and stays pytest-bounded)."""
+    m = 1 << p
+    return f"""
+SELECT {group_exprs}, bucket, max(rank) AS max_rank FROM (
+  SELECT {group_exprs},
+         ('0x' || substr(md5(CAST({source_expr} AS VARCHAR)), 1, 8))::BIGINT
+           % {m} AS bucket,
+         CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rank
+  FROM (
+    SELECT {group_exprs}, {source_expr},
+           ('0x' || substr(md5(CAST({source_expr} AS VARCHAR)), 9, 8))::BIGINT
+             AS w
+    FROM {table}
+  )
+) GROUP BY {group_exprs}, bucket
+ORDER BY {group_exprs}, bucket
+"""
 
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -1120,7 +1120,8 @@ def incremental_matview_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCREMENTAL_MATVIEW_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS order_count,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
        min(CAST(o_orderdate AS DATE)) AS first_date,
        max(CAST(o_orderdate AS DATE)) AS last_date,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
@@ -1149,6 +1150,30 @@ def hll_registers_oracle() -> str:
     from ..operators.sketches import hll_oracle_sql
 
     return hll_oracle_sql("l_orderkey", "lineitem", p=8)
+
+
+def hll_by_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approximate-distinct registers: distinct users per
+    event type (``operators.sketches.hll_sketch_grouped``, p=6). The
+    grouped register state is oracle-exact; the per-group estimates
+    derived from it (engine-side, no collect) are bounded in
+    ``tests/test_sketches.py``. At 100 TB this replaces shuffling every
+    (event_type, user_id) pair with a shuffle of <=64 register rows per
+    type."""
+    from ..operators.sketches import hll_sketch_grouped
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    return hll_sketch_grouped(ev, ["event_type"], "user_id", p=6).orderBy(
+        "event_type", "bucket"
+    )
+
+
+def hll_by_group_oracle() -> str:
+    from ..operators.sketches import hll_grouped_oracle_sql
+
+    return hll_grouped_oracle_sql("user_id", "event_type", "events", p=6)
 
 
 def cms_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,7 +1240,7 @@ def bloom_prefilter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_PREFILTER_SQL = """
 SELECT l_returnflag,
        count(*) AS n_rows,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 WHERE l_orderkey IN (
   SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'

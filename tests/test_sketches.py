@@ -85,3 +85,104 @@ def test_cms_absent_key_small(spark):
     # 5 real keys in 128 columns: overwhelmingly likely no collision on
     # all 4 rows -> estimate 0; any value is necessarily < total rows
     assert row["est_count"] == 0
+
+
+def test_hll_grouped_matches_per_group_sketch(spark):
+    """Grouped registers == independently sketching each group's slice."""
+    from faers_datalakehouse_spark.operators.sketches import (
+        hll_sketch_grouped,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 700).alias("v")
+    )
+    grouped = hll_sketch_grouped(df, ["g"], "v")
+    for g in (0, 1, 2):
+        slice_regs = _regs(hll_sketch(df.filter(F.col("g") == g), "v"))
+        got = {
+            (r["bucket"], r["max_rank"])
+            for r in grouped.filter(F.col("g") == g).collect()
+        }
+        assert got == slice_regs
+
+
+def test_hll_grouped_estimate_engine_side(spark):
+    from faers_datalakehouse_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_sketch_grouped,
+    )
+
+    # group g has exactly (g+1)*400 distinct values
+    parts = [
+        spark.range(0, (g + 1) * 400).select(
+            F.lit(g).alias("g"), (F.col("id") + 10_000 * g).alias("v")
+        )
+        for g in range(3)
+    ]
+    df = parts[0].union(parts[1]).union(parts[2])
+    est = {
+        r["g"]: r["estimate"]
+        for r in hll_estimate_grouped(
+            hll_sketch_grouped(df, ["g"], "v"), ["g"]
+        ).collect()
+    }
+    for g in range(3):
+        n = (g + 1) * 400
+        assert abs(est[g] - n) / n < 0.2, (g, n, est[g])
+
+
+def test_hll_grouped_estimate_agrees_with_driver_estimator(spark):
+    """The engine-side estimator and the driver-side hll_estimate give
+    the same number for the same registers (ungrouped case)."""
+    from faers_datalakehouse_spark.operators.sketches import (
+        hll_estimate_grouped,
+    )
+
+    regs = hll_sketch(spark.range(0, 2500), "id")
+    driver = hll_estimate(regs, p=8)
+    [row] = hll_estimate_grouped(
+        regs.withColumn("g", F.lit(1)), ["g"]
+    ).collect()
+    assert abs(row["estimate"] - driver) < 1e-9 * max(driver, 1.0)
+
+
+def test_streaming_sketch_fold_matches_batch(spark, tmp_path):
+    """Registers folded micro-batch by micro-batch (foreachBatch +
+    hll_merge against parquet state) equal the one-shot batch sketch —
+    the mergeability property doing real streaming work."""
+    src = tmp_path / "src"
+    full = spark.range(0, 4000)
+    full.filter("id < 2500").write.parquet(str(src / "b0"))
+    full.filter("id >= 2500").write.parquet(str(src / "b1"))
+
+    state_path = str(tmp_path / "regs")
+
+    def fold(batch, _id):
+        new = hll_sketch(batch, "id")
+        try:
+            old = spark.read.parquet(state_path)
+            merged = hll_merge(old, new)
+        except Exception:
+            merged = new
+        merged.write.mode("overwrite").parquet(state_path + "_tmp")
+        spark.read.parquet(state_path + "_tmp").write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    q = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket"], r["max_rank"])
+        for r in spark.read.parquet(state_path).collect()
+    }
+    assert got == _regs(hll_sketch(full, "id"))
