@@ -37,7 +37,7 @@ point the state at a ``VersionedTable`` root and commit after refresh.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,7 +63,6 @@ class IncrementalMatView:
     group_keys: list[str]
     measures: dict[str, tuple[str, str]]
     n_buckets: int = 64
-    _schema_cache: object = field(default=None, repr=False)
 
     def __post_init__(self):
         for out, (agg, _) in self.measures.items():
