@@ -439,6 +439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-substring dedup, Lee et al. 2022).
         "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         "lang_id": S.lang_id_query,
+        # keyed MERGE with file-level pruning (new; tail by exception —
+        # the r5 window is saturated with 10 new entries; the local sweep
+        # verifies it now and it rotates into the window in r6)
+        "versioned_merge": S.versioned_merge_query,
         #    (r4-green families, continued:)
         #    bpe_pair_counts/shard_manifest≈vocab_stats+pack_sequences,
         #    ann_ivf_topk_nprobe2≈ann_ivf_topk, ann_lsh_topk≈ann_topk+
@@ -550,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "versioned_delete": S.VERSIONED_DELETE_SQL,
         "versioned_skip_read": S.VERSIONED_SKIP_READ_SQL,
         "versioned_changes": S.VERSIONED_CHANGES_SQL,
+        "versioned_merge": S.VERSIONED_MERGE_SQL,
         "incremental_matview": S.INCREMENTAL_MATVIEW_SQL,
         "hll_registers": S.hll_registers_oracle(),
         "hll_by_group": S.hll_by_group_oracle(),

@@ -1250,6 +1250,52 @@ ORDER BY l_returnflag
 """
 
 
+def versioned_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE (upsert) into a versioned table with file-level
+    pruning (``VersionedTable.merge_rows`` — the Delta MERGE INTO
+    execution model), oracle-checkable.
+
+    Build a range-clustered table from ``documents``, then upsert a
+    source that rewrites ``doc_id % 10 == 3`` rows (lang forced to
+    ``'xx'``) and inserts shifted new ids. The result is the post-merge
+    current read; the oracle reproduces it straight from ``documents``.
+    Only files containing matched keys rewrite — asserted in
+    ``tests/test_versioned.py``.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_merge/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs.repartitionByRange(8, "doc_id"), mode="overwrite")
+    source = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 3).withColumn(
+            "lang", F.lit("xx")
+        )
+    )
+    vt.merge_rows(spark, source, ["doc_id"])
+    return vt.read(spark).orderBy("doc_id")
+
+
+VERSIONED_MERGE_SQL = """
+SELECT doc_id, lang FROM documents WHERE doc_id % 10 <> 3
+UNION ALL
+SELECT doc_id, 'xx' AS lang FROM documents WHERE doc_id % 10 = 3
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, lang FROM documents
+WHERE doc_id % 10 = 3
+ORDER BY doc_id
+"""
+
+
 def versioned_skip_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-level data skipping end-to-end: write ``documents`` as a
     range-clustered versioned table with per-file min/max stats on

@@ -499,6 +499,142 @@ class VersionedTable:
             spark, predicate, transform=apply, committed_at=committed_at
         )
 
+    def merge_rows(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: str = "replace",
+        committed_at: str = "1970-01-01T00:00:00Z",
+        _extra_match_keys: DataFrame | None = None,
+    ) -> dict:
+        """Keyed MERGE into the table — the Delta ``MERGE INTO`` execution
+        model for tables too big to rewrite per sync:
+
+        1. find the data files CONTAINING rows whose key appears in
+           ``source`` (one distributed semi-join over
+           ``input_file_name()``; driver state is file names only);
+        2. rewrite ONLY those files with the matched keys' old rows
+           removed (LEFT ANTI on the keys);
+        3. ``when_matched="replace"`` (upsert) stages all ``source`` rows
+           as new files; ``"delete"`` stages nothing;
+        4. publish untouched + rewritten + new files as ONE snapshot.
+
+        Cost tracks the matched keys' file footprint, not table size —
+        and clustering (``sources.zorder`` / ``repartitionByRange``)
+        shrinks that footprint exactly as it does for ``rewrite_where``.
+        Unlike ``operators.merge`` (which materializes the full merged
+        frame), rows in untouched files are never read or rewritten.
+
+        ``replace`` upserts whole rows (the ``source`` row becomes the
+        row for its key); multiset caveat: ALL existing rows with a
+        matched key are removed, then ``source``'s rows (as given,
+        duplicates included) are inserted.
+        """
+        if when_matched not in ("replace", "delete"):
+            raise ValueError(
+                f"when_matched must be 'replace' or 'delete', got "
+                f"{when_matched!r}"
+            )
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        keys = source.select(*key_cols)
+        if _extra_match_keys is not None:
+            # apply_changes: delete-only keys must also be cleared
+            keys = keys.union(_extra_match_keys.select(*key_cols))
+        keys = keys.distinct()
+        if not snap.files:
+            new_files = (
+                self._stage_files(source)
+                if when_matched == "replace"
+                else []
+            )
+            version = self._commit(
+                new_files, "merge", committed_at,
+                schema_json=source.schema.json(),
+            )
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_kept": 0,
+                "files_added": len(new_files),
+            }
+        tagged = self.read(spark).withColumn("_file", F.input_file_name())
+        matched_files = {
+            r["_file"]
+            for r in tagged.join(keys, on=key_cols, how="left_semi")
+            .select("_file")
+            .distinct()
+            .collect()  # bounded: file count, not row count
+        }
+        kept, hit = [], []
+        for f in snap.files:
+            is_hit = any(m.endswith(f["path"]) for m in matched_files)
+            (hit if is_hit else kept).append(f)
+        rewritten: list[dict] = []
+        if hit:
+            affected = spark.read.parquet(
+                *[str(self.root / f["path"]) for f in hit]
+            )
+            survivors = affected.join(keys, on=key_cols, how="left_anti")
+            rewritten = self._stage_files(survivors)
+        new_files = (
+            self._stage_files(source) if when_matched == "replace" else []
+        )
+        version = self._commit(
+            kept + rewritten + new_files,
+            "merge",
+            committed_at,
+            schema_json=self.read(spark).schema.json(),
+        )
+        return {
+            "version": version,
+            "files_rewritten": len(hit),
+            "files_kept": len(kept),
+            "files_added": len(new_files),
+        }
+
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        cdf: DataFrame,
+        key_cols: list[str],
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> dict:
+        """Replay a change feed (``changes()`` output of ANOTHER table:
+        data columns + ``change_type``) into this table — downstream
+        mirror maintenance without rereading the source table.
+
+        An update travels as delete+insert of the same key, so applying
+        "remove every key with any delete, then add the insert rows"
+        reproduces the source's end state for the touched keys. Both
+        phases land in ONE ``merge_rows`` call: the delete-only keys ride
+        the key match; insert rows are the staged source."""
+        from pyspark.sql import functions as F
+
+        inserts = cdf.filter(F.col("change_type") == "insert").drop(
+            "change_type"
+        )
+        deletes = cdf.filter(F.col("change_type") == "delete").drop(
+            "change_type"
+        )
+        # keys to clear = every touched key (delete keys, plus insert keys
+        # so stale rows never survive a replayed upsert); merge_rows with
+        # "replace" clears matched keys and stages `inserts` as new files
+        touched = deletes.select(*key_cols).union(
+            inserts.select(*key_cols)
+        )
+        stats = self.merge_rows(
+            spark,
+            inserts,
+            key_cols,
+            when_matched="replace",
+            committed_at=committed_at,
+            _extra_match_keys=touched,
+        )
+        return stats
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by dropped snapshots, then
         drop those manifests. Keeps the newest ``keep_last`` snapshots.

@@ -322,3 +322,81 @@ def test_changes_identical_versions_empty_with_schema(spark, tmp_path):
     cdf = t.changes(spark, 1, 1)
     assert cdf.columns == ["id", "change_type"]
     assert cdf.count() == 0
+
+
+def test_merge_rows_upsert_rewrites_only_matching_files(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    base = spark.range(0, 400).withColumn("v", F.col("id") * 10)
+    t.write(base.repartitionByRange(8, "id"), committed_at="t1")
+    files_before = {f["path"] for f in t.snapshot().files}
+
+    src = spark.createDataFrame(
+        [(5, 999), (7, 888), (1000, 111)], "id long, v long"
+    )
+    stats = t.merge_rows(spark, src, ["id"], committed_at="t2")
+    # ids 5 and 7 land in one range-partitioned file; 1000 matches none
+    assert stats["files_rewritten"] == 1
+    assert stats["files_kept"] == 7
+    assert stats["files_added"] >= 1
+    # untouched files carried by reference (byte-identical paths)
+    kept_paths = {f["path"] for f in t.snapshot().files}
+    assert len(files_before & kept_paths) == 7
+
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[5] == 999 and rows[7] == 888 and rows[1000] == 111
+    assert rows[6] == 60 and len(rows) == 401
+
+
+def test_merge_rows_delete_mode(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 50), committed_at="t1")
+    stats = t.merge_rows(
+        spark,
+        spark.createDataFrame([(10,), (20,)], "id long"),
+        ["id"],
+        when_matched="delete",
+        committed_at="t2",
+    )
+    assert stats["files_added"] == 0
+    ids = {r["id"] for r in t.read(spark).collect()}
+    assert 10 not in ids and 20 not in ids and len(ids) == 48
+
+
+def test_merge_rows_into_empty_table(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 5).limit(0), committed_at="t1")  # empty commit
+    t.merge_rows(spark, spark.range(0, 3), ["id"], committed_at="t2")
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 2]
+
+
+def test_merge_rows_rejects_bad_mode(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(3), committed_at="t1")
+    with pytest.raises(ValueError, match="when_matched"):
+        t.merge_rows(spark, spark.range(1), ["id"], when_matched="drop")
+
+
+def test_apply_changes_mirrors_source_table(spark, tmp_path):
+    """Downstream mirror via change feed: after replaying changes(v1, v3)
+    the mirror equals the source's current content — without the mirror
+    ever reading the source table itself."""
+    src = VersionedTable(str(tmp_path / "src"))
+    dst = VersionedTable(str(tmp_path / "dst"))
+
+    base = spark.range(0, 300).withColumn("flag", F.lit("a"))
+    src.write(base, committed_at="t1")                     # v1
+    dst.write(src.read(spark), committed_at="m1")          # initial copy
+
+    src.update_where(spark, "id % 50 = 0", {"flag": "'b'"}, committed_at="t2")
+    src.delete_where(spark, "id % 7 = 0", committed_at="t3")
+    src.write(
+        spark.range(300, 330).withColumn("flag", F.lit("c")),
+        mode="append",
+        committed_at="t4",
+    )                                                      # v4
+
+    dst.apply_changes(spark, src.changes(spark, 1, 4), ["id"], "m2")
+
+    s = {(r["id"], r["flag"]) for r in src.read(spark).collect()}
+    d = {(r["id"], r["flag"]) for r in dst.read(spark).collect()}
+    assert d == s

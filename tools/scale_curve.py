@@ -37,7 +37,19 @@ import __spark_entry__ as entrymod  # noqa: E402
 from faers_datalakehouse_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-OPS = ["minhash_lsh", "neardup_clusters_star", "semantic_neardup", "dup_spans"]
+OPS = [
+    "minhash_lsh",
+    "neardup_clusters_star",
+    "semantic_neardup",
+    "dup_spans",
+    # round-5 batch-3 operators: each is linear by plan shape (groupBy
+    # with map-side combine / scan-stage filter / file-diff-proportional
+    # read) — the curve is the measured check on that claim
+    "hll_registers",
+    "bloom_prefilter",
+    "incremental_matview",
+    "versioned_changes",
+]
 
 
 def generate(spark, out_dir: str, factor: int) -> None:
@@ -88,6 +100,29 @@ def generate(spark, out_dir: str, factor: int) -> None:
     for c in ecopies[1:]:
         eu = eu.unionByName(c)
     eu.repartition(32).write.parquet(str(out / "embeddings.parquet"))
+
+    # relational tables for the sketch/bloom/matview/CDF probes: replicate
+    # with re-keyed order keys (same key-collision profile per copy; the
+    # orders<->lineitem FK is preserved because both sides shift by the
+    # same stride)
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    ou = orders
+    lu = li
+    for i in range(1, factor):
+        ou = ou.unionByName(
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok)
+            )
+        )
+        lu = lu.unionByName(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok)
+            )
+        )
+    ou.repartition(16).write.parquet(str(out / "orders.parquet"))
+    lu.repartition(32).write.parquet(str(out / "lineitem.parquet"))
 
 
 def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
