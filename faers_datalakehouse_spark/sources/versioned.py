@@ -50,6 +50,10 @@ def _json_safe(v):
     return v
 
 
+class ConstraintViolation(ValueError):
+    """A write violated a table CHECK constraint; nothing was committed."""
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -60,6 +64,9 @@ class Snapshot:
     # (overwrite-truncate, zero-row merge) stay readable as typed empty
     # frames. None only for pre-schema manifests.
     schema_json: str | None = None
+    # table-level CHECK constraints (SQL boolean expressions) carried
+    # forward snapshot-to-snapshot, Delta-style
+    constraints: list[str] = None
 
 
 class VersionedTable:
@@ -101,6 +108,7 @@ class VersionedTable:
             committed_at=doc["committed_at"],
             files=doc["files"],
             schema_json=doc.get("schema"),
+            constraints=doc.get("constraints") or [],
         )
 
     def history(self) -> list[Snapshot]:
@@ -154,17 +162,26 @@ class VersionedTable:
         operation: str,
         committed_at: str,
         schema_json: str | None = None,
+        constraints: list[str] | None = None,
     ) -> int:
         """Publish a snapshot with an atomic rename. Single-writer: the
         version is allocated as max+1; a real multi-writer deployment
-        needs a log with optimistic concurrency (Delta/Iceberg)."""
+        needs a log with optimistic concurrency (Delta/Iceberg).
+        ``constraints``: persisted table CHECKs (None = carry the current
+        snapshot's forward unchanged)."""
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        if constraints is None:
+            cur = self.current_version()
+            constraints = (
+                self.snapshot(cur).constraints if cur is not None else []
+            )
         version = (self.current_version() or 0) + 1
         doc = {
             "operation": operation,
             "committed_at": committed_at,
             "files": files,
             "schema": schema_json,
+            "constraints": constraints,
         }
         tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(doc, indent=1))
@@ -177,6 +194,7 @@ class VersionedTable:
         mode: str = "append",
         committed_at: str = "1970-01-01T00:00:00Z",
         stats_cols: tuple[str, ...] = (),
+        constraints: tuple[str, ...] = (),
     ) -> int:
         """Commit ``df`` as a new snapshot (``append`` keeps the previous
         snapshot's files; ``overwrite`` starts from the new files only).
@@ -184,17 +202,87 @@ class VersionedTable:
         no-wall-clock rule). ``stats_cols`` records per-file min/max in
         the manifest — the data-skipping index ``read_pruned`` consults
         (narrow ranges require a clustered layout: ``repartitionByRange``
-        upstream or ``sources.zorder``). Returns the new version."""
+        upstream or ``sources.zorder``). Returns the new version.
+
+        ``constraints``: SQL boolean CHECK expressions added to the
+        table's persisted constraint set (Delta ``ADD CONSTRAINT``
+        analog). Every write validates its NEW rows against the combined
+        set — on the STAGED files, after writing but before the manifest
+        publishes, so (a) an expensive ``df`` is evaluated exactly once,
+        and (b) a violating commit never becomes visible (staged files
+        are deleted, ``ConstraintViolation`` raised: transactional
+        enforcement). Existing rows are not re-validated (like Delta,
+        adding a constraint asserts the future, and the add-time check is
+        the caller's responsibility)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
+        cur = self.current_version()
+        effective = list(
+            dict.fromkeys(
+                (self.snapshot(cur).constraints if cur is not None else [])
+                + list(constraints)
+            )
+        )
         new_files = self._stage_files(df, stats_cols=stats_cols)
+        if effective and new_files:
+            self._validate_staged(
+                df.sparkSession, new_files, effective
+            )
         prior = (
             self.snapshot().files
             if mode == "append" and self.current_version()
             else []
         )
         return self._commit(
-            prior + new_files, mode, committed_at, schema_json=df.schema.json()
+            prior + new_files,
+            mode,
+            committed_at,
+            schema_json=df.schema.json(),
+            constraints=effective,
+        )
+
+    def _validate_staged(
+        self, spark: SparkSession, new_files: list[dict], checks: list[str]
+    ) -> None:
+        """One pass over the staged files counting violations per
+        constraint; on any hit, delete the staged files and raise with
+        counts + up to 3 sample rows per failing check."""
+        from pyspark.sql import functions as F
+
+        staged = spark.read.parquet(
+            *[str(self.root / f["path"]) for f in new_files]
+        )
+        counts = staged.agg(
+            *[
+                F.sum(
+                    F.when(~F.expr(c) | F.expr(c).isNull(), 1).otherwise(0)
+                ).alias(f"_c{i}")
+                for i, c in enumerate(checks)
+            ]
+        ).collect()[0]
+        bad = {
+            checks[i]: counts[f"_c{i}"]
+            for i in range(len(checks))
+            if counts[f"_c{i}"]
+        }
+        if not bad:
+            return
+        samples = {
+            c: [
+                r.asDict()
+                for r in staged.filter(
+                    ~F.expr(c) | F.expr(c).isNull()
+                ).limit(3).collect()
+            ]
+            for c in bad
+        }
+        for f in new_files:
+            p = self.root / f["path"]
+            if p.exists():
+                p.unlink()
+        raise ConstraintViolation(
+            f"write rejected, nothing committed: {bad} violating rows "
+            f"(constraint -> count); samples: {samples}"
         )
 
     # -- reads ------------------------------------------------------------

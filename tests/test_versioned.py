@@ -400,3 +400,47 @@ def test_apply_changes_mirrors_source_table(spark, tmp_path):
     s = {(r["id"], r["flag"]) for r in src.read(spark).collect()}
     d = {(r["id"], r["flag"]) for r in dst.read(spark).collect()}
     assert d == s
+
+
+def test_constraints_reject_and_stay_invisible(spark, tmp_path):
+    from faers_datalakehouse_spark.sources.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    good = spark.range(1, 50).withColumn("v", F.col("id") * 2)
+    t.write(good, committed_at="t1", constraints=("id > 0", "v IS NOT NULL"))
+    assert t.snapshot().constraints == ["id > 0", "v IS NOT NULL"]
+
+    bad = spark.createDataFrame([(0, 7), (5, None)], "id long, v long")
+    with pytest.raises(ConstraintViolation, match="id > 0"):
+        t.write(bad, mode="append", committed_at="t2")
+    # nothing committed, table unchanged, no orphan data visible
+    assert t.current_version() == 1
+    assert t.read(spark).count() == 49
+
+
+def test_constraints_persist_across_writes(spark, tmp_path):
+    from faers_datalakehouse_spark.sources.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(1, 10), committed_at="t1", constraints=("id > 0",))
+    t.write(spark.range(10, 20), mode="append", committed_at="t2")  # ok
+    assert t.snapshot().constraints == ["id > 0"]  # carried forward
+    with pytest.raises(ConstraintViolation):
+        t.write(
+            spark.range(0, 3), mode="append", committed_at="t3"
+        )  # id=0 violates the inherited check
+
+
+def test_null_check_result_counts_as_violation(spark, tmp_path):
+    from faers_datalakehouse_spark.sources.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    df = spark.createDataFrame([(None,)], "v long")
+    with pytest.raises(ConstraintViolation):
+        t.write(df, committed_at="t1", constraints=("v > 0",))
