@@ -638,6 +638,10 @@ class VersionedTable:
                 if when_matched == "replace"
                 else []
             )
+            if snap.constraints and new_files:
+                self._validate_staged(
+                    spark, new_files, snap.constraints
+                )
             version = self._commit(
                 new_files, "merge", committed_at,
                 schema_json=source.schema.json(),
@@ -670,6 +674,17 @@ class VersionedTable:
         new_files = (
             self._stage_files(source) if when_matched == "replace" else []
         )
+        # merge-inserted rows honor the table's CHECK constraints too
+        # (survivor rows were already in the table; not re-validated)
+        if snap.constraints and new_files:
+            try:
+                self._validate_staged(spark, new_files, snap.constraints)
+            except ConstraintViolation:
+                for f in rewritten:  # roll back the whole staged merge
+                    p = self.root / f["path"]
+                    if p.exists():
+                        p.unlink()
+                raise
         version = self._commit(
             kept + rewritten + new_files,
             "merge",

@@ -444,3 +444,23 @@ def test_null_check_result_counts_as_violation(spark, tmp_path):
     df = spark.createDataFrame([(None,)], "v long")
     with pytest.raises(ConstraintViolation):
         t.write(df, committed_at="t1", constraints=("v > 0",))
+
+
+def test_merge_rows_honors_constraints(spark, tmp_path):
+    from faers_datalakehouse_spark.sources.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(
+        spark.range(1, 20).withColumn("v", F.col("id")),
+        committed_at="t1",
+        constraints=("v > 0",),
+    )
+    before = t.current_version()
+    bad = spark.createDataFrame([(5, -1)], "id long, v long")
+    with pytest.raises(ConstraintViolation):
+        t.merge_rows(spark, bad, ["id"], committed_at="t2")
+    # whole merge rolled back: no new version, id=5 untouched
+    assert t.current_version() == before
+    assert {r["v"] for r in t.read(spark).filter("id = 5").collect()} == {5}
