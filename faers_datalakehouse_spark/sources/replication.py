@@ -1,0 +1,79 @@
+"""Incremental table replication over the change data feed.
+
+A ``Mirror`` keeps a downstream copy of a ``VersionedTable`` up to date
+by replaying only the change feed between the last applied source
+version and the current one — never re-reading the source table. The
+100-TB shape: a sync moves (a) the manifests' file-list symmetric
+difference read by ``changes()`` and (b) the mirror files containing
+touched keys; a quiet source costs two manifest reads and nothing else.
+
+The applied-source-version watermark is stored in the mirror's OWN
+commit metadata (``Snapshot.extra``), so data and bookkeeping publish in
+the same atomic manifest rename: a crash between "apply" and "record"
+cannot happen, and a re-run after any failure resumes from the last
+PUBLISHED state. (Replaying a half-staged sync is safe — staged files
+without a manifest are invisible and later vacuumable.)
+
+Single-writer per mirror, like the underlying log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .versioned import VersionedTable
+
+_WATERMARK = "applied_src_version"
+
+
+class Mirror:
+    """A replicated copy of ``src`` rooted at ``dst_root``, keyed by
+    ``key_cols`` (the key the change feed is applied on)."""
+
+    def __init__(
+        self, src: VersionedTable, dst_root: str, key_cols: list[str]
+    ):
+        self.src = src
+        self.dst = VersionedTable(dst_root)
+        self.key_cols = list(key_cols)
+
+    def applied_version(self) -> int | None:
+        """Source version the mirror currently reflects (None = never
+        synced)."""
+        if self.dst.current_version() is None:
+            return None
+        return self.dst.snapshot().extra.get(_WATERMARK)
+
+    def sync(
+        self,
+        spark: SparkSession,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> dict:
+        """Catch the mirror up to the source's current version. First
+        sync is a full copy; every later sync replays only
+        ``src.changes(applied, current)``. Returns
+        ``{"applied_from", "applied_to", "synced"}``."""
+        src_v = self.src.current_version()
+        if src_v is None:
+            raise FileNotFoundError(f"source {self.src.root} has no snapshots")
+        applied = self.applied_version()
+        if applied == src_v:
+            return {"applied_from": applied, "applied_to": src_v,
+                    "synced": False}
+        extra = {_WATERMARK: src_v}
+        if applied is None:
+            self.dst.write(
+                self.src.read(spark),
+                mode="overwrite",
+                committed_at=committed_at,
+                commit_extra=extra,
+            )
+        else:
+            self.dst.apply_changes(
+                spark,
+                self.src.changes(spark, applied, src_v),
+                self.key_cols,
+                committed_at=committed_at,
+                commit_extra=extra,
+            )
+        return {"applied_from": applied, "applied_to": src_v, "synced": True}

@@ -67,6 +67,10 @@ class Snapshot:
     # table-level CHECK constraints (SQL boolean expressions) carried
     # forward snapshot-to-snapshot, Delta-style
     constraints: list[str] = None
+    # free-form commit metadata (e.g. replication watermark) — recorded
+    # atomically WITH the snapshot, so bookkeeping can never diverge
+    # from the data it describes
+    extra: dict = None
 
 
 class VersionedTable:
@@ -109,6 +113,7 @@ class VersionedTable:
             files=doc["files"],
             schema_json=doc.get("schema"),
             constraints=doc.get("constraints") or [],
+            extra=doc.get("extra") or {},
         )
 
     def history(self) -> list[Snapshot]:
@@ -163,6 +168,7 @@ class VersionedTable:
         committed_at: str,
         schema_json: str | None = None,
         constraints: list[str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Publish a snapshot with an atomic rename. Single-writer: the
         version is allocated as max+1; a real multi-writer deployment
@@ -182,6 +188,7 @@ class VersionedTable:
             "files": files,
             "schema": schema_json,
             "constraints": constraints,
+            "extra": extra or {},
         }
         tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(doc, indent=1))
@@ -195,6 +202,7 @@ class VersionedTable:
         committed_at: str = "1970-01-01T00:00:00Z",
         stats_cols: tuple[str, ...] = (),
         constraints: tuple[str, ...] = (),
+        commit_extra: dict | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot (``append`` keeps the previous
         snapshot's files; ``overwrite`` starts from the new files only).
@@ -239,14 +247,21 @@ class VersionedTable:
             committed_at,
             schema_json=df.schema.json(),
             constraints=effective,
+            extra=commit_extra,
         )
 
     def _validate_staged(
-        self, spark: SparkSession, new_files: list[dict], checks: list[str]
+        self,
+        spark: SparkSession,
+        new_files: list[dict],
+        checks: list[str],
+        cleanup: bool = True,
     ) -> None:
-        """One pass over the staged files counting violations per
-        constraint; on any hit, delete the staged files and raise with
-        counts + up to 3 sample rows per failing check."""
+        """One pass over the given files counting violations per
+        constraint; on any hit, raise with counts + up to 3 sample rows
+        per failing check. ``cleanup`` deletes the files first (staged
+        uncommitted files only — callers validating LIVE files, e.g.
+        ``add_constraint``, MUST pass False)."""
         from pyspark.sql import functions as F
 
         staged = spark.read.parquet(
@@ -276,10 +291,11 @@ class VersionedTable:
             ]
             for c in bad
         }
-        for f in new_files:
-            p = self.root / f["path"]
-            if p.exists():
-                p.unlink()
+        if cleanup:
+            for f in new_files:
+                p = self.root / f["path"]
+                if p.exists():
+                    p.unlink()
         raise ConstraintViolation(
             f"write rejected, nothing committed: {bad} violating rows "
             f"(constraint -> count); samples: {samples}"
@@ -587,6 +603,32 @@ class VersionedTable:
             spark, predicate, transform=apply, committed_at=committed_at
         )
 
+    def add_constraint(
+        self,
+        spark: SparkSession,
+        expr: str,
+        validate_existing: bool = True,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT: append a CHECK to the persisted
+        set as a metadata-only snapshot (same file list). With
+        ``validate_existing`` (default, unlike Delta's optional behavior)
+        the current rows are scanned first and a violation rejects the
+        constraint — so a published constraint is always TRUE of the
+        whole table, past and future."""
+        snap = self.snapshot()
+        if expr in snap.constraints:
+            return snap.version
+        if validate_existing and snap.files:
+            self._validate_staged(spark, snap.files, [expr], cleanup=False)
+        return self._commit(
+            snap.files,
+            "add_constraint",
+            committed_at,
+            schema_json=snap.schema_json,
+            constraints=snap.constraints + [expr],
+        )
+
     def merge_rows(
         self,
         spark: SparkSession,
@@ -595,6 +637,7 @@ class VersionedTable:
         when_matched: str = "replace",
         committed_at: str = "1970-01-01T00:00:00Z",
         _extra_match_keys: DataFrame | None = None,
+        commit_extra: dict | None = None,
     ) -> dict:
         """Keyed MERGE into the table — the Delta ``MERGE INTO`` execution
         model for tables too big to rewrite per sync:
@@ -645,6 +688,7 @@ class VersionedTable:
             version = self._commit(
                 new_files, "merge", committed_at,
                 schema_json=source.schema.json(),
+                extra=commit_extra,
             )
             return {
                 "version": version,
@@ -690,6 +734,7 @@ class VersionedTable:
             "merge",
             committed_at,
             schema_json=self.read(spark).schema.json(),
+            extra=commit_extra,
         )
         return {
             "version": version,
@@ -704,6 +749,7 @@ class VersionedTable:
         cdf: DataFrame,
         key_cols: list[str],
         committed_at: str = "1970-01-01T00:00:00Z",
+        commit_extra: dict | None = None,
     ) -> dict:
         """Replay a change feed (``changes()`` output of ANOTHER table:
         data columns + ``change_type``) into this table — downstream
@@ -735,6 +781,7 @@ class VersionedTable:
             when_matched="replace",
             committed_at=committed_at,
             _extra_match_keys=touched,
+            commit_extra=commit_extra,
         )
         return stats
 
