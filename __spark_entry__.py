@@ -443,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r5 window is saturated with 10 new entries; the local sweep
         # verifies it now and it rotates into the window in r6)
         "versioned_merge": S.versioned_merge_query,
+        # explicit GROUPING SETS (Spark 4 DataFrame API; tail with the
+        # other new-by-exception entry, same rationale)
+        "grouping_sets_volume": A.grouping_sets_volume,
         #    (r4-green families, continued:)
         #    bpe_pair_counts/shard_manifest≈vocab_stats+pack_sequences,
         #    ann_ivf_topk_nprobe2≈ann_ivf_topk, ann_lsh_topk≈ann_topk+
@@ -602,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_status_pivot": A.SEGMENT_STATUS_PIVOT_SQL,
         "distinct_profile": A.DISTINCT_PROFILE_SQL,
         "rollup_volume": A.ROLLUP_VOLUME_SQL,
+        "grouping_sets_volume": A.GROUPING_SETS_VOLUME_SQL,
         "cube_volume": A.CUBE_VOLUME_SQL,
         "profile_columns": A.PROFILE_COLUMNS_SQL,
         "quantiles_by_group": A.QUANTILES_BY_GROUP_SQL,

@@ -211,6 +211,34 @@ class IncrementalMatView:
             df = df.filter(F.col(count_cols[0]) > 0)
         return df.select(*self.group_keys, *self.measures.keys())
 
+    def optimize(self, spark: SparkSession) -> dict:
+        """Compact fragmented bucket partitions: every refresh appends
+        new files to the buckets it touches (dynamic overwrite replaces
+        the partition's CONTENT but writes it as `repartition` sized it),
+        and hot buckets accumulate small files over many refreshes. This
+        rewrites each bucket as one file — state stays tiny relative to
+        its source, so one-file-per-bucket is the right target. Returns
+        ``{"files_before", "files_after"}``."""
+        from pathlib import Path
+
+        def n_files():
+            return sum(
+                1
+                for d in Path(self.path).glob("_bucket=*")
+                for _ in d.glob("*.parquet")
+            )
+
+        before = n_files()
+        state = spark.read.parquet(self.path)
+        with _dynamic_overwrite(spark):
+            (
+                state.repartition(self.n_buckets, "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(self.path)
+            )
+        return {"files_before": before, "files_after": n_files()}
+
     def streaming_sink(self, stream_df: DataFrame, checkpoint: str):
         """Maintain the view from a stream: ``foreachBatch`` folds each
         micro-batch through the same ``refresh`` path as batch loads."""

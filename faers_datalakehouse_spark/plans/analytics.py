@@ -866,6 +866,46 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — subtotal combinations neither ROLLUP nor
+    CUBE can express: (flag x status), (status), and the grand total,
+    skipping the (flag) level. Uses the Spark 4 ``DataFrame.groupingSets``
+    API; one shuffle, same partial-agg shape as rollup/cube."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents("l_extendedprice")).alias("price_c"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            (F.col("price_c").cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_VOLUME_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
 def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot of per-returnflag measures (melt/stack)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -119,6 +119,28 @@ class VersionedTable:
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self.versions()]
 
+    def version_as_of(self, committed_at: str) -> int:
+        """The newest version whose ``committed_at`` is <= the given
+        timestamp string (``TIMESTAMP AS OF`` analog). Commit stamps are
+        caller-supplied ISO-sortable strings (the repo's injectable-clock
+        rule), so the comparison is lexicographic."""
+        best = None
+        for s in self.history():
+            if s.committed_at <= committed_at:
+                best = s.version
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot of {self.root} at or before {committed_at!r}"
+            )
+        return best
+
+    def read_as_of(
+        self, spark: SparkSession, committed_at: str
+    ) -> DataFrame:
+        """Time travel by timestamp: read the table as of the given
+        commit-stamp (newest snapshot committed at or before it)."""
+        return self.read(spark, version=self.version_as_of(committed_at))
+
     # -- commits ----------------------------------------------------------
 
     def _stage_files(

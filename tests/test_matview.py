@@ -182,3 +182,15 @@ def test_refresh_changes_rejects_min_max(spark, tmp_path):
     feed = spark.createDataFrame([(1, 1, "insert")], "k int, v long, change_type string")
     with pytest.raises(ValueError, match="cannot be maintained"):
         mv.refresh_changes(feed)
+
+
+def test_optimize_compacts_bucket_files(spark, tmp_path):
+    mv = _mv(tmp_path, n_buckets=4)
+    for lo, hi in [(0, 60), (60, 120), (120, 180), (180, 240)]:
+        mv.refresh(_src(spark, lo, hi))
+    before = _as_dict(mv.read(spark))
+
+    info = mv.optimize(spark)
+    assert info["files_after"] <= info["files_before"]
+    assert info["files_after"] <= mv.n_buckets  # ~one file per bucket
+    assert _as_dict(mv.read(spark)) == before  # content unchanged
