@@ -60,6 +60,13 @@ class Mirror:
         if applied == src_v:
             return {"applied_from": applied, "applied_to": src_v,
                     "synced": False}
+        if applied is not None and applied not in self.src.versions():
+            # the source vacuumed past our watermark: the change feed's
+            # base snapshot is gone, so an incremental diff is impossible
+            # — fall back to a full re-copy (correct, just not cheap;
+            # size src.vacuum(keep_last=...) to the sync cadence to
+            # avoid this)
+            applied = None
         extra = {_WATERMARK: src_v}
         if applied is None:
             self.dst.write(

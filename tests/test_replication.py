@@ -98,3 +98,23 @@ def test_add_constraint_validates_existing_rows(spark, tmp_path):
 
     # duplicate add is a no-op
     assert t.add_constraint(spark, "id >= 0") == 2
+
+
+def test_mirror_falls_back_to_full_copy_after_source_vacuum(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src"))
+    src.write(spark.range(0, 100).withColumn("flag", F.lit("a")), committed_at="t1")
+    m = Mirror(src, str(tmp_path / "dst"), ["id"])
+    m.sync(spark, "m1")  # applied = 1
+
+    src.delete_where(spark, "id < 10", committed_at="t2")
+    src.write(
+        spark.range(100, 110).withColumn("flag", F.lit("b")),
+        mode="append", committed_at="t3",
+    )
+    src.vacuum(keep_last=1)  # drops v1/v2 — the mirror's diff base
+    assert 1 not in src.versions()
+
+    info = m.sync(spark, "m2")
+    assert info["synced"] and info["applied_from"] is None  # full re-copy
+    assert _content(spark, m.dst) == _content(spark, src)
+    assert m.applied_version() == src.current_version()
