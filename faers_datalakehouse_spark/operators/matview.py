@@ -248,6 +248,18 @@ class IncrementalMatView:
             .foreachBatch(lambda b, _id: self.refresh(b))
         )
 
+    def streaming_changes_sink(self, cdf_stream: DataFrame, checkpoint: str):
+        """Maintain the view from a STREAM OF CHANGES (rows carrying
+        ``change_type`` insert/delete — e.g. a replicated
+        ``VersionedTable.changes`` feed): each micro-batch folds through
+        ``refresh_changes``, so deletes retract instead of accumulating.
+        The streaming twin of CDC-fed view maintenance."""
+        return (
+            cdf_stream.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda b, _id: self.refresh_changes(b))
+        )
+
 
 class _dynamic_overwrite:
     """Scoped ``partitionOverwriteMode=dynamic``: only partitions present

@@ -194,3 +194,41 @@ def test_optimize_compacts_bucket_files(spark, tmp_path):
     assert info["files_after"] <= info["files_before"]
     assert info["files_after"] <= mv.n_buckets  # ~one file per bucket
     assert _as_dict(mv.read(spark)) == before  # content unchanged
+
+
+def test_streaming_changes_sink_retracts(spark, tmp_path):
+    """A streamed change feed (inserts then deletes across micro-batches)
+    leaves the view equal to the net content — deletes retract through
+    the streaming path too."""
+    src_dir = tmp_path / "cdf_src"
+    b0 = spark.createDataFrame(
+        [(1, 10, "insert"), (1, 20, "insert"), (2, 5, "insert")],
+        "k int, v long, change_type string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, "delete"), (3, 7, "insert")],
+        "k int, v long, change_type string",
+    )
+    b0.coalesce(1).write.parquet(str(src_dir / "b0"))
+    b1.coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    mv = IncrementalMatView(
+        path=str(tmp_path / "mv"),
+        group_keys=["k"],
+        measures={"n": ("count", ""), "total": ("sum", "v")},
+        n_buckets=4,
+    )
+    stream = (
+        spark.readStream.schema("k int, v long, change_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        mv.streaming_changes_sink(stream, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["k"]: (r["n"], r["total"]) for r in mv.read(spark).collect()}
+    assert got == {1: (1, 20), 2: (1, 5), 3: (1, 7)}
