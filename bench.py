@@ -81,17 +81,18 @@ BENCH_QUERIES = {
     "q28_bigram_surprisal": ("count", "bigram_surprisal"),
     "q29_gap_fill": ("count", "gap_fill_daily"),
     "q30_pagerank": ("count", "pagerank"),
+    "q31_attribution": ("collect", "attribution"),
+    "q32_histogram": ("collect", "value_histogram"),
     # Round-5 late additions: lakehouse change feed + incremental view
     # maintenance, deterministic sketches, bloom semi-join reduction.
     # These are write-inclusive (the versioned/matview entries commit
     # real snapshots under /tmp), so they measure the maintenance path,
-    # not just a read. Keys q1-q30 unchanged.
-    "q31_versioned_cdf": ("count", "versioned_changes"),
-    "q32_incremental_matview": ("collect", "incremental_matview"),
-    "q33_hll_registers": ("count", "hll_registers"),
-    "q34_bloom_prefilter": ("collect", "bloom_prefilter"),
-    "q31_attribution": ("collect", "attribution"),
-    "q32_histogram": ("collect", "value_histogram"),
+    # not just a read. Keys q1-q32 unchanged; q33/q34 left unused so no
+    # number is ever reused across recorded artifacts.
+    "q35_versioned_cdf": ("count", "versioned_changes"),
+    "q36_incremental_matview": ("collect", "incremental_matview"),
+    "q37_hll_registers": ("count", "hll_registers"),
+    "q38_bloom_prefilter": ("collect", "bloom_prefilter"),
 }
 
 

@@ -197,8 +197,9 @@ def bloom_semi_join(
     filtered = bloom_apply(probe, F.col(probe_key), words, m, k)
     if not exact:
         return filtered
+    # join against the "_k"-renamed frame: renaming back to build_key
+    # would make the condition ambiguous when probe_key == build_key
+    # (the common same-name case)
     return filtered.join(
-        keys.withColumnRenamed("_k", build_key),
-        on=filtered[probe_key] == F.col(build_key),
-        how="left_semi",
+        keys, on=filtered[probe_key] == keys["_k"], how="left_semi"
     )

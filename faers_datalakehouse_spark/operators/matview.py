@@ -72,6 +72,14 @@ class IncrementalMatView:
                     f"got {agg!r} (derived measures like avg belong at read "
                     "time, computed from sum/count state)"
                 )
+        clash = {"_bucket", "_sign"} & (
+            set(self.group_keys) | set(self.measures)
+        )
+        if clash:
+            raise ValueError(
+                f"column names {sorted(clash)} are reserved by the view's "
+                "internal state; rename the keys/measures"
+            )
 
     # -- internals --------------------------------------------------------
 
@@ -219,14 +227,10 @@ class IncrementalMatView:
         rewrites each bucket as one file — state stays tiny relative to
         its source, so one-file-per-bucket is the right target. Returns
         ``{"files_before", "files_after"}``."""
-        from pathlib import Path
-
         def n_files():
-            return sum(
-                1
-                for d in Path(self.path).glob("_bucket=*")
-                for _ in d.glob("*.parquet")
-            )
+            # inputFiles(), not local pathlib: the state path may be
+            # object storage / HDFS (same reason _exists uses Hadoop FS)
+            return len(spark.read.parquet(self.path).inputFiles())
 
         before = n_files()
         state = spark.read.parquet(self.path)

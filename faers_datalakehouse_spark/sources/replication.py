@@ -39,10 +39,18 @@ class Mirror:
 
     def applied_version(self) -> int | None:
         """Source version the mirror currently reflects (None = never
-        synced)."""
+        synced). Scans the mirror's history newest-first: maintenance
+        commits (compact, vacuum-surviving rewrites) don't carry the
+        watermark forward, and only sync commits do — without the
+        backscan, a routine dst.compact() would silently degrade the
+        next sync to a full re-copy."""
         if self.dst.current_version() is None:
             return None
-        return self.dst.snapshot().extra.get(_WATERMARK)
+        for snap in reversed(self.dst.history()):
+            wm = snap.extra.get(_WATERMARK)
+            if wm is not None:
+                return wm
+        return None
 
     def sync(
         self,

@@ -391,6 +391,14 @@ class VersionedTable:
             )
 
         added, removed = _read(only_new), _read(only_old)
+        probe = added if added is not None else removed
+        if probe is not None:
+            clash = {"_w", "_net", "_i"} & set(probe.columns)
+            if clash:
+                raise ValueError(
+                    f"changes() reserves column names {sorted(clash)}; "
+                    "rename the table columns"
+                )
         if added is None and removed is None:
             base = self.read(spark, v_to).limit(0)
             return base.withColumn("change_type", F.lit(""))
@@ -580,11 +588,23 @@ class VersionedTable:
             if replaced is not None:
                 survivors = survivors.unionByName(replaced)
         new_files = self._stage_files(survivors)
+        # UPDATEd rows honor the table's CHECK constraints like every
+        # other path (write, merge) — otherwise update_where could
+        # silently break the "published constraint is TRUE of the whole
+        # table" invariant; violation unlinks the staged files, so the
+        # table is untouched
+        if snap.constraints and new_files:
+            self._validate_staged(spark, new_files, snap.constraints)
+        from pyspark.sql.types import StructType as _St
+
+        table_schema = _St(
+            [f for f in df.schema.fields if f.name != "_file"]
+        )
         version = self._commit(
             kept + new_files,
             "rewrite",
             committed_at,
-            schema_json=self.read(spark).schema.json(),
+            schema_json=table_schema.json(),
         )
         return {
             "version": version,
@@ -751,11 +771,19 @@ class VersionedTable:
                     if p.exists():
                         p.unlink()
                 raise
+        from pyspark.sql.types import StructType as _St
+
+        pre_fields = [f for f in tagged.schema.fields if f.name != "_file"]
+        names = {f.name for f in pre_fields}
+        merged_schema = _St(
+            pre_fields
+            + [f for f in source.schema.fields if f.name not in names]
+        )
         version = self._commit(
             kept + rewritten + new_files,
             "merge",
             committed_at,
-            schema_json=self.read(spark).schema.json(),
+            schema_json=merged_schema.json(),
             extra=commit_extra,
         )
         return {
@@ -793,6 +821,21 @@ class VersionedTable:
         # keys to clear = every touched key (delete keys, plus insert keys
         # so stale rows never survive a replayed upsert); merge_rows with
         # "replace" clears matched keys and stages `inserts` as new files
+        over = (
+            cdf.groupBy("change_type", *key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(3)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"apply_changes: key {key_cols} is not unique in the "
+                f"change feed (e.g. {[tuple(r)[1:-1] for r in over]} appear "
+                "more than once per change_type) — it cannot be a unique "
+                "key of the source table, and replaying on a non-unique "
+                "key silently diverges"
+            )
         touched = deletes.select(*key_cols).union(
             inserts.select(*key_cols)
         )

@@ -52,6 +52,10 @@ _STATE_SCHEMA = StructType(
         StructField("n", LongType()),
         StructField("cents", LongType()),
         StructField("mx", LongType()),
+        # whether any non-null value was ever seen: lets the emitted max
+        # be NULL (matching F.max's null-skipping) without storing a
+        # null in fixed-typed state
+        StructField("saw", LongType()),
     ]
 )
 
@@ -66,25 +70,39 @@ class UserProfileProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timer_values
     ) -> Iterator[pd.DataFrame]:
-        n, cents, mx = (
-            self._state.get() if self._state.exists() else (0, 0, None)
-        )
+        import numpy as np
+
+        if self._state.exists():
+            n, cents, mx, saw = self._state.get()
+            mx = mx if saw else None
+        else:
+            n, cents, mx = 0, 0, None
         for pdf in rows:
-            vals = (
-                pdf["value"].fillna(0.0).mul(100).round().astype("int64")
-            )
             n += len(pdf)
-            cents += int(vals.sum())
-            if len(vals):
+            nonnull = pdf["value"].dropna()
+            if len(nonnull):
+                # HALF_UP (round half away from zero), matching Spark's
+                # F.round — pandas .round() is banker's half-to-even and
+                # diverges on exact .5 cents (e.g. 0.125 -> 12 vs 13)
+                scaled = nonnull.mul(100).to_numpy()
+                vals = (
+                    np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+                ).astype("int64")
+                # nulls excluded from sum AND max, matching F.sum/F.max
+                # null-skipping (fillna(0) would pull a negative max to 0)
+                cents += int(vals.sum())
                 batch_max = int(vals.max())
                 mx = batch_max if mx is None else max(mx, batch_max)
-        self._state.update((n, cents, mx if mx is not None else 0))
+        self._state.update(
+            (n, cents, mx if mx is not None else 0,
+             1 if mx is not None else 0)
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 "value_cents": [cents],
-                "max_cents": [mx if mx is not None else 0],
+                "max_cents": [mx],  # None == no non-null value yet
             }
         )
 

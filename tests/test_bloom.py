@@ -72,3 +72,15 @@ def test_inexact_mode_superset_and_shuffle_free(spark):
 def test_build_rejects_bad_m(spark):
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_build(spark.range(5).withColumnRenamed("id", "k"), "k", 100, 3)
+
+
+def test_exact_semi_join_same_key_name(spark):
+    """The default path (probe and build share the key column name) —
+    regression: the finishing join used to be ambiguous."""
+    probe = spark.range(0, 5000).select((F.col("id") % 700).alias("key"))
+    build = spark.range(0, 200).select(F.col("id").alias("key"))
+    got = bloom_semi_join(probe, build, "key", exact=True)
+    want = probe.join(build, "key", "left_semi")
+    assert sorted(r["key"] for r in got.collect()) == sorted(
+        r["key"] for r in want.collect()
+    )

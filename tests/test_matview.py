@@ -232,3 +232,12 @@ def test_streaming_changes_sink_retracts(spark, tmp_path):
 
     got = {r["k"]: (r["n"], r["total"]) for r in mv.read(spark).collect()}
     assert got == {1: (1, 20), 2: (1, 5), 3: (1, 7)}
+
+
+def test_reserved_state_names_rejected(tmp_path):
+    with pytest.raises(ValueError, match="reserved"):
+        IncrementalMatView(
+            path=str(tmp_path / "mv"),
+            group_keys=["_bucket"],
+            measures={"n": ("count", "")},
+        )

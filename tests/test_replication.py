@@ -118,3 +118,24 @@ def test_mirror_falls_back_to_full_copy_after_source_vacuum(spark, tmp_path):
     assert info["synced"] and info["applied_from"] is None  # full re-copy
     assert _content(spark, m.dst) == _content(spark, src)
     assert m.applied_version() == src.current_version()
+
+
+def test_mirror_survives_dst_maintenance_commits(spark, tmp_path):
+    """Regression: a dst-side compact used to drop the watermark (it
+    lives in commit extra, which maintenance commits don't carry),
+    silently degrading the next sync to a full re-copy."""
+    src = VersionedTable(str(tmp_path / "src"))
+    src.write(
+        spark.range(0, 200).withColumn("flag", F.lit("a")).repartition(6),
+        committed_at="t1",
+    )
+    m = Mirror(src, str(tmp_path / "dst"), ["id"])
+    m.sync(spark, "m1")
+    m.dst.compact(spark, target_file_bytes=1 << 30, committed_at="c1")
+
+    assert m.applied_version() == 1  # backscan finds the sync commit
+    src.write(spark.range(200, 210).withColumn("flag", F.lit("b")),
+              mode="append", committed_at="t2")
+    info = m.sync(spark, "m2")
+    assert info["applied_from"] == 1  # incremental, not a full re-copy
+    assert _content(spark, m.dst) == _content(spark, src)

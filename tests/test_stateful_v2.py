@@ -35,11 +35,16 @@ def rocksdb_state(spark):
 
 
 def _events(spark, lo, hi):
+    # deliberately includes exact half-cent values (id*0.125 -> .5 cents,
+    # where HALF_UP and banker's rounding differ) and nulls (excluded
+    # from sum/max by both engines)
     return (
         spark.range(lo, hi)
         .select(
             (F.col("id") % 7).alias("user_id"),
-            (F.col("id") * 1.25).alias("value"),
+            F.when(F.col("id") % 13 == 0, F.lit(None)).otherwise(
+                F.col("id") * 0.125
+            ).alias("value"),
         )
     )
 

@@ -477,3 +477,58 @@ def test_read_as_of_timestamp(spark, tmp_path):
     assert _ids(t.read_as_of(spark, "2099-01-01T00:00:00Z")) == [100, 101]
     with pytest.raises(FileNotFoundError, match="at or before"):
         t.read_as_of(spark, "2023-12-31T00:00:00Z")
+
+
+def test_update_where_honors_constraints(spark, tmp_path):
+    """Regression: UPDATE used to bypass CHECK validation."""
+    from faers_datalakehouse_spark.sources.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(
+        spark.range(1, 20).withColumn("v", F.col("id")),
+        committed_at="t1",
+        constraints=("v > 0",),
+    )
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, "id = 3", {"v": "-9"}, committed_at="t2")
+    assert t.current_version() == 1
+    assert {r["v"] for r in t.read(spark).filter("id = 3").collect()} == {3}
+
+
+def test_apply_changes_rejects_non_unique_key(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.createDataFrame([(1, "a")], "k long, flag string"),
+            committed_at="t1")
+    feed = spark.createDataFrame(
+        [(1, "a", "delete"), (1, "b", "delete"), (2, "c", "insert")],
+        "k long, flag string, change_type string",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        t.apply_changes(spark, feed, ["k"])
+
+
+def test_changes_rejects_reserved_column_names(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(3).withColumn("_w", F.lit(1)), committed_at="t1")
+    t.write(spark.range(3, 5).withColumn("_w", F.lit(1)), mode="append",
+            committed_at="t2")
+    with pytest.raises(ValueError, match="reserves column names"):
+        t.changes(spark, 1, 2)
+
+
+def test_merge_rows_records_evolved_schema(spark, tmp_path):
+    """Regression: the committed manifest used to record the PRE-merge
+    schema, dropping columns the merge source introduced."""
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 5), committed_at="t1")
+    src = spark.range(2, 4).withColumn("extra", F.lit("x"))
+    t.merge_rows(spark, src, ["id"], committed_at="t2")
+    import json as _json
+
+    fields = {
+        f["name"]
+        for f in _json.loads(t.snapshot().schema_json)["fields"]
+    }
+    assert fields == {"id", "extra"}
