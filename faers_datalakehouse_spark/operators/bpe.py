@@ -34,7 +34,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _norm_text
 from .surprisal import corpus_tokens
 
 

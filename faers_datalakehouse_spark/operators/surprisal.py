@@ -200,7 +200,11 @@ def bigram_surprisal_scores(
     bits = (F.length(F.bin("n1")) - 1) - (F.length(F.bin("n2")) - 1)
     return (
         bgs.join(model, ["w1", "w2"])
-        .join(F.broadcast(prefix), "w1")
+        # plain hash join, NOT broadcast: prefix is the full unigram
+        # vocabulary — unbounded at web scale, the same reason the model
+        # join above refuses to broadcast; the w1 shuffle rides the
+        # exchange already being paid
+        .join(prefix, "w1")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -40,13 +40,39 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _json_safe(v):
-    """Manifest-storable scalar: dates/timestamps to ISO strings, the
-    rest as-is (ints/floats/strings/None are already JSON types)."""
+def _json_safe(v, side: str = "lo"):
+    """Manifest-storable AND skip-comparable stat scalar.
+
+    - dates/timestamps -> ISO strings (lexicographic order == temporal
+      order, so ``read_pruned`` comparisons stay correct);
+    - Decimal -> float widened OUTWARD by one ulp on the given ``side``
+      (``lo`` rounds down, ``hi`` rounds up): json can store it, and the
+      rounding can only make skipping more conservative, never wrong;
+    - ints/floats/strings/None pass through.
+    """
     import datetime as _dt
+    import decimal as _dec
+    import math as _math
 
     if isinstance(v, (_dt.date, _dt.datetime)):
         return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        f = float(v)
+        target = -_math.inf if side == "lo" else _math.inf
+        return _math.nextafter(f, target)
+    return v
+
+
+def _probe_safe(v):
+    """Normalize a ``read_pruned`` probe bound into the stats' stored
+    domain (ISO string for dates, float for Decimal)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return float(v)
     return v
 
 
@@ -172,7 +198,10 @@ class VersionedTable:
             by_suffix = {}
             for r in rows:
                 stats = {
-                    c: [_json_safe(r[f"lo_{c}"]), _json_safe(r[f"hi_{c}"])]
+                    c: [
+                        _json_safe(r[f"lo_{c}"], "lo"),
+                        _json_safe(r[f"hi_{c}"], "hi"),
+                    ]
                     for c in stats_cols
                 }
                 by_suffix[r["_file"]] = stats
@@ -444,13 +473,16 @@ class VersionedTable:
         handful of files, decided from KBs of manifest on the driver.
         """
         hi = lo if hi is None else hi
+        # compare in the stats' stored domain (ISO strings for dates,
+        # floats for Decimal) — see _json_safe/_probe_safe
+        lo_cmp, hi_cmp = _probe_safe(lo), _probe_safe(hi)
         snap = self.snapshot(version)
         keep = []
         for f in snap.files:
             stats = f.get("stats", {}).get(col) if isinstance(f, dict) else None
             if stats is None or stats[0] is None:
                 keep.append(f)  # no stats -> cannot skip safely
-            elif not (stats[1] < lo or stats[0] > hi):
+            elif not (stats[1] < lo_cmp or stats[0] > hi_cmp):
                 keep.append(f)
         report = {
             "files_total": len(snap.files),
@@ -561,11 +593,14 @@ class VersionedTable:
                 "rows_matched": 0,
             }
         df = self.read(spark).withColumn("_file", F.input_file_name())
-        matched_files = {
-            r["_file"]
-            for r in df.filter(predicate).select("_file").distinct().collect()
-        }  # bounded: file count, not row count
-        rows_matched = df.filter(predicate).count()
+        # ONE predicate scan yields both the matched file set (bounded:
+        # file count, not row count) and rows_matched — the previous
+        # distinct-collect + count pair paid two full scans per mutation
+        per_file = (
+            df.filter(predicate).groupBy("_file").count().collect()
+        )
+        matched_files = {r["_file"] for r in per_file}
+        rows_matched = sum(r["count"] for r in per_file)
         # input_file_name() yields a URI (file://...); manifests hold
         # root-relative paths whose data/<uuid>/part-*.parquet tail is
         # unique per file — suffix match avoids scheme/normalization drift
@@ -581,13 +616,25 @@ class VersionedTable:
                 "rows_matched": 0,
             }
         hit_paths = [str(self.root / f["path"]) for f in hit]
-        affected = spark.read.parquet(*hit_paths)
+        # mergeSchema, like read(): on a schema-evolved table a plain
+        # multi-path read resolves to ONE file's footer (path-sort order,
+        # not argument order) and can silently drop evolved columns from
+        # the rewritten rows
+        affected = spark.read.option("mergeSchema", "true").parquet(
+            *hit_paths
+        )
         survivors = affected.filter(f"NOT ({predicate})")
         if transform is not None:
             replaced = transform(affected.filter(predicate))
             if replaced is not None:
                 survivors = survivors.unionByName(replaced)
-        new_files = self._stage_files(survivors)
+        # the skipping index survives row-level mutation exactly as it
+        # survives compaction: re-record whatever columns the snapshot
+        # already carries stats for
+        stats_cols = tuple(
+            sorted({c for f in snap.files for c in f.get("stats", {})})
+        )
+        new_files = self._stage_files(survivors, stats_cols=stats_cols)
         # UPDATEd rows honor the table's CHECK constraints like every
         # other path (write, merge) — otherwise update_where could
         # silently break the "published constraint is TRUE of the whole

@@ -45,9 +45,15 @@ def latest_per_key(
     SCD2 at micro-batch granularity keeps one version per (key, batch), so
     "latest wins within the batch" is the correct reduction — intermediate
     same-batch versions are below the sink's time resolution by design.
+
+    Ties on ``order_col`` (same-second CDC events, repeated null offsets)
+    are broken by a content hash of the whole row, so the winner is a
+    deterministic function of the DATA, never of partitioning or replay
+    order. Rows identical in every column are genuinely interchangeable.
     """
     w = Window.partitionBy(*business_keys).orderBy(
-        F.col(order_col).desc_nulls_last()
+        F.col(order_col).desc_nulls_last(),
+        F.md5(F.to_json(F.struct(*batch.columns))).desc(),
     )
     return (
         batch.withColumn("_rn", F.row_number().over(w))

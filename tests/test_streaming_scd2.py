@@ -142,3 +142,19 @@ def test_same_day_changes_across_batches_get_distinct_dim_keys(spark):
     assert len({r["dim_key"] for r in rows}) == 2
     cur = [r for r in rows if r["is_current"]]
     assert len(cur) == 1 and cur[0]["attr"] == "v2"
+
+
+def test_latest_per_key_ties_are_deterministic(spark):
+    """Same key, same order value: the winner is a function of row
+    content (md5 tiebreak), identical across shuffles and replays."""
+    from faers_datalakehouse_spark.streaming.scd2 import latest_per_key
+
+    rows = [(1, "2024-01-01T00:00:00", f"v{i}") for i in range(6)]
+    winners = set()
+    for seed in range(4):
+        df = spark.createDataFrame(
+            rows, "k long, ts string, payload string"
+        ).orderBy(F.rand(seed=seed)).repartition(seed + 1)
+        [w] = latest_per_key(df, ["k"], "ts").collect()
+        winners.add(w["payload"])
+    assert len(winners) == 1

@@ -532,3 +532,64 @@ def test_merge_rows_records_evolved_schema(spark, tmp_path):
         for f in _json.loads(t.snapshot().schema_json)["fields"]
     }
     assert fields == {"id", "extra"}
+
+
+def test_delete_where_preserves_evolved_columns(spark, tmp_path):
+    """Regression: the copy-on-write read used one file's footer (path
+    order), silently dropping schema-evolved columns from rewrites."""
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 10).withColumn("val", F.lit(1)), committed_at="t1")
+    t.write(
+        spark.range(10, 20).withColumn("val", F.lit(2)).withColumn(
+            "note", F.lit("n")
+        ),
+        mode="append",
+        committed_at="t2",
+    )
+    t.delete_where(spark, "id IN (1, 15)", committed_at="t3")
+    rows = {r["id"]: (r["val"], r["note"]) for r in t.read(spark).collect()}
+    assert 1 not in rows and 15 not in rows and len(rows) == 18
+    assert rows[16] == (2, "n")  # evolved column survived the rewrite
+    assert rows[2] == (1, None)
+
+
+def test_delete_where_preserves_skipping_stats(spark, tmp_path):
+    """Regression: mutation used to stage survivors without stats,
+    decaying the skipping index file by file."""
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(
+        spark.range(0, 800).repartitionByRange(8, "id"),
+        committed_at="t1",
+        stats_cols=("id",),
+    )
+    t.delete_where(spark, "id = 105", committed_at="t2")
+    assert all("stats" in f for f in t.snapshot().files)
+    _, rep = t.read_pruned(spark, "id", 300, 310)
+    assert rep["files_read"] == 1  # index still effective post-mutation
+
+
+def test_stats_handle_decimal_and_date_columns(spark, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    df = spark.createDataFrame(
+        [
+            (Decimal("10.50"), dt.date(2024, 1, 5)),
+            (Decimal("99.99"), dt.date(2024, 3, 1)),
+        ],
+        "price decimal(10,2), day date",
+    ).coalesce(1)  # one file: empty part-files carry null stats and are
+    # (correctly) conservatively read, which isn't what this test probes
+    # used to crash json.dumps on Decimal min/max
+    t.write(df, committed_at="t1", stats_cols=("price", "day"))
+
+    got, rep = t.read_pruned(spark, "day", dt.date(2024, 1, 1),
+                             dt.date(2024, 1, 31))
+    assert [str(r["price"]) for r in got.collect()] == ["10.50"]
+    got2, _ = t.read_pruned(spark, "price", Decimal("99.00"),
+                            Decimal("100.00"))
+    assert [str(r["price"]) for r in got2.collect()] == ["99.99"]
+    # probe fully outside the range skips the (single) file
+    _, rep3 = t.read_pruned(spark, "day", dt.date(2030, 1, 1))
+    assert rep3["files_read"] == 0
