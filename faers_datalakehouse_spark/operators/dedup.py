@@ -306,6 +306,13 @@ def signature_bands(
     identical signatures and band buckets — a doc hashes to the same bucket
     whether it's being deduped against itself or against yesterday's corpus.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}): non-divisible settings silently discard "
+            "permutations, and bands > num_hashes collapses every doc "
+            "into one universal bucket (a full cross product)"
+        )
     rows = num_hashes // bands
     params = _minhash_params(num_hashes, seed)
     band_hash_fn = _md5_hash64 if portable_hash else F.xxhash64
@@ -440,6 +447,13 @@ def minhash_lsh_oracle_sql(
     band-bucket self-join, and exact Jaccard on the hashed shingle sets.
     Every intermediate is exact int64 arithmetic → bit-identical buckets.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}): non-divisible settings silently discard "
+            "permutations, and bands > num_hashes collapses every doc "
+            "into one universal bucket (a full cross product)"
+        )
     rows = num_hashes // bands
     params = _minhash_params(num_hashes, seed)
     p = MERSENNE_P
@@ -517,7 +531,10 @@ def simhash_64(
     """
     import numpy as np
 
-    out_schema = f"{id_col} long, simhash long, simhash_prefix int"
+    # the id passes through untouched — mirror its real Spark type in the
+    # Arrow schema (hard-coding long broke string ids)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, simhash long, simhash_prefix int"
     cache: dict[str, "np.ndarray"] = {}
     shifts = np.arange(64, dtype=np.uint64)
 

@@ -65,8 +65,12 @@ def merge_into(
             F.when(
                 F.col("_key_n") > 1,
                 F.raise_error(
-                    F.concat(
-                        F.lit("duplicate source keys in merge: "),
+                    # concat_ws, not concat: a NULL key value (which
+                    # eqNullSafe treats as a real, matchable key) would
+                    # NULL the whole message and lose the diagnostic
+                    F.concat_ws(
+                        " ",
+                        F.lit("duplicate source keys in merge:"),
                         *[F.col(k).cast("string") for k in keys],
                     )
                 ).cast(dict(source.dtypes)[k0]),
@@ -87,7 +91,14 @@ def merge_into(
     matched = t_present & s_present
 
     upd = matched if update_cond is None else (matched & update_cond)
-    dele = F.lit(False) if delete_cond is None else (matched & delete_cond)
+    # NULL-safe like SQL MERGE: a clause condition evaluating to NULL
+    # means the clause is NOT taken — without the coalesce, keep = ~NULL
+    # filtered matched rows out entirely (silent delete)
+    dele = (
+        F.lit(False)
+        if delete_cond is None
+        else (matched & F.coalesce(delete_cond, F.lit(False)))
+    )
     ins = (~t_present & s_present) if insert_cond is None else (
         ~t_present & s_present & insert_cond
     )
@@ -95,11 +106,10 @@ def merge_into(
     out_cols = []
     for c in cols:
         tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+        # no when(dele, ...) arm: deleted rows never reach the select
+        # (the keep filter below removes them first)
         out_cols.append(
-            F.when(dele, F.lit(None))
-            .when(upd | ins, sc)
-            .otherwise(tc)
-            .alias(c)
+            F.when(upd | ins, sc).otherwise(tc).alias(c)
         )
     keep = ~dele & (t_present | ins)
     return joined.filter(keep).select(*out_cols)

@@ -81,9 +81,21 @@ def scd2_initial_load(
     Column order is canonical (attributes, then SCD metadata) and identical
     to ``scd2_merge`` output, so repeated merges are stable frames.
     """
+    from pyspark.sql.window import Window as _W
+
     attr_cols = list(source.columns)
+    # content-hash tiebreak, like scd2_merge: the surviving row per key
+    # is a function of the data, not of partition order
+    _w = _W.partitionBy(*business_keys).orderBy(
+        F.md5(F.to_json(F.struct(*source.columns))).desc()
+    )
+    one_per_key = (
+        source.withColumn("_rn", F.row_number().over(_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return add_scd2_metadata(
-        source.dropDuplicates(list(business_keys)),
+        one_per_key,
         business_keys,
         tracked_cols,
         effective_date,
@@ -114,8 +126,24 @@ def scd2_merge(
     keys = list(business_keys)
     attr_cols = [c for c in target.columns if c not in SCD2_META_COLS]
 
+    # deterministic one-row-per-key reduction: dropDuplicates keeps an
+    # arbitrary partition-order-dependent survivor; ordering by a content
+    # hash makes the winner a function of the DATA (rows identical in
+    # every column are interchangeable), preserving run-to-run and
+    # replay determinism. Streams with a real event-time ordering should
+    # pre-reduce via streaming.scd2.latest_per_key instead.
+    from pyspark.sql.window import Window as _W
+
+    _w = _W.partitionBy(*keys).orderBy(
+        F.md5(F.to_json(F.struct(*source.columns))).desc()
+    )
+    one_per_key = (
+        source.withColumn("_rn", F.row_number().over(_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     src = add_scd2_metadata(
-        source.dropDuplicates(keys), keys, tracked_cols, effective_date,
+        one_per_key, keys, tracked_cols, effective_date,
         key_extra=key_extra,
     ).select(*attr_cols, *SCD2_META_COLS)
 
@@ -171,7 +199,9 @@ def scd2_history(dim: DataFrame, business_key_values: dict[str, object]) -> Data
     """Full change history for one business key (``get_change_history`` analog)."""
     cond = None
     for k, v in business_key_values.items():
-        c = F.col(k) == F.lit(v)
+        # eqNullSafe: NULL business keys are first-class here (tracked by
+        # the merge via eqNullSafe), so their history must be retrievable
+        c = F.col(k).eqNullSafe(F.lit(v))
         cond = c if cond is None else (cond & c)
     return dim.filter(cond).orderBy("effective_date")
 
@@ -183,8 +213,14 @@ def scd2_versioned_apply(
     tracked_cols: Sequence[str],
     effective_date: str,
     committed_at: str = "1970-01-01T00:00:00Z",
+    key_extra: str | None = None,
 ) -> int:
     """Apply one SCD2 merge against a ``sources.versioned.VersionedTable``.
+
+    ``key_extra``: per-batch surrogate-key token (see
+    ``add_scd2_metadata``) — REQUIRED when merging more than one batch
+    under the same ``effective_date``, or the new and closed versions of
+    a key collide on ``dim_key``.
 
     The cleanest writer shape: the merge reads the current snapshot's
     files and the commit stages brand-new files, so there is no
@@ -208,6 +244,7 @@ def scd2_versioned_apply(
             business_keys,
             tracked_cols,
             effective_date,
+            key_extra=key_extra,
         )
     return table.write(out, mode="overwrite", committed_at=committed_at)
 

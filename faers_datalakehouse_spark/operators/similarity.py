@@ -38,6 +38,17 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _cosine(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
+    """Quantized cosine rounded to 6 dp — THE oracle-parity formula (the
+    SQL twins restate it verbatim); one definition so quantization or
+    rounding changes cannot drift between the five similarity kernels."""
+    return F.round(
+        dot.cast("double")
+        / (F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double"))),
+        6,
+    )
+
+
 def with_quantized_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     q = _quantized(F.col(emb_col))
     return df.withColumn("q_emb", q).withColumn("q_norm2", _dot(F.col("q_emb"), F.col("q_emb")))
@@ -64,11 +75,7 @@ def topk_neighbors_bruteforce(
         F.col("q_norm2").alias("qq_norm2"),
     )
     dot = _dot(F.col("qq_emb"), F.col("c_emb"))
-    cosine = F.round(
-        dot.cast("double")
-        / (F.sqrt(F.col("qq_norm2").cast("double")) * F.sqrt(F.col("c_norm2").cast("double"))),
-        6,
-    )
+    cosine = _cosine(dot, F.col("qq_norm2"), F.col("c_norm2"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
@@ -126,14 +133,7 @@ def cosine_neardup_pairs(
     ).select(F.col(id_col).alias("id"), "q_emb", "q_norm2")
     a, b = e.alias("a"), e.alias("b")
     dot = _dot(F.col("a.q_emb"), F.col("b.q_emb"))
-    cosine = F.round(
-        dot.cast("double")
-        / (
-            F.sqrt(F.col("a.q_norm2").cast("double"))
-            * F.sqrt(F.col("b.q_norm2").cast("double"))
-        ),
-        6,
-    )
+    cosine = _cosine(dot, F.col("a.q_norm2"), F.col("b.q_norm2"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
@@ -227,14 +227,7 @@ def lsh_bucketed_neighbors(
         F.col("q_norm2").alias("qq_norm2"),
     )
     dot = _dot(F.col("qq_emb"), F.col("c_emb"))
-    cosine = F.round(
-        dot.cast("double")
-        / (
-            F.sqrt(F.col("qq_norm2").cast("double"))
-            * F.sqrt(F.col("c_norm2").cast("double"))
-        ),
-        6,
-    )
+    cosine = _cosine(dot, F.col("qq_norm2"), F.col("c_norm2"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
@@ -329,14 +322,7 @@ def ivf_topk_neighbors(
         F.col("q_norm2").alias("qq_norm2"),
     )
     dot = _dot(F.col("qq_emb"), F.col("c_emb"))
-    cosine = F.round(
-        dot.cast("double")
-        / (
-            F.sqrt(F.col("qq_norm2").cast("double"))
-            * F.sqrt(F.col("c_norm2").cast("double"))
-        ),
-        6,
-    )
+    cosine = _cosine(dot, F.col("qq_norm2"), F.col("c_norm2"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
@@ -397,7 +383,14 @@ ORDER BY query_id, rank
 
 def _int_band_bucket(emb_q: Column, band: int, n_planes: int, dim: int) -> Column:
     """Bucket id for one LSH band: n_planes sign bits of exact integer
-    projections of the quantized embedding onto fixed integer hyperplanes."""
+    projections of the quantized embedding onto fixed integer hyperplanes.
+
+    Guards embedding length == dim inside the expression: zip_with pads a
+    length mismatch with NULLs, NULLing every projection, and the sign
+    test would then put EVERY vector in bucket 0 — silently degrading the
+    blocked join to a full cross product (and diverging from the DuckDB
+    oracle, whose list_sum skips NULLs). assert_true fails the job
+    instead."""
     bits = []
     for i in range(n_planes):
         p = band * n_planes + i
@@ -407,7 +400,11 @@ def _int_band_bucket(emb_q: Column, band: int, n_planes: int, dim: int) -> Colum
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out
+    guard = F.assert_true(
+        F.size(emb_q) == dim,
+        F.lit(f"embedding length must equal dim={dim} for LSH planes"),
+    )
+    return F.when(guard.isNull(), out)
 
 
 def lsh_bucketed_neardup(
@@ -471,14 +468,7 @@ def lsh_bucketed_neardup(
         banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     dot = _dot(F.col("a.q_emb"), F.col("b.q_emb"))
-    cosine = F.round(
-        dot.cast("double")
-        / (
-            F.sqrt(F.col("a.q_norm2").cast("double"))
-            * F.sqrt(F.col("b.q_norm2").cast("double"))
-        ),
-        6,
-    )
+    cosine = _cosine(dot, F.col("a.q_norm2"), F.col("b.q_norm2"))
     return (
         a.join(
             b,
