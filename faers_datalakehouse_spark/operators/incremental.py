@@ -47,6 +47,7 @@ def incremental_dedup_decisions(
     threshold: float = 0.5,
     seed: int = 42,
     portable_hash: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-new-doc dedup decision against the existing corpus:
     ``(doc_id, dup_exact, dup_near, keep)`` ordered by doc_id.
@@ -55,12 +56,26 @@ def incremental_dedup_decisions(
     exact Jaccard ≥ ``threshold`` with at least one existing doc sharing a
     MinHash band bucket (exact matches trivially qualify). ``keep`` =
     neither.
+
+    ``normalize``: hash ``_norm_text`` of the text instead of the raw
+    bytes — pass True wherever the exact layer must agree with
+    ``dedup_exact``'s normalized hashing (e.g. the streaming curation
+    sink, where the within-batch and cross-corpus exact layers would
+    otherwise classify the same pair differently depending on which
+    micro-batch it arrived in). Default False preserves the
+    raw-byte semantics the DuckDB oracle twin reproduces.
     """
+    from .dedup import _norm_text
+
+    def _content(col):
+        return _norm_text(col) if normalize else col
+
     new_hashed = new.select(
-        F.col(id_col).alias("doc_id"), _md5_hash64(F.col(text_col)).alias("chash")
+        F.col(id_col).alias("doc_id"),
+        _md5_hash64(_content(F.col(text_col))).alias("chash"),
     )
     old_hashes = existing.select(
-        _md5_hash64(F.col(text_col)).alias("chash")
+        _md5_hash64(_content(F.col(text_col))).alias("chash")
     ).distinct()
     exact = (
         new_hashed.join(old_hashes, "chash", "left_semi")

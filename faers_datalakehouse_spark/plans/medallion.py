@@ -99,7 +99,7 @@ def silver_demographics(spark: SparkSession, processed_ts: str) -> None:
         .withColumn("report_date", standardize_date("rept_dt"))
         .withColumn("fda_date", standardize_date("fda_dt"))
         .withColumn("age_years", F.round(age_in_years("age", "age_cod"), 2))
-        .withColumn("age_group", age_group(F.round(age_in_years("age", "age_cod"))))
+        .withColumn("age_group", age_group(age_in_years("age", "age_cod")))
         .withColumn("weight_kg", F.round(weight_in_kg("wt", "wt_cod"), 2))
         .withColumn("sex_desc", decode_ladder("sex", SEX_DECODE))
         .withColumn("reporter_region", country_region("reporter_country"))
@@ -245,7 +245,13 @@ def _pick_one_per_key(df: DataFrame, keys: list[str], order_cols: list[str]) -> 
     dimension flap run-to-run; rank by explicit attribute order instead."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    # final tiebreak: a content hash of the whole row — order_cols need
+    # not cover every tracked attribute for the pick to stay a pure
+    # function of the data (ties on the explicit ordering used to flap
+    # run-to-run and churn spurious SCD2 versions)
+    w = Window.partitionBy(*keys).orderBy(
+        *order_cols, F.md5(F.to_json(F.struct(*df.columns))).desc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -58,12 +58,27 @@ def curate_batch(
         F.col("keep_id").alias(id_col)
     )
     batch_unique = batch.join(survivors_ids, id_col)
+    # within-batch exact drops get audit rows too — the decisions log
+    # records WHY every doc vanished, including same-batch copies
+    in_batch_dropped = (
+        batch.join(survivors_ids, id_col, "left_anti")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(True).alias("dup_exact"),
+            F.lit(False).alias("dup_near"),
+            F.lit(False).alias("keep"),
+        )
+    )
 
     if spark.catalog.tableExists(corpus_table):
         corpus = spark.table(corpus_table)
         decisions = incremental_dedup_decisions(
             batch_unique, corpus, id_col=id_col, text_col=text_col,
             threshold=threshold,
+            # the exact layer must agree with dedup_exact's NORMALIZED
+            # hashing, or the same pair classifies differently depending
+            # on which micro-batch it arrived in
+            normalize=True,
         )
     else:
         decisions = batch_unique.select(
@@ -72,7 +87,13 @@ def curate_batch(
             F.lit(False).alias("dup_near"),
             F.lit(True).alias("keep"),
         )
-    decisions = decisions.withColumn("batch_id", F.lit(batch_id))
+    decisions = decisions.unionByName(in_batch_dropped).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    # one row per batch doc: persist so the corpus append below reuses
+    # the computed decisions instead of re-running the full-corpus
+    # banding a second time per trigger
+    decisions = decisions.persist()
     # Write decisions BEFORE mutating the corpus they were computed
     # against; the `kept` filter below reuses the SAME pre-mutation plan
     # (never a read-back from the decisions table — on an at-least-once
@@ -86,6 +107,7 @@ def curate_batch(
     batch_unique.join(kept, id_col).write.mode("append").saveAsTable(
         corpus_table
     )
+    decisions.unpersist()
 
 
 def streaming_curation_sink(

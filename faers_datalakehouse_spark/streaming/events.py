@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.analytics import cents
 from pyspark.sql import types as T
 
 DEFAULT_EVENTS_SCHEMA = T.StructType(
@@ -52,6 +54,14 @@ def stream_events_from_dir(spark: SparkSession, dir_path: str) -> DataFrame:
     landing directory (the normal deployment order: start the stream,
     then let producers land files) falls back to ``DEFAULT_EVENTS_SCHEMA``
     instead of failing at stream construction.
+
+    Fallback caveat: the default schema declares ``ts`` TIMESTAMP_NTZ; a
+    streaming source's schema is fixed at start, so producers that later
+    land the LONG-nanos physical encoding will fail the first micro-batch
+    (the reader cannot coerce INT64 -> NTZ). When producers use that
+    encoding, land one seed file before starting the stream — the footer
+    sniff then locks the right schema and ``normalize_event_ts`` handles
+    the rest.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -87,7 +97,7 @@ def windowed_event_aggregate(
         .groupBy(w.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+            F.sum(cents("value")).alias("value_c"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -108,7 +118,7 @@ def streaming_session_windows(
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+            F.sum(cents("value")).alias("value_c"),
         )
         .select(
             "user_id",
@@ -140,7 +150,7 @@ def streaming_sessionize(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+            F.sum(cents("value")).alias("value_c"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "value_c")
     )
@@ -200,8 +210,39 @@ def streaming_funnel_sink(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        batch.write.mode("append").saveAsTable(landing_table)
-        result = funnel_over(spark.table(landing_table), steps)
+        # replay-idempotent landing: foreachBatch is at-least-once, and a
+        # plain append would duplicate the batch on restart-after-partial-
+        # failure; partitioning by batch id + dynamic partition overwrite
+        # makes a replay rewrite ITS OWN partition, byte-equivalent
+        stamped = batch.withColumn("_batch_id", F.lit(batch_id))
+        if not spark.catalog.tableExists(landing_table):
+            (
+                stamped.write.partitionBy("_batch_id")
+                .saveAsTable(landing_table)
+            )
+        else:
+            # insertInto (NOT saveAsTable: overwrite there replaces the
+            # whole table) honors dynamic partition overwrite, so a
+            # replay rewrites only its own _batch_id partition;
+            # position-based, so project into the table's column order
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                cols = spark.table(landing_table).columns
+                stamped.select(*cols).write.mode("overwrite").insertInto(
+                    landing_table
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        result = funnel_over(
+            spark.table(landing_table).drop("_batch_id"), steps
+        )
         # tiny frame (len(steps) rows): materialize via collect, then
         # overwrite — avoids read-overwrite staging for a 4-row table
         rows = result.collect()

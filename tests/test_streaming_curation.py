@@ -63,7 +63,9 @@ def test_streaming_curation_admits_only_novel_docs(spark, tmp_path):
     assert d[10]["dup_exact"] and not d[10]["keep"]
     assert d[11]["dup_near"] and not d[11]["keep"]
     assert d[12]["keep"]
-    assert 3 not in d  # in-batch exact dup never reaches the decisions probe
+    # in-batch exact dup gets an audit row too (dup_exact, dropped) —
+    # the decisions log records WHY every doc vanished
+    assert d[3]["dup_exact"] and not d[3]["keep"]
 
 
 def test_curate_batch_equals_sequential_batches(spark, tmp_path):
