@@ -31,11 +31,20 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def ws_trim(col: Column | str) -> Column:
+    """Whitespace trim covering tabs/newlines: ``F.trim`` strips ASCII
+    spaces ONLY, so trim-then-split-on-\\s+ produced phantom empty
+    tokens for text ending in '\\n' (i.e. nearly every real document) —
+    the DuckDB twins (`regexp_replace(x, '^\\s+|\\s+$', '', 'g')`)
+    mirror this exactly."""
+    return F.regexp_replace(_c(col), r"^\s+|\s+$", "")
+
+
 def token_count(col: Column | str, mode: str = "whitespace") -> Column:
     """Token count: ``whitespace`` split or a BPE-ish regex tokenizer."""
     c = _c(col)
     if mode == "whitespace":
-        t = F.trim(c)
+        t = ws_trim(c)
         return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
     if mode == "regex":
         return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
@@ -58,7 +67,11 @@ def language_id(col: Column | str, markers: dict[str, str] | None = None) -> Col
     )
     names = F.array(*[F.lit(lang) for lang in langs])
     pos = F.array_position(scores, F.array_max(scores)).cast("int")
-    return F.element_at(names, pos)
+    # NULL text -> NULL (all scores NULL made the fallthrough pick the
+    # LAST language — rows with missing text classified as 'fr')
+    return F.when(lowered.isNull(), F.lit(None).cast("string")).otherwise(
+        F.element_at(names, pos)
+    )
 
 
 def quality_score_cols(col: Column | str) -> dict[str, Column]:
@@ -205,8 +218,8 @@ def repetition_stats_cols(col: Column | str) -> dict[str, Column]:
             adj.cast("long").alias("r_adjacent_repeats"),
         )
 
-    empty = F.trim(c) == ""
-    stats = _let(F.split(F.trim(c), r"\s+"), build)
+    empty = ws_trim(c) == ""
+    stats = _let(F.split(ws_trim(c), r"\s+"), build)
     zero_l = F.lit(0).cast("long")
     zero_d = F.lit(0.0)
     return {
@@ -280,8 +293,4 @@ def chunk_tokens(
             ),
         )
 
-    # One-element-array let-binding: expressions referenced inside a
-    # higher-order lambda re-evaluate per element (see operators/dedup._let).
-    return F.element_at(
-        F.transform(F.array(F.split(F.trim(_c(col)), r"\s+")), build), 1
-    )
+    return _let(F.split(ws_trim(col), r"\s+"), build)

@@ -67,7 +67,7 @@ def age_group(age: Column | str) -> Column:
     """Pediatric (0-17) / Adult (18-64) / Elderly (65+) / Unknown."""
     c = F.col(age) if isinstance(age, str) else age
     return (
-        F.when(c.isNull(), F.lit("Unknown"))
+        F.when(c.isNull() | F.isnan(c.cast("double")), F.lit("Unknown"))
         .when(c < 18, F.lit("Pediatric (0-17)"))
         .when(c < 65, F.lit("Adult (18-64)"))
         .otherwise(F.lit("Elderly (65+)"))
@@ -88,12 +88,14 @@ def parse_dosage(col: Column | str) -> dict[str, Column]:
     fixtures (FIXTURES.md §A5).
     """
     c = F.col(col) if isinstance(col, str) else col
-    num = F.regexp_extract(c, r"(\d+\.?\d*)", 1)
+    # \d*\.?\d+ also matches '.5' — the old \d+\.?\d* skipped a
+    # leading decimal point and parsed '.5 mg' as dose 5.0 (a silent 10x)
+    num = F.regexp_extract(c, r"(\d*\.?\d+)", 1)
     return {
         "dose": F.when(num != "", num.cast("double")).otherwise(
             F.lit(None).cast("double")
         ),
-        "dose_unit": F.upper(F.regexp_extract(c, r"\d+\.?\d*\s+(\w+)", 1)),
+        "dose_unit": F.upper(F.regexp_extract(c, r"\d*\.?\d+\s+(\w+)", 1)),
         "dose_frequency": F.upper(F.trim(F.regexp_extract(c, r",\s*(.+)$", 1))),
     }
 
@@ -127,7 +129,9 @@ def bucketize(
     if len(labels) != len(boundaries) + 1:
         raise ValueError("need len(labels) == len(boundaries) + 1")
     c = F.col(col) if isinstance(col, str) else col
-    expr = F.when(c.isNull(), F.lit(null_label))
+    # NaN sorts greater than every double in Spark, so without the guard
+    # it landed in the TOP bucket instead of the null label
+    expr = F.when(c.isNull() | F.isnan(c.cast("double")), F.lit(null_label))
     for b, label in zip(boundaries, labels[:-1]):
         expr = expr.when(c < b, F.lit(label))
     return expr.otherwise(F.lit(labels[-1]))

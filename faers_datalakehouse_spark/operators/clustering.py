@@ -176,7 +176,10 @@ def connected_components_star(
         # -- small-star (over the large-star output; emitted edges are
         # already normalized a > b, so "small neighbors of u" is exactly
         # the b side of each edge) --
-        small = ls.distinct()
+        # persist: small feeds three branches of the ss plan (smins, the
+        # join, the union); without it the large-star groupBy+join chain
+        # recomputes per branch — up to 3x the dominant per-round shuffle
+        small = ls.distinct().persist()
         smins = small.groupBy("a").agg(F.min("b").alias("mn"))
         ss = (
             small.join(smins, "a")
@@ -188,6 +191,7 @@ def connected_components_star(
             .localCheckpoint()
         )
         new_n = ss.count()
+        small.unpersist()  # ss is checkpointed; the cache served its round
         stable = (
             new_n == cur_n
             and ss.join(cur, ["a", "b"], "left_anti").count() == 0

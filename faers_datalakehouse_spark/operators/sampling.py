@@ -46,7 +46,11 @@ def deterministic_split(
     total = sum(w for _, w in fractions)
     if total != 100:
         raise ValueError(f"fractions must sum to 100, got {total}")
-    bucket = _hash_bucket(F.col(id_col), 100)
+    # NULL ids hash as a sentinel instead of falling through every
+    # when-branch with split=NULL (rows silently in NO split)
+    bucket = _hash_bucket(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("\0NULL")), 100
+    )
     expr = None
     upper = 0
     for label, weight in fractions:

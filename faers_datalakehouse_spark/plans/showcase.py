@@ -219,8 +219,8 @@ def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                 ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
             AS INTEGER) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
             AS INTEGER) AS n_regex_tokens
@@ -239,8 +239,8 @@ TEXT_QUALITY_SQL = """
 WITH sig AS (
   SELECT doc_id,
          CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE)
+         CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS DOUBLE)
            AS toks,
          CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))
               AS DOUBLE) AS punct,
@@ -295,7 +295,8 @@ WITH scores AS (
   FROM documents
 )
 SELECT doc_id, labeled_lang,
-       CASE WHEN c_de >= greatest(c_en, c_es, c_fr) THEN 'de'
+       CASE WHEN c_de IS NULL THEN NULL
+            WHEN c_de >= greatest(c_en, c_es, c_fr) THEN 'de'
             WHEN c_en >= greatest(c_es, c_fr) THEN 'en'
             WHEN c_es >= c_fr THEN 'es'
             ELSE 'fr' END AS pred_lang
@@ -368,8 +369,8 @@ def mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_WEIGHTS_SQL = """
 WITH g AS (
   SELECT lang, count(*) AS n_docs,
-         sum(CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
+         sum(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+             ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS n_tokens
   FROM documents GROUP BY lang
 )
 SELECT lang,
@@ -409,8 +410,8 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REPETITION_FILTER_SQL = """
 WITH w AS (
-  SELECT doc_id, trim(text) AS t,
-         regexp_split_to_array(trim(text), '\\s+') AS words
+  SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t,
+         regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
   FROM documents
 ), s AS (
   SELECT doc_id, t, words, len(words) AS n,
@@ -642,8 +643,8 @@ WITH survivors AS (
 sig AS (
   SELECT d.doc_id, d.text,
          CAST(length(d.text) AS DOUBLE) AS n_chars,
-         CAST(CASE WHEN trim(d.text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS DOUBLE)
+         CAST(CASE WHEN regexp_replace(d.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(d.text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS DOUBLE)
            AS toks,
          CAST(length(regexp_replace(d.text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
               AS DOUBLE) AS punct,
@@ -818,7 +819,7 @@ def chunk_documents_oracle_sql(chunk_size: int, overlap: int) -> str:
     stride = chunk_size - overlap
     return f"""
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w
   FROM documents
 ),
 counts AS (

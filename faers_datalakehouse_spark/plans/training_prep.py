@@ -164,8 +164,8 @@ WITH t AS (
   SELECT doc_id,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
            % {n_shards} AS shard_id,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
               AS BIGINT) AS n_tokens
   FROM documents
 ),
@@ -191,10 +191,13 @@ def shard_manifest_query(
     ``(shard_id, n_docs, total_chars, min_doc_id, max_doc_id,
     content_fingerprint)``.
 
-    The fingerprint is the XOR-fold of each doc's md5-int64 text hash —
-    order-independent and overflow-free (a SUM of 60-bit hashes would
-    overflow int64 under ANSI mode at corpus scale), so a dataloader can
-    re-derive and byte-verify a shard regardless of row order.
+    The fingerprint is the XOR-fold of each doc's md5-int64 hash of
+    ``doc_id || ':' || text`` — order-independent and overflow-free (a
+    SUM of 60-bit hashes would overflow int64 under ANSI mode at corpus
+    scale), so a dataloader can re-derive and byte-verify a shard
+    regardless of row order. Binding the id into the hash matters: a
+    text-only fold verifies a shard whose ids and texts were MISPAIRED,
+    and any swap of two equal-text hashes XOR-cancels invisibly.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
@@ -202,7 +205,9 @@ def shard_manifest_query(
             _hash_bucket(F.col("doc_id"), n_shards).alias("shard_id"),
             "doc_id",
             F.length("text").cast("long").alias("n_chars"),
-            _md5_hash64(F.col("text")).alias("h"),
+            _md5_hash64(
+                F.concat_ws(":", F.col("doc_id"), F.col("text"))
+            ).alias("h"),
         )
         .groupBy("shard_id")
         .agg(
@@ -223,7 +228,8 @@ WITH t AS (
            % {n_shards} AS shard_id,
          doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
-         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+           AS h
   FROM documents
 )
 SELECT shard_id,
