@@ -54,6 +54,30 @@ def as_of_join(
     on = list(on)
     left_cols = left.columns
     matched_ts = f"{right_ts}{suffix}"
+    reserved = {"_t", "_side", "_rp"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"as_of_join reserves column names {sorted(reserved)}; rename "
+            "them on the inputs"
+        )
+    out_collide = {f"{c}{suffix}" for c in right_cols + [right_ts]} & set(
+        left.columns
+    )
+    if out_collide:
+        raise ValueError(
+            f"suffixed right columns {sorted(out_collide)} collide with "
+            "left columns; pick a different suffix"
+        )
+    if tolerance_seconds is not None and not isinstance(
+        left.schema[left_ts].dataType, T.TimestampType
+    ):
+        raise ValueError(
+            "tolerance_seconds requires timestamp event-time columns "
+            f"(got {left.schema[left_ts].dataType.simpleString()} for "
+            f"{left_ts!r}); the no-tolerance path supports any ordered type"
+        )
     rtypes = {f.name: f.dataType for f in right.schema.fields}
     payload_type = T.StructType(
         [T.StructField(f"{c}{suffix}", rtypes[c]) for c in right_cols]

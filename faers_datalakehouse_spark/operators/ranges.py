@@ -66,7 +66,12 @@ def range_join(
 
     l_binned = left.withColumn(bin_col, to_bin(F.col(point)))
     # Replicate each interval across the bins it overlaps (inclusive).
-    r_binned = right.withColumn(
+    # Malformed intervals (start > end) are filtered BEFORE the explode:
+    # F.sequence(a, b) with a > b generates a DESCENDING sequence, so one
+    # dirty row with swapped bounds would fan out into a huge bin array
+    # (or exceed Spark's array limit) only for the residual to discard
+    # every copy — the filter makes "match nothing" cost nothing.
+    r_binned = right.filter(F.col(start) <= F.col(end)).withColumn(
         bin_col,
         F.explode(F.sequence(to_bin(F.col(start)), to_bin(F.col(end)))),
     )

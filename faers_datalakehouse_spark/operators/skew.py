@@ -81,6 +81,12 @@ def salted_join(
             else large_uniquifier
         )
         salt = F.pmod(F.xxhash64(u), F.lit(n_salts)).cast("int")
+    clash = {"_salt"} & (set(large.columns) | set(small.columns))
+    if clash:
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename it on "
+            "the input (it would be silently clobbered and dropped)"
+        )
     l_salted = large.withColumn("_salt", salt)
     s_replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))

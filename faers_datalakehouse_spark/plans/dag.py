@@ -160,9 +160,25 @@ def dag_from_config(
         fn = registry[row["fn"]]
         args = dict(row.get("args", {}))
         sig = inspect.signature(fn)
+        has_var_kw = any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values()
+        )
         accepts = {
-            k: v for k, v in bound_kwargs.items() if k in sig.parameters
+            k: v
+            for k, v in bound_kwargs.items()
+            # **kwargs functions accept everything — `k in sig.parameters`
+            # alone silently withheld the config-wide clock from them
+            if k in sig.parameters or has_var_kw
         }
+        dup = set(args) & set(accepts)
+        if dup:
+            # fail at BUILD time with a config-shaped message, not a
+            # mid-pipeline TypeError("multiple values for ...")
+            raise ValueError(
+                f"task {row['task']!r}: args {sorted(dup)} collide with "
+                "dag-level bound kwargs; remove one side"
+            )
 
         def call(spark: SparkSession, _fn=fn, _a=args, _b=accepts) -> Any:
             return _fn(spark, **_a, **_b)

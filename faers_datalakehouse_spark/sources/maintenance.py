@@ -85,6 +85,8 @@ def compact_table(
     files_before = 0
     for r in per_part:
         files_before += r["n_files"]
+        if not r["bytes"]:  # zero-file group: SUM() is NULL, nothing to do
+            continue
         n_target = max(1, math.ceil(r["bytes"] / target_file_bytes))
         if r["n_files"] > n_target:
             fragmented.append((r, n_target))

@@ -45,10 +45,13 @@ def z_value(x: Column, y: Column, bits: int = 16) -> Column:
 
 def z_value_sql(x: str, y: str, bits: int = 16) -> str:
     """DuckDB twin of :func:`z_value` as a SQL expression string."""
+    # BIGINT from the first shift: DuckDB evaluates bare ints as INT32,
+    # so at bits=16 the `<< 31` term overflows ("Out of Range Error") and
+    # larger sums overflow INT32 — the Spark twin casts to long up front
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((CAST({x} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({y} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
@@ -57,8 +60,15 @@ def bucketize(col: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
     bounds (pass min/max as literals or 1-row-broadcast columns)."""
     n = (1 << bits) - 1
     span = F.greatest(hi - lo, F.lit(1))
-    return F.least(
-        F.floor((col - lo) * n / span).cast("long"), F.lit(n).cast("long")
+    # clamp BOTH ends: col < lo (stale/sampled bounds) yielded a negative
+    # bucket whose sign-extended shifts produced a garbage Morton value —
+    # the row landed in an arbitrary file and widened per-file spans
+    return F.greatest(
+        F.least(
+            F.floor((col - lo) * n / span).cast("long"),
+            F.lit(n).cast("long"),
+        ),
+        F.lit(0).cast("long"),
     )
 
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from faers_datalakehouse_spark.operators.asof import as_of_join
 
 
@@ -76,3 +78,24 @@ def test_asof_tolerance(spark):
     ).collect()[0]
     assert hit["v_asof"] == 7.0
     assert miss["v_asof"] is None and miss["ts_asof"] is None
+
+
+def test_asof_rejects_reserved_and_colliding_names(spark):
+
+    left = spark.createDataFrame([(1, 1, 2)], "k long, ts long, _t long")
+    right = spark.createDataFrame([(1, 1, 5)], "k long, ts long, v long")
+    with pytest.raises(ValueError, match="reserves column names"):
+        as_of_join(left, right, ["k"], "ts", "ts", ["v"])
+    left2 = spark.createDataFrame([(1, 1, 9)], "k long, ts long, v_asof long")
+    with pytest.raises(ValueError, match="collide with"):
+        as_of_join(left2, right, ["k"], "ts", "ts", ["v"])
+
+
+def test_asof_tolerance_requires_timestamps(spark):
+
+    left = spark.createDataFrame([(1, 10)], "k long, seq long")
+    right = spark.createDataFrame([(1, 9, 5)], "k long, seq long, v long")
+    with pytest.raises(ValueError, match="tolerance_seconds requires"):
+        as_of_join(
+            left, right, ["k"], "seq", "seq", ["v"], tolerance_seconds=10
+        )

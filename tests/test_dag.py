@@ -144,3 +144,32 @@ def test_faers_pipeline_config_shape():
     fact_opt = next(r for r in cfg_opt if r["task"] == "fact_adverse_events")
     assert not any(d.startswith("optimize_") for d in fact_opt["depends_on"])
     dag_from_config(cfg_opt, reg, ingest_ts="t", processed_ts="t", effective_date="d")
+
+
+def test_dag_forwards_bound_kwargs_to_var_keyword(spark):
+    from faers_datalakehouse_spark.plans.dag import dag_from_config
+
+    seen = {}
+
+    def job(spark, **kwargs):
+        seen.update(kwargs)
+
+    dag = dag_from_config(
+        [{"task": "t1", "fn": "job"}], {"job": job}, ingest_ts="2026-01-01"
+    )
+    dag.run(spark)
+    assert seen.get("ingest_ts") == "2026-01-01"
+
+
+def test_dag_rejects_args_bound_collision(spark):
+    from faers_datalakehouse_spark.plans.dag import dag_from_config
+
+    def job(spark, ingest_ts=None):
+        pass
+
+    with pytest.raises(ValueError, match="collide with"):
+        dag_from_config(
+            [{"task": "t1", "fn": "job", "args": {"ingest_ts": "x"}}],
+            {"job": job},
+            ingest_ts="y",
+        )

@@ -574,3 +574,27 @@ def test_pagerank_ranks_authority_above_leaves(spark):
     # deterministic integers
     again = {r["node"]: r["rank_micro"] for r in pagerank_lite(edges, iters=6).collect()}
     assert out == again
+
+
+def test_range_join_malformed_intervals_match_nothing(spark):
+    """start > end rows are filtered before the bin explode — they used
+    to fan out into huge descending bin arrays."""
+    from faers_datalakehouse_spark.operators.ranges import range_join
+
+    points = spark.createDataFrame([(1, 100.0)], "k long, p double")
+    ivals = spark.createDataFrame(
+        [(1, 90.0, 110.0, "good"), (1, 1e9, 0.0, "swapped")],
+        "k long, s double, e double, tag string",
+    )
+    out = range_join(points, ivals, on=["k"], point="p", start="s", end="e",
+                     bin_width=10)
+    assert [r["tag"] for r in out.collect()] == ["good"]
+
+
+def test_salted_join_rejects_reserved_salt_column(spark):
+    from faers_datalakehouse_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 0)], "k long, _salt int")
+    small = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(big, small, on=["k"])

@@ -63,3 +63,30 @@ def test_zorder_layout_narrows_minmax_on_both_columns(spark, tmp_path):
         # round-robin files span ~the full domain; z-ordered files must
         # cover a fraction of it on BOTH axes simultaneously
         assert z_avg < plain_avg * 0.6, (col, z_avg, plain_avg)
+
+
+def test_z_value_sql_bits16_runs_in_duckdb():
+    """Regression: bare INT32 shifts overflowed DuckDB at bits=16
+    (`1 << 31` -> Out of Range); operands are now BIGINT from the start."""
+    import duckdb
+
+    from faers_datalakehouse_spark.sources.zorder import z_value_sql
+
+    expr = z_value_sql("x", "y", bits=16)
+    [(v,)] = duckdb.sql(
+        f"SELECT {expr} FROM (SELECT 40000 AS x, 50000 AS y)"
+    ).fetchall()
+    assert v > 0
+
+
+def test_bucketize_clamps_below_range(spark):
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.sources.zorder import bucketize
+
+    df = spark.createDataFrame([(-50.0,), (5.0,), (500.0,)], "v double")
+    out = df.select(
+        bucketize(F.col("v"), F.lit(0.0), F.lit(100.0), bits=4).alias("b")
+    ).collect()
+    bs = [r["b"] for r in out]
+    assert all(0 <= b <= 15 for b in bs)  # below-range used to go negative
