@@ -74,8 +74,13 @@ def quality_scores(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), 0)
         ).alias("term"),
     ).select("doc_id", _hash_bucket(F.col("term"), n_buckets).alias("bucket"))
+    # LEFT join + zero-weight default: an inner join silently DROPPED
+    # tokens whose bucket is absent from the weights table (sparse trained
+    # tables), corrupting n_tokens and logit with no error — unknown
+    # tokens must count as evidence-seen with weight 0
     return (
-        feats.join(F.broadcast(weights), "bucket")
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .withColumn("weight", F.coalesce("weight", F.lit(0)))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -108,9 +113,9 @@ feats AS (
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(weight) AS BIGINT) AS logit,
-       sum(weight) > 0 AS keep
-FROM feats JOIN wts USING (bucket)
+       CAST(sum(coalesce(weight, 0)) AS BIGINT) AS logit,
+       sum(coalesce(weight, 0)) > 0 AS keep
+FROM feats LEFT JOIN wts USING (bucket)
 GROUP BY doc_id
 ORDER BY doc_id
 """

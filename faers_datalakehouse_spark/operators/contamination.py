@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _let
+
 
 def _distinct_ngrams(col: Column, n: int) -> Column:
     """Distinct whitespace-token ``n``-grams of a lowercased text column.
@@ -47,10 +49,9 @@ def _distinct_ngrams(col: Column, n: int) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    # One-element-array let binding (operators/dedup._let): evaluate the
-    # split once, not once per sequence element inside the lambda.
+    # let binding: evaluate the split once, not per sequence element
     words = F.split(F.trim(F.lower(col)), r"\s+")
-    return F.element_at(F.transform(F.array(words), build), 1)
+    return _let(words, build)
 
 
 def contamination_check(

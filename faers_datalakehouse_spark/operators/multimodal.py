@@ -76,15 +76,21 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     ``codec="fake"`` parses the deterministic container; anything else is
     the single integration point for a real decoder.
     """
-    out_schema = "media_id long, width int, height int, n_frames int, ok boolean"
+    # n_frames is LONG: the header stores an unsigned 32-bit count, and a
+    # value over 2^31-1 must quarantine per-row, not abort the job at
+    # Arrow int32 conversion
+    out_schema = "media_id long, width int, height int, n_frames long, ok boolean"
+
+    if codec != "fake":
+        # fail at CALL time on the driver — inside the batch loop the
+        # error only surfaced as remote task failures, and an empty
+        # input silently "succeeded" with an unsupported codec
+        raise NotImplementedError(
+            f"codec {codec!r}: media libraries not available in this build"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if codec != "fake":
-                # Real decode (PIL / soundfile / ffmpeg) plugs in here.
-                raise NotImplementedError(
-                    f"codec {codec!r}: media libraries not available in this build"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
@@ -100,23 +106,29 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """One output row per sampled frame index (video frame-sampling shape)."""
-    out_schema = "media_id long, frame_index int, frame_key string"
+    """One output row per sampled frame index (video frame-sampling
+    shape). An undecodable payload emits ONE quarantine row
+    (``ok=false``, null frame fields) — matching ``decode_media``'s
+    contract, so corrupt media never silently vanishes from counts; a
+    valid zero-frame video emits nothing (``ok`` distinguishes them)."""
+    out_schema = (
+        "media_id long, frame_index long, frame_key string, ok boolean"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            mids, idxs, keys = [], [], []
+            rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     _, _, n = _decode_header(payload)
                 except ValueError:
+                    rows.append((mid, None, None, False))
                     continue
                 for i in range(0, n, every_n):
-                    mids.append(mid)
-                    idxs.append(i)
-                    keys.append(f"{mid}:{i}")
+                    rows.append((mid, i, f"{mid}:{i}", True))
             yield pd.DataFrame(
-                {"media_id": mids, "frame_index": idxs, "frame_key": keys}
+                rows,
+                columns=["media_id", "frame_index", "frame_key", "ok"],
             )
 
     return df.select("media_id", "payload").mapInPandas(batches, schema=out_schema)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .kmeans import assign_expr, kmeans_ctes, train_centroids
 from .parallelism import ensure_compute_parallelism
-from .similarity import _dot, with_quantized_norm
+from .similarity import _cosine, _dot, with_quantized_norm
 
 
 def semantic_neardup_pairs(
@@ -68,13 +68,10 @@ def semantic_neardup_pairs(
         assign_expr(cents, F.col("q_emb")).alias("cluster_id"),
     )
     a, b = e.alias("a"), e.alias("b")
-    cosine = F.round(
-        _dot(F.col("a.q_emb"), F.col("b.q_emb")).cast("double")
-        / (
-            F.sqrt(F.col("a.q_norm2").cast("double"))
-            * F.sqrt(F.col("b.q_norm2").cast("double"))
-        ),
-        6,
+    cosine = _cosine(
+        _dot(F.col("a.q_emb"), F.col("b.q_emb")),
+        F.col("a.q_norm2"),
+        F.col("b.q_norm2"),
     )
     return (
         a.join(

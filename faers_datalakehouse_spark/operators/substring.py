@@ -36,14 +36,26 @@ from .parallelism import ensure_compute_parallelism
 TERM_RE = "[a-z0-9]+"
 
 
-def _window_hashes(text_col: Column, k: int) -> Column:
+def _window_hashes(text_col: Column, k: int, min_toks: int | None = None) -> Column:
     """Array of md5-int64 hashes of each k-token window (space-joined —
-    tokens match ``[a-z0-9]+`` so the separator can't collide)."""
+    tokens match ``[a-z0-9]+`` so the separator can't collide).
+
+    Short docs yield an EMPTY array via the in-expression guard — a
+    separate ``filter(size(tokens) >= k)`` would re-tokenize the full
+    text a second time (PushPredicateThroughProject inlines the filter
+    into the scan, and FilterExec does no subexpression elimination);
+    guarding inside one projection tokenizes once. ``min_toks`` raises
+    the emptiness threshold (winnowing needs ``k + w - 1``). The guard
+    also prevents the n < k descending-sequence trap (Spark's sequence
+    reverses when start > stop)."""
     toks = F.regexp_extract_all(F.lower(text_col), F.lit(TERM_RE), 0)
     n = F.size(toks)
-    return F.transform(
+    arr = F.transform(
         F.sequence(F.lit(1), n - k + 1),
         lambda i: _md5_hash64(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    return F.when(n >= (min_toks or k), arr).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 
@@ -64,14 +76,10 @@ def duplicated_window_spans(
     ranges overlap or adjoin).
     """
     docs = ensure_compute_parallelism(docs)
-    # Docs shorter than k tokens are filtered BEFORE building the window
-    # array: F.sequence(1, n-k+1) with n < k would produce a *descending*
-    # sequence, not an empty one (Spark reverses when start > stop).
-    toks_ok = docs.filter(
-        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), 0))
-        >= k
-    )
-    windows = toks_ok.select(
+    # short docs yield an empty array inside _window_hashes (one
+    # tokenization pass); posexplode of an empty array emits no rows,
+    # so no separate — and re-tokenizing — length filter is needed
+    windows = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_window_hashes(F.col(text_col), k)).alias("pos", "whash"),
     )
@@ -178,20 +186,18 @@ def winnowing_fingerprints(
     DuckDB twin (``winnowing_oracle_sql``).
     """
     docs = ensure_compute_parallelism(docs)
-    toks_ok = docs.filter(
-        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), 0))
-        >= k + w - 1
-    )
-    hashes = toks_ok.select(
+    arr = _window_hashes(F.col(text_col), k, min_toks=k + w - 1)
+    # n_start derived per-row from the SAME array (size - w + 1): the
+    # previous groupBy(max(pos)) + join-back added a corpus shuffle and a
+    # second full tokenize+hash pass — the shape this module's own
+    # duplicated_window_spans comment rejects as ~1.9x slower
+    hashes = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(_window_hashes(F.col(text_col), k)).alias("pos", "whash"),
-    )
-    # each hash position p participates in window starts [p-w+1, p] ∩ [0, n-w]
-    n_starts = hashes.groupBy("doc_id").agg(
-        (F.max("pos") - F.lit(w) + 2).alias("n_start")  # max valid start + 1
+        (F.size(arr) - F.lit(w) + 1).alias("n_start"),
+        F.posexplode(arr).alias("pos", "whash"),
     )
     wins = (
-        hashes.join(n_starts, "doc_id")
+        hashes
         .select(
             "doc_id",
             "pos",

@@ -524,7 +524,7 @@ def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     decoded = decode_media(media)
-    frames = sample_frames(media, every_n=10)
+    frames = sample_frames(media, every_n=10).filter(F.col("ok"))
     per_media_frames = frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_sampled_frames")
     )

@@ -44,7 +44,12 @@ def read_csv_enforced(
         spark.read.option("sep", sep)
         .option("header", header)
         .option("mode", mode)
-        .option("emptyValue", None)
+        # FAERS convention: an empty field — quoted or not — means
+        # "not reported" and must surface as NULL, not ''. nullValue=""
+        # states that explicitly (the previous emptyValue=None relied on
+        # undocumented None-option passthrough, which a Spark Connect
+        # client cannot even serialize)
+        .option("nullValue", "")
         .schema(schema)
     )
     if corrupt_record_col:

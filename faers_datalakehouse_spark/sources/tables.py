@@ -60,9 +60,24 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` normalized to a microsecond TIMESTAMP."""
     # Runtime-settable conf: the caller's session may not have been built by
-    # our get_spark(), so make the read self-sufficient under any session.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # our get_spark(), so make the read self-sufficient under any session —
+    # but RESTORE the prior value afterwards (the conf is captured by this
+    # relation at analysis; leaving it set would silently change how every
+    # OTHER parquet read in the session surfaces TIMESTAMP(NANOS) columns)
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset on vanilla sessions
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return normalize_event_ts(df)
 
 
 def load_tables(

@@ -44,10 +44,13 @@ def test_sample_frames(media):
     frames = sample_frames(media, every_n=25).collect()
     by_media = {}
     for r in frames:
-        by_media.setdefault(r["media_id"], []).append(r["frame_index"])
-    assert by_media[1] == [0, 25, 50, 75]
-    assert by_media[2] == [0, 25]
-    assert 3 not in by_media  # undecodable payload skipped
+        by_media.setdefault(r["media_id"], []).append(
+            (r["frame_index"], r["ok"])
+        )
+    assert by_media[1] == [(0, True), (25, True), (50, True), (75, True)]
+    assert by_media[2] == [(0, True), (25, True)]
+    # undecodable payload emits ONE quarantine row (never silently absent)
+    assert by_media[3] == [(None, False)]
 
 
 def test_extract_features_shape(media):
