@@ -161,7 +161,12 @@ def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
 def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = train_bpe_merges(docs, n_merges=10)
-    return bpe_encode(docs, merges)
+    # driver contract: no array columns (the driver's pandas row
+    # canonicalizer can't hash list cells — round-5 failure). The token
+    # regex is [a-z0-9]+, so the space join is lossless.
+    return bpe_encode(docs, merges).withColumn(
+        "tokens", F.array_join("tokens", " ")
+    )
 
 
 def _zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,8 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
         ),
+        # flat=True: postings as a comma-joined string — the driver's
+        # canonicalizer can't hash array cells (round-5 failure)
         "inverted_index": _docs(
-            lambda df: inverted_index(df, max_df=INVIDX_MAX_DF)
+            lambda df: inverted_index(df, max_df=INVIDX_MAX_DF, flat=True)
         ),
         "dsir_weights": lambda spark, sf_dir: dsir_weights(
             spark.read.parquet(f"{sf_dir}/documents.parquet"),
@@ -564,7 +571,9 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": S.cms_counts_oracle(),
         "bloom_prefilter": S.BLOOM_PREFILTER_SQL,
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),
-        "inverted_index": inverted_index_oracle_sql(max_df=INVIDX_MAX_DF),
+        "inverted_index": inverted_index_oracle_sql(
+            max_df=INVIDX_MAX_DF, flat=True
+        ),
         "dsir_weights": dsir_oracle_sql("TRUE", "lang = 'en'", n_buckets=256),
         "dsir_select": dsir_select_oracle_sql(
             "TRUE", "lang = 'en'", n=100, n_buckets=256

@@ -62,7 +62,7 @@ def as_of_join(
             f"as_of_join reserves column names {sorted(reserved)}; rename "
             "them on the inputs"
         )
-    out_collide = {f"{c}{suffix}" for c in right_cols + [right_ts]} & set(
+    out_collide = {f"{c}{suffix}" for c in [*right_cols, right_ts]} & set(
         left.columns
     )
     if out_collide:

@@ -196,7 +196,10 @@ def bloom_semi_join(
     words = bloom_build(keys, "_k", m, k)
     filtered = bloom_apply(probe, F.col(probe_key), words, m, k)
     if not exact:
-        return filtered
+        # a true LEFT SEMI never matches a NULL key, but a NULL probe key
+        # hashes to a constant and can pass the bit test — filter it out
+        # so exact=False diverges ONLY by the ~fp_rate false positives
+        return filtered.filter(F.col(probe_key).isNotNull())
     # join against the "_k"-renamed frame: renaming back to build_key
     # would make the condition ambiguous when probe_key == build_key
     # (the common same-name case)

@@ -145,8 +145,23 @@ class IncrementalMatView:
                 "their bucket still rewrites under dynamic partition "
                 "overwrite) and filtered out at read()"
             )
-        sign = F.when(F.col("change_type") == "delete", F.lit(-1)).otherwise(
-            F.lit(1)
+        # fail loudly on unexpected change_type values (e.g. Delta CDF's
+        # update_preimage/update_postimage, or a typo) — mapping "not
+        # delete" to +1 would silently count them as inserts
+        sign = (
+            F.when(F.col("change_type") == "delete", F.lit(-1))
+            .when(F.col("change_type") == "insert", F.lit(1))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "refresh_changes: unsupported change_type '"
+                        ),
+                        F.col("change_type"),
+                        F.lit("' (expected insert/delete)"),
+                    )
+                ).cast("int")
+            )
         )
         signed = cdf.withColumn("_sign", sign)
         aggs = []

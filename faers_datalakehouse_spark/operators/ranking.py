@@ -58,9 +58,17 @@ def inverted_index(
     max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    flat: bool = False,
 ) -> DataFrame:
     """``(word, df, postings)`` with ``postings`` the sorted list of doc
-    ids containing the word. ``max_df`` drops stopword-class terms."""
+    ids containing the word. ``max_df`` drops stopword-class terms.
+
+    ``flat=True`` renders postings as a comma-joined string instead of
+    ``array<long>`` — the lossless serialization for consumers whose row
+    canonicalization can't hash list cells (the round-5 driver failure:
+    pandas ``sort_values`` raises ``unhashable type: 'list'``). Integer
+    doc ids render identically in every engine, so the string form stays
+    hash-exact against the DuckDB ``array_to_string`` twin."""
     toks = corpus_tokens(docs, id_col, text_col)
     idx = toks.groupBy("word").agg(
         F.countDistinct("id").alias("df"),
@@ -68,6 +76,8 @@ def inverted_index(
     )
     if max_df is not None:
         idx = idx.filter(F.col("df") <= max_df)
+    if flat:
+        idx = idx.withColumn("postings", F.concat_ws(",", "postings"))
     return idx.orderBy("word")
 
 
@@ -178,8 +188,13 @@ LIMIT {k}
 """
 
 
-def inverted_index_oracle_sql(max_df: int) -> str:
+def inverted_index_oracle_sql(max_df: int, flat: bool = False) -> str:
     """DuckDB twin of ``inverted_index`` (with stopword pruning)."""
+    postings = (
+        "array_to_string(list_sort(list(id)), ',')"
+        if flat
+        else "list_sort(list(id))"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id AS id,
@@ -190,7 +205,7 @@ WITH toks AS (
 toks2 AS (SELECT DISTINCT id, word FROM toks WHERE word <> '')
 SELECT word,
        count(*) AS df,
-       list_sort(list(id)) AS postings
+       {postings} AS postings
 FROM toks2
 GROUP BY word
 HAVING count(*) <= {max_df}

@@ -186,33 +186,44 @@ def winnowing_fingerprints(
     DuckDB twin (``winnowing_oracle_sql``).
     """
     docs = ensure_compute_parallelism(docs)
-    arr = _window_hashes(F.col(text_col), k, min_toks=k + w - 1)
-    # n_start derived per-row from the SAME array (size - w + 1): the
-    # previous groupBy(max(pos)) + join-back added a corpus shuffle and a
-    # second full tokenize+hash pass — the shape this module's own
-    # duplicated_window_spans comment rejects as ~1.9x slower
+    # The md5 window-hash array (an interpreted higher-order transform of
+    # slice+array_join+md5 per window) must be referenced EXACTLY ONCE —
+    # projections do no subexpression elimination, so a second reference
+    # (e.g. size(arr) in the same select) re-evaluates the whole array per
+    # row, doubling the dominant CPU cost at any scale. posexplode is the
+    # sole consumer; n_start is recovered AFTER the explode from the
+    # per-document window count (count = n_start + w - 1), which rides the
+    # same doc_id shuffle the rest of the pipeline needs anyway.
     hashes = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.size(arr) - F.lit(w) + 1).alias("n_start"),
-        F.posexplode(arr).alias("pos", "whash"),
+        F.posexplode(
+            _window_hashes(F.col(text_col), k, min_toks=k + w - 1)
+        ).alias("pos", "whash"),
+    ).withColumn(
+        "n_start",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")) - F.lit(w) + 1,
     )
-    wins = (
-        hashes
-        .select(
-            "doc_id",
-            "pos",
-            "whash",
-            F.explode(
-                F.sequence(
-                    F.greatest(F.col("pos") - F.lit(w) + 1, F.lit(0)),
-                    F.least(F.col("pos"), F.col("n_start") - 1),
-                )
-            ).alias("s"),
-        )
+    wins = hashes.select(
+        "doc_id",
+        "pos",
+        "whash",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - F.lit(w) + 1, F.lit(0)),
+                F.least(F.col("pos"), F.col("n_start") - 1),
+            )
+        ).alias("s"),
     )
-    minw = wins.groupBy("doc_id", "s").agg(F.min("whash").alias("mh"))
+    # Per-window minimum via min-over-window + filter — the same one-pass
+    # count-over-window shape duplicated_window_spans uses — instead of a
+    # groupBy + join-back, which consumes `wins` twice and re-runs the
+    # whole tokenize+hash+explode chain for the probe side. The (doc_id, s)
+    # window needs no extra exchange: hash-partitioning on doc_id already
+    # satisfies clustering on (doc_id, s), so only a re-sort remains.
     sel = (
-        wins.join(minw, ["doc_id", "s"])
+        wins.withColumn(
+            "mh", F.min("whash").over(Window.partitionBy("doc_id", "s"))
+        )
         .filter(F.col("whash") == F.col("mh"))
         .groupBy("doc_id", "s", "mh")
         .agg(F.max("pos").alias("p"))  # rightmost minimal hash per window

@@ -1220,11 +1220,19 @@ def bloom_prefilter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-false-positive properties are pinned in ``tests/test_bloom.py``.
     """
     from ..operators.bloom import bloom_semi_join
+    from ..operators.parallelism import ensure_compute_parallelism
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        F.col("o_orderpriority") == "1-URGENT"
+    # the probe filter is k xxhash64 evaluations per row inside the scan
+    # stage; a single-file lineitem layout serializes that (and the
+    # build-side position explode) onto one core — BENCH_r05 measured
+    # cores_used ≈ 1.1 over ~5 s here. The guard is a no-op on any
+    # well-laid-out (multi-file) table.
+    li = ensure_compute_parallelism(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     )
+    urgent = ensure_compute_parallelism(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ).filter(F.col("o_orderpriority") == "1-URGENT")
     kept = bloom_semi_join(
         li, urgent, "l_orderkey", "o_orderkey", fp_rate=0.01, exact=True
     )

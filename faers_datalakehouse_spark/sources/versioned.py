@@ -785,10 +785,29 @@ class VersionedTable:
                 "files_kept": 0,
                 "files_added": len(new_files),
             }
+        # NULL-safe key matching: a plain equi-join never matches NULL
+        # keys, so replaying a delete/update of a NULL-keyed row would
+        # silently leave the stale row in place (operators.scd2 treats
+        # NULL business keys as first-class the same way)
+        from functools import reduce as _reduce
+
+        kalias = keys.select(
+            *[F.col(c).alias(f"_mk_{c}") for c in key_cols]
+        )
+
+        def _key_cond(left: DataFrame) -> F.Column:
+            return _reduce(
+                lambda a, b: a & b,
+                [
+                    left[c].eqNullSafe(kalias[f"_mk_{c}"])
+                    for c in key_cols
+                ],
+            )
+
         tagged = self.read(spark).withColumn("_file", F.input_file_name())
         matched_files = {
             r["_file"]
-            for r in tagged.join(keys, on=key_cols, how="left_semi")
+            for r in tagged.join(kalias, on=_key_cond(tagged), how="left_semi")
             .select("_file")
             .distinct()
             .collect()  # bounded: file count, not row count
@@ -802,7 +821,9 @@ class VersionedTable:
             affected = spark.read.parquet(
                 *[str(self.root / f["path"]) for f in hit]
             )
-            survivors = affected.join(keys, on=key_cols, how="left_anti")
+            survivors = affected.join(
+                kalias, on=_key_cond(affected), how="left_anti"
+            )
             rewritten = self._stage_files(survivors)
         new_files = (
             self._stage_files(source) if when_matched == "replace" else []

@@ -84,3 +84,17 @@ def test_exact_semi_join_same_key_name(spark):
     assert sorted(r["key"] for r in got.collect()) == sorted(
         r["key"] for r in want.collect()
     )
+
+
+def test_inexact_mode_excludes_null_probe_keys(spark):
+    """A true LEFT SEMI never matches NULL keys; NULL probe keys hash to
+    a constant and could pass the bit test — the inexact path must filter
+    them so it diverges from the exact join only by false positives."""
+    probe = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "key long"
+    )
+    build = spark.createDataFrame([(1,), (2,), (3,)], "key long")
+    loose = bloom_semi_join(probe, build, "key", exact=False)
+    got = [r["key"] for r in loose.collect()]
+    assert None not in got
+    assert set(got) >= {1, 2}

@@ -49,3 +49,44 @@ def test_all_queries_return_dataframes_lazily(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert isinstance(df, DataFrame), name
         assert df.columns, name
+
+
+def test_no_complex_columns_in_any_entry(spark, sf_dir):
+    """The driver canonicalizes results with pandas sort_values over every
+    column, which raises `unhashable type: 'list'` on array/map/struct
+    cells (round-5: inverted_index, bpe_encode went driver-red while the
+    local sweep stringified lists and stayed green). Driver-facing outputs
+    must therefore be flat: serialize arrays losslessly (comma/space join
+    of a collision-free token alphabet) or explode them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, f"complex driver-facing columns: {offenders}"
+
+
+def test_driver_sim_rejects_complex_columns(spark, sf_dir):
+    """The local sim must reproduce the driver's failure mode on array
+    output (it masked round-5's two reds by stringifying lists)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import verify_driver_sim as sim
+
+    def bad_query(spark_, sf_dir_):
+        from pyspark.sql import functions as F
+
+        return spark_.range(3).select(F.array(F.lit(1), F.lit(2)).alias("a"))
+
+    info = sim.run_one(spark, None, "bad", bad_query, "SELECT 1", sf_dir)
+    assert info["status"] == "COMPLEX-COLUMN"
+    assert info["cols"] == ["a"]

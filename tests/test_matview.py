@@ -241,3 +241,20 @@ def test_reserved_state_names_rejected(tmp_path):
             group_keys=["_bucket"],
             measures={"n": ("count", "")},
         )
+
+
+def test_refresh_changes_rejects_unknown_change_type(spark, tmp_path):
+    """Unexpected change_type values (Delta CDF's update_preimage, typos)
+    must fail loudly, not be silently counted as inserts."""
+    mv = IncrementalMatView(
+        path=str(tmp_path / "mv"),
+        group_keys=["k"],
+        measures={"n": ("count", ""), "total": ("sum", "v")},
+        n_buckets=4,
+    )
+    mv.refresh(spark.createDataFrame([(1, 10)], "k int, v long"))
+    feed = spark.createDataFrame(
+        [(1, 10, "update_preimage")], "k int, v long, change_type string"
+    )
+    with pytest.raises(Exception, match="unsupported change_type"):
+        mv.refresh_changes(feed)

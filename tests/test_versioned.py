@@ -593,3 +593,40 @@ def test_stats_handle_decimal_and_date_columns(spark, tmp_path):
     # probe fully outside the range skips the (single) file
     _, rep3 = t.read_pruned(spark, "day", dt.date(2030, 1, 1))
     assert rep3["files_read"] == 0
+
+
+def test_merge_rows_matches_null_keys(spark, tmp_path):
+    """NULL business keys are first-class in MERGE (eqNullSafe matching):
+    upserting a NULL-keyed row must replace the existing NULL-keyed row,
+    not leave it in place and append a duplicate."""
+    t = VersionedTable(str(tmp_path / "vt"))
+    base = spark.createDataFrame(
+        [(1, "a"), (None, "old"), (3, "c")], "id long, v string"
+    )
+    t.write(base, committed_at="t1")
+
+    src = spark.createDataFrame([(None, "new")], "id long, v string")
+    t.merge_rows(spark, src, ["id"], committed_at="t2")
+
+    rows = {(r["id"], r["v"]) for r in t.read(spark).collect()}
+    assert rows == {(1, "a"), (None, "new"), (3, "c")}
+
+
+def test_apply_changes_replays_null_key_delete(spark, tmp_path):
+    """Replaying a change feed that deletes a NULL-keyed row must remove
+    it from the mirror (round-6 ADVICE: null-unsafe joins silently kept
+    the stale row and appended the new one)."""
+    src = VersionedTable(str(tmp_path / "src"))
+    dst = VersionedTable(str(tmp_path / "dst"))
+    base = spark.createDataFrame(
+        [(1, "a"), (None, "x")], "id long, v string"
+    )
+    src.write(base, committed_at="t1")
+    dst.write(src.read(spark), committed_at="m1")
+
+    src.delete_where(spark, "id IS NULL", committed_at="t2")
+    dst.apply_changes(spark, src.changes(spark, 1, 2), ["id"], "m2")
+
+    s = {(r["id"], r["v"]) for r in src.read(spark).collect()}
+    d = {(r["id"], r["v"]) for r in dst.read(spark).collect()}
+    assert s == d == {(1, "a")}

@@ -75,7 +75,25 @@ def norm_frame(df: pd.DataFrame):
 
 
 def run_one(spark, con, name, fn, sql, sf_dir):
-    sdf = fn(spark, sf_dir).toPandas()
+    res = fn(spark, sf_dir)
+    # The REAL driver canonicalizes with pandas sort_values over every
+    # column, which raises `unhashable type: 'list'` on array/map/struct
+    # cells (round-5 failures: inverted_index, bpe_encode). Stringifying
+    # lists here masked that — reproduce the failure mode instead.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in res.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        return {
+            "name": name,
+            "status": "COMPLEX-COLUMN",
+            "cols": complex_cols,
+        }
+    sdf = res.toPandas()
     if sql is None:
         return {"name": name, "status": "rows-only", "rows": len(sdf)}
     ddf = con.execute(sql).df()
