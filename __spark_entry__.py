@@ -266,12 +266,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally each round so the window rotation never reduces actual
     # verification coverage.
     #
-    # Round-5 window: versioned_read is new; the 16-entry r4 tail
-    # (last verified r2/r3) rotates in; 17 r4-green entries rotate out.
+    # Round-6 window (the promised full rotation): 3 never-driver-checked
+    # entries (streaming_sessionize is new; versioned_merge and
+    # grouping_sets_volume were r5 tail-by-exception), the 2 round-5 reds
+    # (inverted_index, bpe_encode — array-column outputs, now flattened),
+    # the 2 entries whose code changed this round (winnowing_fingerprints
+    # rewrite, bloom_prefilter parallelism guard), ALL 40 entries whose
+    # last driver check is r4 (the 2-round rule), and 3 parity flagships
+    # (fact_sales, pricing_summary, scd2_merge). Everything rotated out is
+    # r5-driver-green and re-verified locally by the full sweep.
     return {
-        # -- new this round: snapshot-versioned table time travel; corpus
-        #    search (inverted index + integer-exact BM25); DSIR-lite
-        #    importance weights --
+        # -- never driver-checked --
+        "streaming_sessionize": S.streaming_sessionize_query,
+        "versioned_merge": S.versioned_merge_query,
+        "grouping_sets_volume": A.grouping_sets_volume,
+        # -- round-5 driver-red, fixed this round (array columns
+        #    flattened to lossless joined strings) --
+        "inverted_index": _docs(
+            lambda df: inverted_index(df, max_df=INVIDX_MAX_DF, flat=True)
+        ),
+        "bpe_encode": _bpe_encode,
+        # -- code changed this round: must re-verify under the driver --
+        "winnowing_fingerprints": _docs(
+            lambda df: winnowing_fingerprints(df, k=5, w=4)
+        ),
+        "bloom_prefilter": S.bloom_prefilter_query,
+        # -- the 40 entries last driver-checked in r4 (2-round rule) --
+        "topk_parts": partial(A.topk_parts, k=20),
+        "latest_day_activity": A.latest_day_activity,
+        "segment_status_pivot": A.segment_status_pivot,
+        "customer_retention_setops": A.customer_retention_setops,
+        "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
+        "lang_id": S.lang_id_query,
+        "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
+        "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
+        "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
+        "ann_lsh_topk": _ann_lsh,
+        "kmeans_clusters": lambda spark, sf_dir: kmeans_lite(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, iters=2
+        ),
+        "semantic_neardup": lambda spark, sf_dir: semantic_neardup_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            k=8,
+            iters=2,
+            threshold=NEARDUP_COS_THRESHOLD,
+        ),
+        "unpivot_measures": A.unpivot_measures,
+        "quantiles_by_group": A.quantiles_by_group,
+        "rollup_volume": A.rollup_volume,
+        "topk_by_group": partial(A.topk_by_group, k=3),
+        "global_summary": A.global_summary,
+        "numeric_standardize": S.numeric_standardize_demo,
+        "json_extract_agg": A.json_extract_agg,
+        "salted_join": S.salted_join_query,
+        "multimodal_decode": S.multimodal_decode_query,
+        "distinct_profile": A.distinct_profile,
+        "simhash_neardup": _docs(simhash_neardup_pairs),
+        "quality_classifier": _quality_classifier,
+        "ngram_jaccard": _docs(
+            lambda df: ngram_jaccard_pairs(
+                df,
+                k=JACCARD_K,
+                threshold=JACCARD_THRESHOLD,
+                length_band=JACCARD_BAND,
+            )
+        ),
+        "asof_join": S.asof_join_query,
+        "sql_api_trend": A.sql_api_trend,
+        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
+        "pack_sequences": partial(
+            T.pack_sequences_query, budget=512, n_shards=4
+        ),
+        "contamination_check": _docs(
+            lambda df: contamination_check(
+                df.filter(F.col("doc_id") % 97 != 0),
+                df.filter(F.col("doc_id") % 97 == 0),
+                n=3,
+            )
+        ),
+        "text_quality": S.text_quality_query,
+        "funnel_steps": A.funnel_steps,
+        "fingerprint_dedup": S.fingerprint_query,
+        "surprisal_scores": _docs(surprisal_scores),
+        "pct_of_total": A.pct_of_total,
+        "neardup_clusters_star": _docs(
+            lambda df: cluster_assignments(
+                minhash_lsh_pairs(
+                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
+                ),
+                src="id_a",
+                dst="id_b",
+                algorithm="star",
+            )
+        ),
+        "incremental_dedup": _incremental_dedup,
+        "chunk_documents": partial(
+            S.chunk_documents_query, chunk_size=32, overlap=8
+        ),
+        "stratified_cap": partial(S.stratified_cap_query, cap=30),
+        "mixture_weights": S.mixture_weights_query,
+        # -- parity flagships: driver-verified every round --
+        "fact_sales": build_fact_sales,
+        "pricing_summary": A.pricing_summary,
+        "scd2_merge": S.scd2_scenario,
+        # -- rotation tail (positions 51+): every entry below is
+        #    r5-driver-green (CORRECTNESS_r05.json) and keeps a
+        #    same-family representative in the window:
+        #    versioned_read/delete/skip_read/changes≈versioned_merge,
+        #    incremental_matview≈versioned family + matview tests,
+        #    hll/cms sketches≈distinct_profile (approx-distinct family),
+        #    bm25_topk≈inverted_index, dsir_weights/select≈
+        #    quality_classifier, bigram_surprisal≈surprisal_scores,
+        #    gap_fill_daily≈latest_day_activity (time family),
+        #    pagerank≈neardup_clusters_star (iterative graph family),
+        #    ann_recall/ann_topk/ann_ivf_topk≈ann_ivf_topk_nprobe2 +
+        #    ann_lsh_topk, zorder_curve≈(bit-exact transforms, tests),
+        #    attribution/cohort_retention/value_histogram≈funnel_steps +
+        #    pct_of_total window family, cosine_neardup/lsh_neardup≈
+        #    semantic_neardup, cube_volume≈rollup_volume,
+        #    moving_average/temporal_trend≈sql_api_trend,
+        #    repetition_filter/token_count/redact_pii≈text_quality +
+        #    lang_id, split_assign≈stratified_cap, date_standardize≈
+        #    numeric_standardize, decode_ladders≈fact_sales,
+        #    regional_volume/profile_columns/shipping_priority≈
+        #    global_summary + topk_parts, neardup_clusters≈
+        #    neardup_clusters_star (same oracle), sessionize/
+        #    sessionize_skew≈streaming_sessionize (same oracle!),
+        #    range_join≈asof_join, date_dim≈fact_sales,
+        #    dedup_exact/minhash_lsh≈ngram_jaccard + simhash_neardup +
+        #    incremental_dedup, corpus_curation≈text_quality +
+        #    mixture_weights. All r5-green; tools/oracle_sweep.py
+        #    hash-checks them locally each round. --
+        # snapshot-versioned table time travel
         "versioned_read": S.versioned_read_query,
         # copy-on-write row-level DELETE: pre/post snapshots both checked
         "versioned_delete": S.versioned_delete_query,
@@ -279,37 +405,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_skip_read": S.versioned_skip_read_query,
         # change data feed (Delta CDF analog): row diff between snapshots,
         # computed from the manifests' file-list symmetric difference only
-        # (this entry's window slot comes from lang_id, r4-green, whose
-        # regex family stays represented by numeric_standardize/redact_pii)
         "versioned_changes": S.versioned_changes_query,
         # incrementally-maintained materialized aggregate: 3 batch
         # refreshes rewriting only affected hash buckets must equal the
-        # one-shot GROUP BY (window slot from corpus_curation, r4-green;
-        # its dedup/quality constituents stay in-window via dedup_exact,
-        # minhash_lsh, dup_spans, dsir_weights)
+        # one-shot GROUP BY
         "incremental_matview": S.incremental_matview_query,
         # deterministic sketches: the register STATE is oracle-checked
         # bit-for-bit, covering the approximate-distinct / approximate-
-        # frequency paths themselves (window slots from minhash_lsh and
-        # dup_spans, both r4-green; their families stay represented by
-        # neardup_clusters, ngram_jaccard, and winnowing_fingerprints)
+        # frequency paths themselves
         "hll_registers": S.hll_registers_query,
         "hll_by_group": S.hll_by_group_query,
         "cms_counts": S.cms_counts_query,
-        # bloom-filter semi-join reduction: probe side pre-filtered by a
-        # broadcast bit array before the exact semi-join — same answer,
-        # shuffle input cut to ~matching rows (window slot from
-        # corpus_curation's constituents already rotated; next r4-green
-        # out is dedup_exact, whose family keeps fingerprint-family
-        # coverage via neardup_clusters/ngram_jaccard in-window)
-        "bloom_prefilter": S.bloom_prefilter_query,
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
-        ),
-        # flat=True: postings as a comma-joined string — the driver's
-        # canonicalizer can't hash array cells (round-5 failure)
-        "inverted_index": _docs(
-            lambda df: inverted_index(df, max_df=INVIDX_MAX_DF, flat=True)
         ),
         "dsir_weights": lambda spark, sf_dir: dsir_weights(
             spark.read.parquet(f"{sf_dir}/documents.parquet"),
@@ -327,11 +435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=100,
             n_buckets=256,
         ),
-        # Winnowing (MOSS) fingerprints: windowed-min hash selection with
-        # the w+k-1 shared-run guarantee
-        "winnowing_fingerprints": _docs(
-            lambda df: winnowing_fingerprints(df, k=5, w=4)
-        ),
         # conditional-probability upgrade of unigram surprisal
         "bigram_surprisal": _docs(bigram_surprisal_scores),
         # time-series regularization: date-spine gap fill + forward fill
@@ -347,9 +450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Morton-curve (ZORDER) values — the clustering expression behind
         # sources.zorder.write_zordered, bit-exact cross-engine
         "zorder_curve": _zorder_curve,
-        # BPE train+encode (rows-only: ordered greedy merging has no SQL
-        # twin; unit tests pin fold-vs-Python parity + round-trip)
-        "bpe_encode": _bpe_encode,
         # first/last-touch attribution (stacked frame windows + full join)
         "attribution": A.attribution,
         # weekly cohort retention matrix (epoch-week integers)
@@ -404,12 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows + a stitch pass; byte-identical output, shared oracle.
         "sessionize_skew": partial(A.sessionize_skew, gap_minutes=30),
         "range_join": S.range_join_query,
-        # -- core relational / star-schema suite (SURVEY §2): the parity
-        #    flagships stay driver-verified every round --
-        "pricing_summary": A.pricing_summary,
         "date_dim": lambda spark, sf_dir: build_date_dim(spark),
-        "fact_sales": build_fact_sales,
-        "scd2_merge": S.scd2_scenario,
         # -- LLM-data-pipeline extensions --
         "dedup_exact": _docs(dedup_exact),
         # portable_hash: md5-int64 shingle/band hashes → DuckDB reproduces the
@@ -424,137 +519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": partial(
             S.corpus_curation_query, min_score=0.5, min_tokens=10
         ),
-        # -- rotation tail (positions 51+, beyond the driver's 50-entry
-        #    check window): every entry below was DRIVER-hash-green in
-        #    round 4 (CORRECTNESS_r04.json) and keeps a same-family
-        #    representative in the window. Batch-3 adjustment: the six
-        #    new-this-round entries (versioned_changes,
-        #    incremental_matview, hll_registers, hll_by_group, cms_counts,
-        #    bloom_prefilter) take window slots from topk_parts
-        #    (≈shipping_priority in-window), latest_day_activity
-        #    (≈temporal_trend/moving_average time family),
-        #    segment_status_pivot (≈unpivot_measures/json_extract_agg
-        #    tail family), customer_retention_setops (set-ops, r4-green,
-        #    re-enters r6), dup_spans (≈winnowing_fingerprints in-window)
-        #    and lang_id (≈token_count/repetition_filter in-window). --
-        "topk_parts": partial(A.topk_parts, k=20),
-        "latest_day_activity": A.latest_day_activity,
-        "segment_status_pivot": A.segment_status_pivot,
-        "customer_retention_setops": A.customer_retention_setops,
-        # Substring-level dedup: duplicated k-token window fingerprints →
-        # maximal per-doc spans (distributed analog of suffix-array
-        # exact-substring dedup, Lee et al. 2022).
-        "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
-        "lang_id": S.lang_id_query,
-        # keyed MERGE with file-level pruning (new; tail by exception —
-        # the r5 window is saturated with 10 new entries; the local sweep
-        # verifies it now and it rotates into the window in r6)
-        "versioned_merge": S.versioned_merge_query,
-        # explicit GROUPING SETS (Spark 4 DataFrame API; tail with the
-        # other new-by-exception entry, same rationale)
-        "grouping_sets_volume": A.grouping_sets_volume,
-        #    (r4-green families, continued:)
-        #    bpe_pair_counts/shard_manifest≈vocab_stats+pack_sequences,
-        #    ann_ivf_topk_nprobe2≈ann_ivf_topk, ann_lsh_topk≈ann_topk+
-        #    lsh_neardup, kmeans_clusters/semantic_neardup≈cosine_neardup+
-        #    neardup_clusters, unpivot_measures≈segment_status_pivot,
-        #    quantiles_by_group≈profile_columns, funnel_steps/pct_of_total/
-        #    surprisal_scores≈sessionize+moving_average+token_count,
-        #    fingerprint_dedup/incremental_dedup≈dedup_exact+minhash_lsh,
-        #    neardup_clusters_star≈neardup_clusters (same oracle),
-        #    chunk_documents≈token_count, stratified_cap≈split_assign,
-        #    mixture_weights≈regional_volume, rollup_volume≈cube_volume,
-        #    topk_by_group≈topk_parts+shipping_priority,
-        #    global_summary≈pricing_summary+distinct_profile,
-        #    numeric_standardize≈lang_id+redact_pii (regex family),
-        #    json_extract_agg≈segment_status_pivot (semi-structured),
-        #    salted_join≈sessionize_skew (salting family),
-        #    multimodal_decode/simhash_neardup≈(Arrow-kernel family),
-        #    distinct_profile≈profile_columns,
-        #    quality_classifier≈dsir_weights (hashed-feature scoring).
-        #    All re-enter the window by r6
-        #    under the 2-round rule; tools/oracle_sweep.py covers them
-        #    locally in the meantime. --
-        "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
-        "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
-        # Multi-cell probing: same inverted file, recall strictly ≥ nprobe=1
-        # (more probed cells only add candidates) — still exactly
-        # oracle-reproducible because probing is deterministic integer math.
-        "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
-        "ann_lsh_topk": _ann_lsh,
-        # Iterative-ML showcase: 2 Lloyd rounds of exact-integer k-means
-        # (quantized vectors, md5-sampled seeds, integer mean rounding) —
-        # the full iteration is bit-reproducible in DuckDB as a CTE chain.
-        "kmeans_clusters": lambda spark, sf_dir: kmeans_lite(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, iters=2
-        ),
-        # SemDeDup: k-means blocking + exact in-cluster cosine — the
-        # paraphrase-level dedup MinHash can't see, linear via clustering.
-        "semantic_neardup": lambda spark, sf_dir: semantic_neardup_pairs(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-            k=8,
-            iters=2,
-            threshold=NEARDUP_COS_THRESHOLD,
-        ),
-        "unpivot_measures": A.unpivot_measures,
-        "quantiles_by_group": A.quantiles_by_group,
-        "rollup_volume": A.rollup_volume,
-        "topk_by_group": partial(A.topk_by_group, k=3),
-        "global_summary": A.global_summary,
-        "numeric_standardize": S.numeric_standardize_demo,
-        "json_extract_agg": A.json_extract_agg,
-        "salted_join": S.salted_join_query,
-        "multimodal_decode": S.multimodal_decode_query,
-        "distinct_profile": A.distinct_profile,
-        "simhash_neardup": _docs(simhash_neardup_pairs),
-        # Hashed-feature linear quality classifier (integer-quantized
-        # weights, broadcast model table).
-        "quality_classifier": _quality_classifier,
-        "ngram_jaccard": _docs(
-            lambda df: ngram_jaccard_pairs(
-                df,
-                k=JACCARD_K,
-                threshold=JACCARD_THRESHOLD,
-                length_band=JACCARD_BAND,
-            )
-        ),
-        "asof_join": S.asof_join_query,
-        "sql_api_trend": A.sql_api_trend,
-        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
-        "pack_sequences": partial(T.pack_sequences_query, budget=512, n_shards=4),
-        # Benchmark decontamination: distinct 3-gram overlap vs a broadcast
-        # benchmark set (deterministic doc_id % 97 split at every sf).
-        "contamination_check": _docs(
-            lambda df: contamination_check(
-                df.filter(F.col("doc_id") % 97 != 0),
-                df.filter(F.col("doc_id") % 97 == 0),
-                n=3,
-            )
-        ),
-        "text_quality": S.text_quality_query,
-        "funnel_steps": A.funnel_steps,
-        "fingerprint_dedup": S.fingerprint_query,
-        "surprisal_scores": _docs(surprisal_scores),
-        "pct_of_total": A.pct_of_total,
-        "neardup_clusters_star": _docs(
-            lambda df: cluster_assignments(
-                minhash_lsh_pairs(
-                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
-                ),
-                src="id_a",
-                dst="id_b",
-                algorithm="star",
-            )
-        ),
-        # Incremental dedup: new batch (doc_id % 5 != 0) probed against the
-        # existing corpus (doc_id % 5 == 0) — exact-hash layer + cross-frame
-        # MinHash band-bucket layer, per-doc keep/drop decisions.
-        "incremental_dedup": _incremental_dedup,
-        "chunk_documents": partial(S.chunk_documents_query, chunk_size=32, overlap=8),
-        "stratified_cap": partial(S.stratified_cap_query, cap=30),
-        # Training-mixture rebalancing: per-language token shares → capped
-        # upsampling weights toward a uniform budget.
-        "mixture_weights": S.mixture_weights_query,
     }
 
 
@@ -607,6 +571,12 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics to sessionize — the skew path must reproduce
         # the exact same frame, so it shares the oracle verbatim
         "sessionize_skew": A.SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
+        # the streaming twin lands in a parquet table via foreachBatch and
+        # must hash-match the SAME batch frame — a full streaming-to-batch
+        # equivalence check under the driver's oracle
+        "streaming_sessionize": A.SESSIONIZE_SQL.format(
+            gap_us=30 * 60 * 1_000_000
+        ),
         "json_extract_agg": A.JSON_EXTRACT_AGG_SQL,
         "shipping_priority": A.SHIPPING_PRIORITY_SQL.format(k=10),
         "regional_volume": A.REGIONAL_VOLUME_SQL,

@@ -82,6 +82,108 @@ def pagerank_lite(
     return ranks.orderBy(F.desc("rank_micro"), "node")
 
 
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph of
+    ``edges`` — ``(node, n_triangles)`` for nodes in ≥1 triangle,
+    ordered by node. Triangle density is the classic cohesion signal
+    (clustering coefficient numerator, spam-farm detection on link
+    graphs).
+
+    Algorithm: degree-ordered orientation (the MapReduce-standard
+    Suri–Vassilvitskii / Cohen shape). Each undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher; wedges are then
+    pairs of OUT-neighbors of a node, and each triangle is found exactly
+    once (at its lowest-rank vertex) by probing the oriented edge set.
+    Orientation bounds every node's out-degree by O(sqrt(m)) — the join
+    that enumerates wedges never explodes on a high-degree hub, which is
+    what kills the naive all-pairs-of-neighbors join at scale. Two
+    equi-joins + one groupBy; all exact integers (DuckDB twin enumerates
+    ``a < b < c`` directly — same triangle set, same counts).
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    und = e.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wd = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # o: u -> v with rank(u) < rank(v); carry v's rank for wedge ordering
+    o = wd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).filter(
+        (F.col("o1.dv") < F.col("o2.dv"))
+        | (
+            (F.col("o1.dv") == F.col("o2.dv"))
+            & (F.col("o1.v") < F.col("o2.v"))
+        )
+    ).select(
+        F.col("o1.u").alias("w1"),
+        F.col("o1.v").alias("w2"),
+        F.col("o2.v").alias("w3"),
+    )
+    closing = o.select(F.col("u").alias("w2"), F.col("v").alias("w3"))
+    tris = wedges.join(closing, ["w2", "w3"], "left_semi")
+    members = (
+        tris.select(F.col("w1").alias("node"))
+        .union(tris.select(F.col("w2").alias("node")))
+        .union(tris.select(F.col("w3").alias("node")))
+    )
+    return (
+        members.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+TRIANGLE_SQL_TEMPLATE = """
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node
+ORDER BY node
+"""
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin over any ``(src, dst)``-producing SQL: direct
+    ``a < b < c`` enumeration — each triangle exactly once, so the
+    per-node counts match the oriented algorithm bit-for-bit."""
+    return TRIANGLE_SQL_TEMPLATE.format(edges_sql=edges_sql)
+
+
 def pagerank_oracle_sql(
     edges_sql: str, iters: int = 2, damping_pct: int = 85
 ) -> str:

@@ -1339,3 +1339,57 @@ SELECT doc_id, lang FROM documents
 WHERE doc_id BETWEEN 100 AND 199
 ORDER BY doc_id
 """
+
+
+def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming pipeline with a TABLE sink, driver-
+    oracle-checked against the batch ``plans.analytics.sessionize`` SQL:
+
+    events parquet → ``readStream`` (availableNow trigger) →
+    ``session_window`` aggregation (complete mode: the finite input means
+    every session in state is emitted) → ``foreachBatch`` overwrite into a
+    parquet table → read the table back → per-user session numbering.
+
+    The streaming stage reproduces the batch gap semantics exactly
+    (``streaming.events.streaming_sessionize``; equality-to-batch is also
+    pinned in tests/test_streaming.py) — this entry adds the driver-facing
+    proof: the sink table's content hashes identically to the batch
+    oracle. foreachBatch-overwrite is idempotent under micro-batch replay,
+    the production guarantee for at-least-once sinks."""
+    import shutil
+    import tempfile
+
+    from ..streaming.events import (
+        finish_sessionize,
+        stream_events_from_dir,
+        streaming_sessionize,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
+    # file stream sources require a DIRECTORY (landing-zone model); stage
+    # the events file into one, as a producer would land it
+    landing = f"{root}/landing"
+    import os
+
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stream = stream_events_from_dir(spark, landing)
+    sessions = streaming_sessionize(
+        stream, gap="30 minutes", watermark="1 hour"
+    )
+    out_dir = f"{root}/sessions"
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        # complete mode: each micro-batch carries the FULL session state,
+        # so overwrite lands the final answer whatever the batch count
+        batch.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return finish_sessionize(spark.read.parquet(out_dir))
