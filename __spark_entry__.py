@@ -266,17 +266,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally each round so the window rotation never reduces actual
     # verification coverage.
     #
-    # Round-6 window (the promised full rotation): 3 never-driver-checked
-    # entries (streaming_sessionize is new; versioned_merge and
-    # grouping_sets_volume were r5 tail-by-exception), the 2 round-5 reds
-    # (inverted_index, bpe_encode — array-column outputs, now flattened),
-    # the 2 entries whose code changed this round (winnowing_fingerprints
-    # rewrite, bloom_prefilter parallelism guard), ALL 40 entries whose
-    # last driver check is r4 (the 2-round rule), and 3 parity flagships
-    # (fact_sales, pricing_summary, scd2_merge). Everything rotated out is
-    # r5-driver-green and re-verified locally by the full sweep.
+    # Round-7 window. Round 6's driver pass recorded NOTHING (an
+    # end-of-round ImportError broke the package; CORRECTNESS_r06 is {}),
+    # so the round-6 window composition below still owes its first driver
+    # check — it is retained wholesale. Changes for r7: 4 never-checked
+    # entries enter first (expectations_audit, quarantine_rows,
+    # systematic_sample, triangle_counts — driver surface for the round-6
+    # operators that shipped without entries), and to stay within the
+    # 50-entry gate, bpe_pair_counts rotates to the tail (family
+    # representative bpe_encode stays in-window) along with the 3 parity
+    # flagships fact_sales/pricing_summary/scd2_merge (r5-driver-green;
+    # they re-enter in r8 under the 2-round rule). The full local sweep
+    # hash-checks window + tail every round regardless.
     return {
-        # -- never driver-checked --
+        # -- never driver-checked (new this round) --
+        "expectations_audit": S.expectations_audit_query,
+        "quarantine_rows": S.quarantine_rows_query,
+        "systematic_sample": S.systematic_sample_query,
+        "triangle_counts": S.triangle_counts_query,
+        # -- never driver-checked (round 6) --
         "streaming_sessionize": S.streaming_sessionize_query,
         "versioned_merge": S.versioned_merge_query,
         "grouping_sets_volume": A.grouping_sets_volume,
@@ -298,7 +306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_retention_setops": A.customer_retention_setops,
         "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         "lang_id": S.lang_id_query,
-        "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
         "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
         "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
         "ann_lsh_topk": _ann_lsh,
@@ -365,11 +372,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "stratified_cap": partial(S.stratified_cap_query, cap=30),
         "mixture_weights": S.mixture_weights_query,
-        # -- parity flagships: driver-verified every round --
+        # -- rotation tail (positions 51+). First: this round's
+        #    window-capacity rotations — bpe_pair_counts (family rep
+        #    bpe_encode in-window) and the r5-driver-green parity
+        #    flagships, which re-enter in r8 under the 2-round rule:
+        "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
         "fact_sales": build_fact_sales,
         "pricing_summary": A.pricing_summary,
         "scd2_merge": S.scd2_scenario,
-        # -- rotation tail (positions 51+): every entry below is
+        # -- remaining tail: every entry below is
+        #    r5-driver-green (CORRECTNESS_r05.json) and keeps a
         #    r5-driver-green (CORRECTNESS_r05.json) and keeps a
         #    same-family representative in the window:
         #    versioned_read/delete/skip_read/changes≈versioned_merge,
@@ -523,7 +535,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from faers_datalakehouse_spark.operators.expectations import (
+        audit_oracle_sql,
+    )
+    from faers_datalakehouse_spark.operators.graph import triangle_oracle_sql
+
     return {
+        "expectations_audit": audit_oracle_sql(
+            S.ORDER_EXPECTATIONS, "orders"
+        ),
+        "quarantine_rows": S.QUARANTINE_ROWS_SQL,
+        "systematic_sample": S.SYSTEMATIC_SAMPLE_DOC_SQL.format(step=2000),
+        "triangle_counts": triangle_oracle_sql(S.TRIANGLE_EDGES_SQL),
         "versioned_read": S.VERSIONED_READ_SQL,
         "versioned_delete": S.VERSIONED_DELETE_SQL,
         "versioned_skip_read": S.VERSIONED_SKIP_READ_SQL,

@@ -17,6 +17,7 @@ import json
 import os
 import re
 import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -93,6 +94,12 @@ BENCH_QUERIES = {
     "q36_incremental_matview": ("collect", "incremental_matview"),
     "q37_hll_registers": ("count", "hll_registers"),
     "q38_bloom_prefilter": ("collect", "bloom_prefilter"),
+    # Round-7 additions: triangle counting (degree-ordered orientation —
+    # the bounded-wedge join), the distributed exact prefix-sum sampler,
+    # and the one-scan expectations audit. Keys q1-q38 unchanged.
+    "q39_triangles": ("count", "triangle_counts"),
+    "q40_systematic_sample": ("count", "systematic_sample"),
+    "q41_expectations_audit": ("collect", "expectations_audit"),
 }
 
 
@@ -201,12 +208,36 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
     sf = float(m.group(1)) if m else 0.0
+    # measured-at provenance: which commit this number is evidence about.
+    # File mtimes lie in CI (actions/checkout stamps everything with
+    # checkout time), so the freshness gate reads these fields instead.
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                cwd=Path(__file__).resolve().parent,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+        )
+    except (OSError, subprocess.CalledProcessError):
+        head, dirty = None, None
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                "measured_at_commit": head,
+                "measured_at_dirty": dirty,
                 "queries": timings,
                 "spread": spread,
                 "best": best,

@@ -19,10 +19,24 @@ counts are exact integers → bit-identical DuckDB twin.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_RULE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_rule_names(rules: Mapping[str, str]) -> None:
+    """Rule names are interpolated into stack() pairs, column aliases and
+    oracle SQL — restrict them to identifiers so a quote/space can't break
+    or inject into the generated query."""
+    for name in rules:
+        if not _RULE_NAME.match(name):
+            raise ValueError(
+                f"rule name {name!r} must match [A-Za-z_][A-Za-z0-9_]*"
+            )
 
 
 class ExpectationError(ValueError):
@@ -37,6 +51,7 @@ def audit(df: DataFrame, rules: Mapping[str, str]) -> DataFrame:
     violations (an expectation must be provably TRUE)."""
     if not rules:
         raise ValueError("audit needs at least one rule")
+    _check_rule_names(rules)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, expr in rules.items():
         aggs.append(
@@ -79,7 +94,8 @@ def enforce(
     """
     if policy not in ("drop", "warn", "fail"):
         raise ValueError(f"unknown policy {policy!r}")
-    if policy == "warn":
+    _check_rule_names(rules)
+    if not rules or policy == "warn":
         return df
     if policy == "drop":
         cond = F.lit(True)
@@ -103,6 +119,7 @@ def quarantine(
     ``failed_rules``, the comma-joined sorted names of every rule they
     violate (flat string: driver-canonicalizable, lossless for
     identifier-safe rule names)."""
+    _check_rule_names(rules)
     checks = [
         F.when(
             ~F.coalesce(F.expr(expr), F.lit(False)), F.lit(name)
@@ -142,6 +159,7 @@ ORDER BY rule
 def audit_oracle_sql(rules: Mapping[str, str], table: str) -> str:
     """DuckDB twin of ``audit`` over ``table``. Rule exprs must be
     engine-portable SQL (the repo-wide oracle rule)."""
+    _check_rule_names(rules)
     sums = "".join(
         f",\n         sum(CASE WHEN ({expr}) THEN 0 ELSE 1 END) AS _v_{name}"
         for name, expr in rules.items()

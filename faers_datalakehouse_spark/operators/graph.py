@@ -105,9 +105,18 @@ def triangle_counts(
     e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
         F.col("x") != F.col("y")
     )
-    und = e.select(
-        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-    ).distinct()
+    # und feeds degree (twice, via the union) AND the orientation join;
+    # without persist every reference re-runs the upstream edge plan —
+    # the round-7 plan audit showed 8 scans of the source tables for
+    # what is logically one edge list. Persisted, the dedup shuffle runs
+    # once and all consumers read the cached blocks.
+    und = (
+        e.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -123,11 +132,13 @@ def triangle_counts(
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
     # o: u -> v with rank(u) < rank(v); carry v's rank for wedge ordering
+    # o is consumed three times (both wedge sides + the closing-edge
+    # probe); persist so the orientation join runs once
     o = wd.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).persist()
     o1, o2 = o.alias("o1"), o.alias("o2")
     wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).filter(
         (F.col("o1.dv") < F.col("o2.dv"))

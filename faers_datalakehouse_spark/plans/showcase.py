@@ -1356,6 +1356,7 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof: the sink table's content hashes identically to the batch
     oracle. foreachBatch-overwrite is idempotent under micro-batch replay,
     the production guarantee for at-least-once sinks."""
+    import atexit
     import shutil
     import tempfile
 
@@ -1366,6 +1367,10 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
+    # the returned DataFrame lazily reads the sink parquet, so the tree
+    # must outlive this call — reclaim it at interpreter exit instead of
+    # leaking one copy of events.parquet per invocation
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     # file stream sources require a DIRECTORY (landing-zone model); stage
     # the events file into one, as a producer would land it
     landing = f"{root}/landing"
@@ -1393,3 +1398,140 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return finish_sessionize(spark.read.parquet(out_dir))
+
+
+# --------------------------------------------------------------------------
+# Declarative expectations (round-6 operator, first driver surface here)
+# --------------------------------------------------------------------------
+
+# Rule exprs are engine-portable SQL: F.expr on the Spark side, inlined
+# verbatim into the DuckDB twin. Names are identifiers (enforced by
+# operators.expectations._check_rule_names).
+ORDER_EXPECTATIONS = {
+    "key_positive": "o_orderkey > 0",
+    "status_domain": "o_orderstatus IN ('O','F','P')",
+    "date_present": "o_orderdate IS NOT NULL",
+    "priority_domain": (
+        "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+        "'4-NOT SPECIFIED','5-LOW')"
+    ),
+    "price_under_200k": "o_totalprice < 200000",
+}
+
+
+def expectations_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style expectations audit over ``orders``: per-rule violation
+    counts + integer pass rate, ONE scan (every rule folds into a single
+    global aggregate — map-side partial, rule-count-sized result). The
+    ``price_under_200k`` rule is deliberately tight so the entry verifies
+    real violations, not a vacuous all-pass."""
+    from ..operators.expectations import audit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return audit(orders, ORDER_EXPECTATIONS)
+
+
+def quarantine_rows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine split over ``orders``: the dirty rows with their
+    comma-joined sorted failed-rule names. Pure projection + filter (no
+    shuffle); the oracle recomputes ``failed_rules`` with the same
+    NULL-skipping ``concat_ws`` DuckDB shares."""
+    from ..operators.expectations import quarantine
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    _clean, dirty = quarantine(orders, ORDER_EXPECTATIONS)
+    return dirty.select("o_orderkey", "failed_rules").orderBy("o_orderkey")
+
+
+QUARANTINE_ROWS_SQL = """
+SELECT o_orderkey, failed_rules FROM (
+  SELECT o_orderkey,
+         concat_ws(',',
+           CASE WHEN NOT coalesce((o_orderdate IS NOT NULL), false)
+                THEN 'date_present' END,
+           CASE WHEN NOT coalesce((o_orderkey > 0), false)
+                THEN 'key_positive' END,
+           CASE WHEN NOT coalesce((o_totalprice < 200000), false)
+                THEN 'price_under_200k' END,
+           CASE WHEN NOT coalesce((o_orderpriority IN ('1-URGENT','2-HIGH',
+                '3-MEDIUM','4-NOT SPECIFIED','5-LOW')), false)
+                THEN 'priority_domain' END,
+           CASE WHEN NOT coalesce((o_orderstatus IN ('O','F','P')), false)
+                THEN 'status_domain' END
+         ) AS failed_rules
+  FROM orders
+)
+WHERE failed_rules <> ''
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Systematic weighted sampling (distributed exact prefix sum)
+# --------------------------------------------------------------------------
+
+
+def systematic_sample_query(
+    spark: SparkSession, sf_dir: str, step: int = 2000
+) -> DataFrame:
+    """Deterministic weighted corpus sample: every document whose
+    cumulative-``n_chars`` interval crosses a multiple of ``step``. The
+    running total comes from the bucketed two-phase prefix sum
+    (``operators/sampling.py:prefix_sum`` — no corpus-wide single-partition
+    window); the oracle's plain ``sum() OVER`` is the same exact int64
+    answer through a different physical plan, which is the point."""
+    from ..operators.sampling import systematic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    return systematic_sample(docs, "n_chars", step, "doc_id").orderBy("doc_id")
+
+
+SYSTEMATIC_SAMPLE_DOC_SQL = """
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total
+  FROM documents
+)
+SELECT * FROM cum
+WHERE (running_total + {step}) // {step}
+      > (running_total - n_chars + {step}) // {step}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# --------------------------------------------------------------------------
+
+
+def triangle_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier->customer co-purchase
+    graph (same edge definition as the ``pagerank`` entry: lineitem x
+    orders). Supplier and customer key ranges overlap numerically, which
+    makes the undirected simple graph genuinely non-bipartite — triangles
+    exist and exercise the degree-ordered orientation
+    (``operators/graph.py:triangle_counts``): out-degrees bounded
+    O(sqrt(m)), so the wedge join never explodes on the high-degree
+    supplier hubs that would kill the naive neighbors-squared join at
+    100 TB."""
+    from ..operators.graph import triangle_counts
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
+TRIANGLE_EDGES_SQL = (
+    "SELECT l_suppkey AS src, o_custkey AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)

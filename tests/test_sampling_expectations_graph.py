@@ -91,12 +91,13 @@ def test_systematic_sample_phase_and_validation(spark):
     with pytest.raises(ValueError, match="phase"):
         systematic_sample(df, "w", 10, "id", phase=10)
     # phase shifts the selection grid: with step 10, phase 0 picks the
-    # row whose interval crosses 10 (id=2); phase 3 crosses 3 (id=1)
+    # row whose interval crosses 10 (id=2); phase 3's grid is {3, 13, ...}
+    # — 3 lands in id=1's interval (0,5], 13 misses id=2's (5,10]
     assert {r["id"] for r in systematic_sample(df, "w", 10, "id").collect()} == {2}
     assert {
         r["id"]
         for r in systematic_sample(df, "w", 10, "id", phase=3).collect()
-    } == {1, 2}
+    } == {1}
 
 
 def test_prefix_sum_no_global_window(spark):
