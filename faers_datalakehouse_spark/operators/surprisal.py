@@ -194,7 +194,16 @@ def bigram_surprisal_scores(
     bigram tables outgrow broadcast budgets; the prefix counts derive from
     the same model frame by a second tiny aggregation.
     """
-    bgs = corpus_bigrams(docs, id_col, text_col)
+    from .parallelism import ensure_compute_parallelism
+
+    # the regex-normalize + zip_with tokenization is the dominant map
+    # stage and runs once for the model and once for the join-back; the
+    # guard unblocks single-file layouts (1 task otherwise) and persist
+    # makes the second consumer read the materialized bigram stream
+    # instead of re-tokenizing the corpus
+    bgs = corpus_bigrams(
+        ensure_compute_parallelism(docs), id_col, text_col
+    ).persist()
     model = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     prefix = model.groupBy("w1").agg(F.sum("n2").alias("n1"))
     bits = (F.length(F.bin("n1")) - 1) - (F.length(F.bin("n2")) - 1)

@@ -1230,9 +1230,14 @@ def bloom_prefilter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = ensure_compute_parallelism(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     )
+    # guard AFTER the filter: guarding the raw read would put a
+    # round-robin exchange below the priority predicate and destroy
+    # its parquet pushdown
     urgent = ensure_compute_parallelism(
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-    ).filter(F.col("o_orderpriority") == "1-URGENT")
+        spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+    )
     kept = bloom_semi_join(
         li, urgent, "l_orderkey", "o_orderkey", fp_rate=0.01, exact=True
     )

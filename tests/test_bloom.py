@@ -18,8 +18,14 @@ from faers_datalakehouse_spark.operators.bloom import (
 def test_sizing_textbook_values():
     m, k = sizing(10_000, 0.01)
     assert m % 64 == 0
-    assert 9 * 10_000 < m < 11 * 10_000  # ~9.6 bits/key at 1%
-    assert k in (6, 7)
+    # k capped at 4 (JIT huge-method cliff past ~4 position tests);
+    # m re-solved for 1% fp at k=4 is ~10.5 bits/key
+    assert 10 * 10_000 < m < 11 * 10_000
+    assert k == 4
+    # uncapped regime: small k targets keep the textbook optimum
+    m2, k2 = sizing(10_000, 0.1)
+    assert k2 == 3
+    assert 4.5 * 10_000 < m2 < 5.2 * 10_000  # ~4.8 bits/key at 10%
 
 
 def test_no_false_negatives(spark):
