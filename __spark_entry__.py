@@ -244,6 +244,17 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_lite(edges, iters=2)
 
 
+def _snm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sorted_neighborhood_pairs(
+        docs, "lang", window=4, prefix_len=32, max_distance=10
+    )
+
+
 def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faers_datalakehouse_spark.operators.classifier import (
         hashed_weights,
@@ -280,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-checks window + tail every round regardless.
     return {
         # -- never driver-checked (new this round) --
+        "snm_neardup": _snm_neardup,
         "expectations_audit": S.expectations_audit_query,
         "quarantine_rows": S.quarantine_rows_query,
         "systematic_sample": S.systematic_sample_query,
@@ -371,11 +383,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             S.chunk_documents_query, chunk_size=32, overlap=8
         ),
         "stratified_cap": partial(S.stratified_cap_query, cap=30),
-        "mixture_weights": S.mixture_weights_query,
         # -- rotation tail (positions 51+). First: this round's
         #    window-capacity rotations — bpe_pair_counts (family rep
-        #    bpe_encode in-window) and the r5-driver-green parity
-        #    flagships, which re-enter in r8 under the 2-round rule:
+        #    bpe_encode in-window), mixture_weights (displaced by the
+        #    never-checked snm_neardup; r4-green, full-sweep-green) and
+        #    the r5-driver-green parity flagships, which re-enter in r8
+        #    under the 2-round rule:
+        "mixture_weights": S.mixture_weights_query,
         "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
         "fact_sales": build_fact_sales,
         "pricing_summary": A.pricing_summary,
@@ -538,9 +552,13 @@ def oracle_sql() -> dict[str, str]:
     from faers_datalakehouse_spark.operators.expectations import (
         audit_oracle_sql,
     )
+    from faers_datalakehouse_spark.operators.dedup import snm_oracle_sql
     from faers_datalakehouse_spark.operators.graph import triangle_oracle_sql
 
     return {
+        "snm_neardup": snm_oracle_sql(
+            window=4, prefix_len=32, max_distance=10
+        ),
         "expectations_audit": audit_oracle_sql(
             S.ORDER_EXPECTATIONS, "orders"
         ),

@@ -598,3 +598,77 @@ def test_salted_join_rejects_reserved_salt_column(spark):
     small = spark.createDataFrame([(1, "x")], "k long, v string")
     with pytest.raises(ValueError, match="_salt"):
         salted_join(big, small, on=["k"])
+
+
+# -- sorted-neighborhood method ------------------------------------------
+
+
+def test_snm_finds_near_sorted_duplicates(spark):
+    from faers_datalakehouse_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "acme corporation annual report", "en"),
+            (2, "acme corporatian annual report", "en"),  # 1 typo
+            (3, "zebra migration patterns in kenya", "en"),
+            (4, "completely unrelated text about pianos", "en"),
+            (5, "acme corp annual report", "en"),  # near the acme pair
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "lang", window=3, max_distance=8
+        ).collect()
+    }
+    # the three acme variants sort adjacently and are within 8 edits
+    assert (1, 2) in pairs or (2, 1) in pairs
+    assert any(5 in p for p in pairs)
+    # the unrelated docs never pair with acme
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_snm_linear_candidate_bound_and_block_isolation(spark):
+    from faers_datalakehouse_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, "identical text for everyone", "en" if i % 2 else "de")
+            for i in range(20)]
+    df = _docs(spark, rows)
+    w = 4
+    got = sorted_neighborhood_pairs(df, "lang", window=w, max_distance=0)
+    pairs = got.collect()
+    # at most window-1 candidates per row
+    assert len(pairs) <= len(rows) * (w - 1)
+    # blocks never mix: both ids of a pair share the block's parity
+    for r in pairs:
+        assert r["id_a"] % 2 == r["id_b"] % 2
+
+
+def test_snm_stable_under_repartition(spark):
+    from faers_datalakehouse_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"document number {i // 3} shared prefix", "en")
+            for i in range(30)]
+    df = _docs(spark, rows)
+    a = {(r["id_a"], r["id_b"], r["distance"])
+         for r in sorted_neighborhood_pairs(df, "lang").collect()}
+    b = {(r["id_a"], r["id_b"], r["distance"])
+         for r in sorted_neighborhood_pairs(df.repartition(7), "lang").collect()}
+    assert a == b and a
+
+
+def test_snm_rejects_degenerate_window(spark):
+    from faers_datalakehouse_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = _docs(spark, [(1, "x", "en")])
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "lang", window=1)

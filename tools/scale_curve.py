@@ -49,6 +49,16 @@ OPS = [
     "bloom_prefilter",
     "incremental_matview",
     "versioned_changes",
+    # round-7 operators: triangle counting (wedge join must stay bounded
+    # — the generator shifts supplier/customer keys per copy so the graph
+    # grows as disjoint copies, triangles 5x, instead of collapsing into
+    # 5x multi-edges over the same nodes), bigram surprisal (tokenize +
+    # two vocab-keyed shuffles), the prefix-sum sampler (bucketed scan,
+    # no global window), and the one-scan expectations audit
+    "triangle_counts",
+    "bigram_surprisal",
+    "systematic_sample",
+    "expectations_audit",
 ]
 
 
@@ -108,17 +118,29 @@ def generate(spark, out_dir: str, factor: int) -> None:
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
     max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    # shift the graph endpoints (supplier/customer keys) by the same
+    # per-copy stride too: the triangle probe's graph then grows as
+    # `factor` DISJOINT copies (triangles x factor, per-node degrees
+    # unchanged) instead of stacking multi-edges on the same node set,
+    # which the distinct() would collapse into a no-growth workload
+    max_ck = orders.agg(F.max("o_custkey")).collect()[0][0] + 1
+    max_sk = li.agg(F.max("l_suppkey")).collect()[0][0] + 1
+    stride_nodes = max(max_ck, max_sk)
     ou = orders
     lu = li
     for i in range(1, factor):
         ou = ou.unionByName(
             orders.withColumn(
                 "o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok)
+            ).withColumn(
+                "o_custkey", F.col("o_custkey") + F.lit(i * stride_nodes)
             )
         )
         lu = lu.unionByName(
             li.withColumn(
                 "l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok)
+            ).withColumn(
+                "l_suppkey", F.col("l_suppkey") + F.lit(i * stride_nodes)
             )
         )
     ou.repartition(16).write.parquet(str(out / "orders.parquet"))
