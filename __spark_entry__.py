@@ -244,6 +244,15 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_lite(edges, iters=2)
 
 
+def _allpairs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.ranking import (
+        allpairs_similarity,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return allpairs_similarity(docs, n=3, max_df_pct=20, min_dot=300)
+
+
 def _snm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faers_datalakehouse_spark.operators.dedup import (
         sorted_neighborhood_pairs,
@@ -292,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked (new this round) --
         "snm_neardup": _snm_neardup,
+        "allpairs_tfidf": _allpairs_tfidf,
         "expectations_audit": S.expectations_audit_query,
         "quarantine_rows": S.quarantine_rows_query,
         "systematic_sample": S.systematic_sample_query,
@@ -379,16 +389,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "incremental_dedup": _incremental_dedup,
-        "chunk_documents": partial(
-            S.chunk_documents_query, chunk_size=32, overlap=8
-        ),
         "stratified_cap": partial(S.stratified_cap_query, cap=30),
         # -- rotation tail (positions 51+). First: this round's
         #    window-capacity rotations — bpe_pair_counts (family rep
-        #    bpe_encode in-window), mixture_weights (displaced by the
-        #    never-checked snm_neardup; r4-green, full-sweep-green) and
+        #    bpe_encode in-window), mixture_weights and chunk_documents
+        #    (displaced by the never-checked snm_neardup and
+        #    allpairs_tfidf; both r4-green, full-sweep-green, with
+        #    pack_sequences as the in-window chunking-family rep) and
         #    the r5-driver-green parity flagships, which re-enter in r8
         #    under the 2-round rule:
+        "chunk_documents": partial(
+            S.chunk_documents_query, chunk_size=32, overlap=8
+        ),
         "mixture_weights": S.mixture_weights_query,
         "bpe_pair_counts": partial(T.bpe_pair_counts_query, top_n=50),
         "fact_sales": build_fact_sales,
@@ -555,9 +567,16 @@ def oracle_sql() -> dict[str, str]:
     from faers_datalakehouse_spark.operators.dedup import snm_oracle_sql
     from faers_datalakehouse_spark.operators.graph import triangle_oracle_sql
 
+    from faers_datalakehouse_spark.operators.ranking import (
+        allpairs_oracle_sql,
+    )
+
     return {
         "snm_neardup": snm_oracle_sql(
             window=4, prefix_len=32, max_distance=10
+        ),
+        "allpairs_tfidf": allpairs_oracle_sql(
+            n=3, max_df_pct=20, min_dot=300
         ),
         "expectations_audit": audit_oracle_sql(
             S.ORDER_EXPECTATIONS, "orders"

@@ -100,6 +100,8 @@ BENCH_QUERIES = {
     "q39_triangles": ("count", "triangle_counts"),
     "q40_systematic_sample": ("count", "systematic_sample"),
     "q41_expectations_audit": ("collect", "expectations_audit"),
+    "q42_snm_neardup": ("count", "snm_neardup"),
+    "q43_allpairs_tfidf": ("count", "allpairs_tfidf"),
 }
 
 

@@ -211,3 +211,160 @@ GROUP BY word
 HAVING count(*) <= {max_df}
 ORDER BY word
 """
+
+
+# --------------------------------------------------------------------------
+# All-pairs document similarity via posting-list self-join (Elsayed,
+# Lin & Oard, "Pairwise Document Similarity in Large Collections with
+# MapReduce", ACL 2008) — the sparse/lexical complement to the dense
+# ANN stack in operators/similarity.py.
+# --------------------------------------------------------------------------
+
+
+def allpairs_similarity(
+    docs: DataFrame,
+    n: int = 3,
+    max_df_pct: int = 20,
+    min_dot: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """tf-idf dot products between every document pair that shares at
+    least one indexed ``n``-token shingle: ``(id_a, id_b, dot, cos)``
+    with ``id_a < id_b``, ordered by (id_a, id_b).
+
+    Features are word shingles, not single words: shingles carry phrase
+    identity (the near-duplicate signal) and their feature space stays
+    discriminative even on small vocabularies, where single-word tf-idf
+    saturates. Weights are exact integers — ``w(d,g) = tf · idf_bits``
+    with the +1-smoothed bit-length idf
+    (``1 + floor(log2(N div df))`` = ``length(bin(N div df))``; the
+    smoothing keeps shared features weighted even when df approaches N,
+    where the unsmoothed floor collapses to 0 and erases every pair) —
+    so ``dot`` and the norm-squares are int64 and the DuckDB twin
+    matches bit-for-bit; ``cos`` is one IEEE chain over those integers
+    (``dot / sqrt(double(norm2_a · norm2_b))``), identical across
+    engines.
+
+    Scale shape (the ACL'08 layout): pair generation is a self-join of
+    the weighted postings ON SHINGLE — its output is bounded by
+    ``Σ_g df(g)²``, and the ``max_df_pct`` cut (df ≤ N·pct/100,
+    integer-exact in both engines) caps every feature's contribution.
+    That cut is what makes all-pairs similarity tractable at corpus
+    scale: boilerplate shingles pair EVERY document with every other
+    (the quadratic killer), carry no discrimination signal, and are
+    exactly the features tf-idf down-weights anyway. The postings frame
+    feeds three consumers (both self-join sides + the norm aggregation),
+    so it is persisted; every join key (shingle, then doc id) is a plain
+    hash shuffle — no broadcast of anything corpus-proportional, no
+    driver state.
+    """
+    from .dedup import _let, _norm_text
+
+    # _let binds the normalized token array ONCE: a subexpression
+    # referenced inside a transform lambda is re-evaluated per array
+    # element (no CSE in higher-order functions), and here that
+    # subexpression is two corpus-text regexes — measured 11.5 s vs
+    # 0.9 s for the shingle stream at sf0.1
+    sh = _let(
+        F.split(_norm_text(F.col(text_col)), " "),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("g")
+    )
+    # tf feeds three derivations (dfreq, the global N, the weighted
+    # postings) — persist so the tokenize+count pipeline runs once
+    tf = (
+        grams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dfreq = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.countDistinct("id").alias("n_docs"))
+    idf_bits = F.length(F.bin(F.expr("n_docs div df"))).cast("long")
+    w = (
+        tf.join(dfreq, "g")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 100 <= F.col("n_docs") * max_df_pct)
+        .select(
+            "id",
+            "g",
+            (F.col("tf").cast("long") * idf_bits).alias("w"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    a, b = w.alias("a"), w.alias("b")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        .filter(F.col("dot") >= min_dot)
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("_n2a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("_n2b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("_n2a") * F.col("_n2b")).cast("double"))
+            ).alias("cos"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def allpairs_oracle_sql(
+    n: int = 3, max_df_pct: int = 20, min_dot: int = 1
+) -> str:
+    """DuckDB twin of ``allpairs_similarity`` — identical shingling,
+    integer weights, and IEEE cosine chain."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT id, array_to_string(list_slice(t, i, i + {n} - 1), ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}
+),
+tf AS (SELECT id, g, count(*) AS tf FROM grams GROUP BY id, g),
+dfreq AS (SELECT g, count(*) AS df FROM tf GROUP BY g),
+nd AS (SELECT count(DISTINCT id) AS n_docs FROM tf),
+w AS (
+  SELECT tf.id, tf.g,
+         tf.tf * length(bin(nd.n_docs // dfreq.df)) AS w
+  FROM tf JOIN dfreq USING (g) CROSS JOIN nd
+  WHERE dfreq.df * 100 <= nd.n_docs * {max_df_pct}
+),
+norms AS (SELECT id, sum(w * w) AS norm2 FROM w GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING sum(a.w * b.w) >= {min_dot}
+)
+SELECT p.id_a, p.id_b, CAST(p.dot AS BIGINT) AS dot,
+       CAST(p.dot AS DOUBLE)
+         / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cos
+FROM pairs p
+JOIN norms na ON na.id = p.id_a
+JOIN norms nb ON nb.id = p.id_b
+ORDER BY id_a, id_b
+"""

@@ -672,3 +672,71 @@ def test_snm_rejects_degenerate_window(spark):
     df = _docs(spark, [(1, "x", "en")])
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, "lang", window=1)
+
+
+# -- all-pairs tf-idf similarity ------------------------------------------
+
+
+def test_allpairs_near_dup_scores_high(spark):
+    from faers_datalakehouse_spark.operators.ranking import (
+        allpairs_similarity,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = _docs(
+        spark,
+        [
+            (1, base, "en"),
+            (2, base + " today", "en"),  # near-dup of 1
+            (3, "entirely different content about quantum chromodynamics "
+                "lattice simulations and gauge theory", "en"),
+        ],
+    )
+    rows = allpairs_similarity(df, n=3, max_df_pct=100, min_dot=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["cos"] > 0.8
+    # doc 3 shares no 3-shingle with the fox docs
+    assert not any(3 in p for p in pairs)
+
+
+def test_allpairs_df_cut_drops_boilerplate(spark):
+    from faers_datalakehouse_spark.operators.ranking import (
+        allpairs_similarity,
+    )
+
+    # every doc carries the same boilerplate header; bodies are disjoint
+    rows = [
+        (i, "standard corporate disclaimer header text " + body, "en")
+        for i, body in enumerate(
+            ["alpha beta gamma delta", "epsilon zeta eta theta",
+             "iota kappa lam mu", "nu xi omicron pi rho"]
+        )
+    ]
+    df = _docs(spark, rows)
+    # df cut at 50%: boilerplate shingles (df=4 of 4 docs) are dropped,
+    # so no pair survives
+    assert (
+        allpairs_similarity(df, n=3, max_df_pct=50, min_dot=1).count() == 0
+    )
+    # without the cut the boilerplate pairs everything with everything
+    assert (
+        allpairs_similarity(df, n=3, max_df_pct=100, min_dot=1).count() == 6
+    )
+
+
+def test_allpairs_stable_under_repartition(spark):
+    from faers_datalakehouse_spark.operators.ranking import (
+        allpairs_similarity,
+    )
+
+    rows = [(i, f"shared phrase block {i % 3} with common tail words here",
+             "en") for i in range(12)]
+    df = _docs(spark, rows)
+    # 50% cut: each i%3 group's shingles sit at df=4 of 12 (33%) — kept
+    a = {(r["id_a"], r["id_b"], r["dot"])
+         for r in allpairs_similarity(df, max_df_pct=50, min_dot=1).collect()}
+    b = {(r["id_a"], r["id_b"], r["dot"])
+         for r in allpairs_similarity(
+             df.repartition(5), max_df_pct=50, min_dot=1).collect()}
+    assert a == b and a
