@@ -1540,3 +1540,66 @@ TRIANGLE_EDGES_SQL = (
     "SELECT l_suppkey AS src, o_custkey AS dst "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
 )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (the 100 TB large x large join strategy)
+# --------------------------------------------------------------------------
+
+
+def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star schema's one large x large join (lineitem x orders on
+    orderkey) through BUCKETED tables: both sides written
+    ``bucketBy(8, orderkey)`` + ``sortBy``, so the sort-merge join reads
+    co-located, pre-sorted buckets — no shuffle exchange on either input
+    (the plan property is pinned in ``tests/test_bucketing.py``; this
+    entry adds the driver-facing correctness surface). At 100 TB this is
+    THE strategy for repeated fact-to-fact joins: the shuffle is paid
+    once at write time and amortized over every subsequent join.
+
+    The join is hinted ``merge`` so the plan exercises the bucketed
+    sort-merge path even where sf0.01 statistics would pick a broadcast.
+    """
+    from ..sources.catalog import ensure_schemas
+
+    ensure_schemas(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("silver.li_bucketed_entry")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("silver.ord_bucketed_entry")
+    )
+    lib = spark.table("silver.li_bucketed_entry")
+    ordb = spark.table("silver.ord_bucketed_entry")
+    return (
+        lib.hint("merge")
+        .join(ordb, lib.l_orderkey == ordb.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus", "l_returnflag")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderstatus, l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus, l_returnflag
+ORDER BY o_orderstatus, l_returnflag
+"""

@@ -27,6 +27,7 @@ ALLOWED_NESTED_LOOP = {
     "dsir_weights",      # 1-row smoothed-totals broadcast onto the stream
     "dsir_select",       # same totals broadcast via dsir_weights
     "value_histogram",   # 1-row min/max bounds broadcast onto the scan
+    "allpairs_tfidf",    # 1-row global-N broadcast onto the postings
 }
 
 
