@@ -1560,9 +1560,19 @@ def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join is hinted ``merge`` so the plan exercises the bucketed
     sort-merge path even where sf0.01 statistics would pick a broadcast.
     """
+    import shutil
+    from urllib.parse import urlparse
+
     from ..sources.catalog import ensure_schemas
 
     ensure_schemas(spark)
+    # a managed table's LOCATION can survive from a previous session whose
+    # in-memory metastore is gone; saveAsTable then refuses the name. Drop
+    # both the catalog entry and any orphaned location.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("li_bucketed_entry", "ord_bucketed_entry"):
+        spark.sql(f"DROP TABLE IF EXISTS silver.{t}")
+        shutil.rmtree(f"{wh}/silver.db/{t}", ignore_errors=True)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )

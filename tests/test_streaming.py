@@ -339,3 +339,53 @@ def test_streaming_funnel_matches_batch(spark, tmp_path, sf_dir):
     got = spark.table(result).orderBy("step_index").collect()
     want = funnel_steps(spark, sf_dir).collect()
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, sf_dir):
+    """Watermarked stream-stream inner join (click -> purchase within 1h):
+    the streaming result over a finite input must equal the batch join
+    exactly. Inner-join pairs emit as they match, so availableNow input
+    loses nothing to the watermark."""
+    from faers_datalakehouse_spark.sources.tables import read_events
+    from faers_datalakehouse_spark.streaming.joins import attribute_purchases
+
+    stream = stream_events_from_dir(spark, events_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    out = run_to_completion(
+        attribute_purchases(clicks_s, purch_s),
+        "click_purchase_join",
+        "append",
+    )
+    got = {
+        (r["click_id"], r["purchase_id"], r["value_cents"])
+        for r in out.collect()
+    }
+
+    ev = read_events(spark, sf_dir)
+    want_df = attribute_purchases(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"], r["value_cents"])
+        for r in want_df.collect()
+    }
+    assert got == want and got
+
+
+def test_stream_stream_join_state_bound_documented(spark, events_dir):
+    """The join carries the time-range condition both watermarks need for
+    state eviction — assert the analyzed plan keeps the range predicates
+    (dropping them would silently make state unbounded)."""
+    from faers_datalakehouse_spark.streaming.joins import attribute_purchases
+
+    stream = stream_events_from_dir(spark, events_dir)
+    j = attribute_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    assert j.isStreaming
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert "purchase_ts" in plan and "click_ts" in plan
+    assert "watermark" in plan.lower()
