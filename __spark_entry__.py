@@ -399,9 +399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the r5-driver-green parity flagships, which re-enter in r8
         #    under the 2-round rule:
         # new this round but tail-registered (window is at capacity with
-        # 3-round-stale entries): strict-sweep-verified now, enters the
+        # 3-round-stale entries): strict-sweep-verified now, enter the
         # driver window in r8 with the other never-checked entries
         "bucketed_join": S.bucketed_join_query,
+        "streaming_attribution": S.streaming_attribution_query,
         "chunk_documents": partial(
             S.chunk_documents_query, chunk_size=32, overlap=8
         ),
@@ -583,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
             n=3, max_df_pct=20, min_dot=300
         ),
         "bucketed_join": S.BUCKETED_JOIN_SQL,
+        "streaming_attribution": S.STREAMING_ATTRIBUTION_SQL,
         "expectations_audit": audit_oracle_sql(
             S.ORDER_EXPECTATIONS, "orders"
         ),

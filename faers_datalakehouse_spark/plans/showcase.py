@@ -1613,3 +1613,65 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus, l_returnflag
 ORDER BY o_orderstatus, l_returnflag
 """
+
+
+def streaming_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WATERMARKED STREAM-STREAM JOIN with a table sink,
+    driver-oracle-checked against the equivalent batch range join:
+
+    events parquet → ``readStream`` → split into click / purchase streams
+    → ``streaming.joins.attribute_purchases`` (watermarks + time-range
+    condition = bounded state) → append-mode parquet sink
+    (``availableNow``) → read back. Inner-join pairs emit as they match,
+    so the finite input loses nothing to the watermark and the sink's
+    content hashes identically to the batch join — the strongest
+    correctness statement the repo makes about stream-stream state
+    management."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..streaming.events import stream_events_from_dir
+    from ..streaming.joins import attribute_purchases
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_attr_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    landing = f"{root}/landing"
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stream = stream_events_from_dir(spark, landing)
+    joined = attribute_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    out_dir = f"{root}/pairs"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("click_id", "purchase_id")
+
+
+STREAMING_ATTRIBUTION_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       CAST(round(p.value * 100) AS BIGINT) AS value_cents
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+"""
