@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver window in r8 with the other never-checked entries
         "bucketed_join": S.bucketed_join_query,
         "streaming_attribution": S.streaming_attribution_query,
+        "versioned_bloom_read": S.versioned_bloom_read_query,
         "chunk_documents": partial(
             S.chunk_documents_query, chunk_size=32, overlap=8
         ),
@@ -585,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bucketed_join": S.BUCKETED_JOIN_SQL,
         "streaming_attribution": S.STREAMING_ATTRIBUTION_SQL,
+        "versioned_bloom_read": S.VERSIONED_BLOOM_READ_SQL,
         "expectations_audit": audit_oracle_sql(
             S.ORDER_EXPECTATIONS, "orders"
         ),

@@ -1675,3 +1675,46 @@ JOIN events p
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 ORDER BY click_id, purchase_id
 """
+
+
+def versioned_bloom_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index file skipping end-to-end: write ``documents`` as a
+    HASH-distributed versioned table (every file spans the full doc_id
+    range — min/max stats cannot prune) with a per-file bloom index on
+    ``doc_id``, then point-lookup a set of ids through
+    ``read_bloom_pruned``. The oracle is the plain filter on
+    ``documents`` — equality proves the index never loses a row (no
+    false negatives); the skipping itself is asserted in
+    ``tests/test_versioned.py``.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_bloom/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(
+        docs.repartition(8, "doc_id"),
+        mode="overwrite",
+        bloom_cols=("doc_id",),
+    )
+    frames = [
+        vt.read_bloom_pruned(spark, "doc_id", probe)[0]
+        for probe in (7, 42, 123, 321)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("doc_id")
+
+
+VERSIONED_BLOOM_READ_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (7, 42, 123, 321)
+ORDER BY doc_id
+"""

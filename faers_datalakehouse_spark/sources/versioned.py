@@ -18,10 +18,14 @@ the semantics the reference actually relies on:
   ``sources.maintenance.compact_table`` on live directories);
 - **vacuum**: physically deletes files unreferenced by retained manifests.
 
+Data skipping: per-file min/max stats (``read_pruned`` — clustered
+columns) and per-file bloom filter indexes (``read_bloom_pruned`` —
+point lookups on unclustered columns; Delta bloom-filter-index analog).
+
 Deliberate non-goals (use real Delta/Iceberg on a cluster): multi-writer
 optimistic concurrency (single-writer assumed; version allocation is
 max+1), MERGE inside the log (the engine's DataFrame-native SCD2/MERGE
-compose on top), column-stat data skipping, and catalog integration.
+compose on top), and catalog integration.
 
 Scale notes: manifests hold file paths + sizes only — KBs per snapshot at
 thousands of files; resolution is one small JSON read on the driver, and
@@ -31,6 +35,7 @@ predicate pushdown, partition-size splitting all unchanged).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -170,7 +175,11 @@ class VersionedTable:
     # -- commits ----------------------------------------------------------
 
     def _stage_files(
-        self, df: DataFrame, stats_cols: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+        bloom_fp: float = 0.01,
     ) -> list[dict]:
         stage = self.root / "data" / uuid.uuid4().hex
         df.write.parquet(str(stage))
@@ -178,6 +187,8 @@ class VersionedTable:
             {"path": str(p.relative_to(self.root)), "bytes": p.stat().st_size}
             for p in sorted(stage.glob("*.parquet"))
         ]
+        if bloom_cols and entries:
+            self._stage_blooms(df, stage, entries, bloom_cols, bloom_fp)
         if stats_cols and entries:
             # per-file min/max for the skipping index: ONE distributed
             # aggregation over the staged files keyed by input_file_name —
@@ -211,6 +222,98 @@ class VersionedTable:
                         e["stats"] = stats
                         break
         return entries
+
+    def _stage_blooms(
+        self,
+        df: DataFrame,
+        stage: Path,
+        entries: list[dict],
+        bloom_cols: tuple[str, ...],
+        fp_rate: float,
+    ) -> None:
+        """Per-file bloom filter index (Delta bloom-filter-index analog):
+        point-lookup file skipping for columns whose values are NOT
+        clustered, where min/max stats cannot prune (every file spans the
+        full range). Build is one distributed aggregation per column
+        keyed by (file, word); the probe is driver-side Python over the
+        manifest, so positions use the repo's PORTABLE md5 idiom (low 8
+        hex digits), not JVM xxhash64 — both sides of the index must
+        compute the same hash and only md5 is shared vocabulary.
+
+        Sizing: one (m, k) per column from the largest file's row count
+        (k capped at 4 — the probe here is driver-side, but the build is
+        codegen and the same huge-method cliff applies). Words are stored
+        sparse ({word_index: bits}) in the manifest; at 10.5 bits/key
+        this is ~KBs per file per column — production would move them to
+        a sidecar, the manifest shape is the point here.
+        """
+        from pyspark.sql import functions as F
+
+        from ..operators.bloom import sizing
+
+        spark = df.sparkSession
+        scan = spark.read.parquet(str(stage)).withColumn(
+            "_file", F.input_file_name()
+        )
+        counts = {
+            r["_file"]: r["n"]
+            for r in scan.groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        max_n = max(counts.values()) if counts else 1
+        m, k = sizing(max(max_n, 64), fp_rate)
+        for col in bloom_cols:
+            pos = F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.col(col).cast("string"),
+                                            F.lit(f"|{i}"),
+                                        )
+                                    ),
+                                    25,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(m),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+            rows = (
+                scan.filter(F.col(col).isNotNull())
+                .select("_file", pos)
+                .select(
+                    "_file",
+                    (F.col("pos") / 64).cast("int").alias("word"),
+                    F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias(
+                        "bit"
+                    ),
+                )
+                .groupBy("_file", "word")
+                .agg(F.bit_or("bit").alias("bits"))
+                .collect()
+            )
+            by_file: dict[str, dict] = {}
+            for r in rows:
+                by_file.setdefault(r["_file"], {})[str(r["word"])] = r["bits"]
+            for e in entries:
+                for f, words in by_file.items():
+                    if f.endswith(e["path"]):
+                        e.setdefault("bloom", {})[col] = {
+                            "m": m,
+                            "k": k,
+                            "words": words,
+                        }
+                        break
 
     def _commit(
         self,
@@ -252,6 +355,7 @@ class VersionedTable:
         mode: str = "append",
         committed_at: str = "1970-01-01T00:00:00Z",
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
         constraints: tuple[str, ...] = (),
         commit_extra: dict | None = None,
     ) -> int:
@@ -282,7 +386,9 @@ class VersionedTable:
                 + list(constraints)
             )
         )
-        new_files = self._stage_files(df, stats_cols=stats_cols)
+        new_files = self._stage_files(
+            df, stats_cols=stats_cols, bloom_cols=bloom_cols
+        )
         if effective and new_files:
             self._validate_staged(
                 df.sparkSession, new_files, effective
@@ -454,6 +560,66 @@ class VersionedTable:
             .withColumn("_i", F.explode(F.sequence(F.lit(1), F.abs("_net"))))
             .select(*data_cols, "change_type")
         )
+
+    def read_bloom_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Point lookup through the per-file bloom index: skip every file
+        whose bloom provably excludes ``value`` (no false negatives — a
+        file containing the value always has all k bits set), read the
+        rest, apply the exact predicate. Files without a bloom for
+        ``col`` are conservatively read. Complements ``read_pruned``:
+        min/max skips on CLUSTERED columns, the bloom skips on any
+        column, paying ~10.5 bits per distinct value in the manifest.
+        """
+        if value is None:
+            raise ValueError("bloom lookup value must not be NULL")
+        snap = self.snapshot(version)
+        keep = []
+        for f in snap.files:
+            idx = f.get("bloom", {}).get(col) if isinstance(f, dict) else None
+            if idx is None:
+                keep.append(f)
+                continue
+            m, k, words = idx["m"], idx["k"], idx["words"]
+            hit = True
+            for i in range(k):
+                h = int(
+                    hashlib.md5(
+                        f"{value}|{i}".encode()
+                    ).hexdigest()[24:32],
+                    16,
+                ) % m
+                bits = words.get(str(h // 64), 0)
+                mask = 1 << (h % 64)
+                # bits is the sign-preserving int64 from bit_or; Python
+                # ints are unbounded, so normalize negative to unsigned
+                if bits < 0:
+                    bits += 1 << 64
+                if not bits & mask:
+                    hit = False
+                    break
+            if hit:
+                keep.append(f)
+        report = {
+            "files_total": len(snap.files),
+            "files_read": len(keep),
+            "files_skipped": len(snap.files) - len(keep),
+        }
+        from pyspark.sql import functions as F
+
+        if not keep:
+            return self.read(spark, version).limit(0).filter(
+                F.col(col) == F.lit(value)
+            ), report
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[str(self.root / f["path"]) for f in keep]
+        )
+        return df.filter(F.col(col) == F.lit(value)), report
 
     def read_pruned(
         self,

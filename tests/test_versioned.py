@@ -630,3 +630,68 @@ def test_apply_changes_replays_null_key_delete(spark, tmp_path):
     s = {(r["id"], r["v"]) for r in src.read(spark).collect()}
     d = {(r["id"], r["v"]) for r in dst.read(spark).collect()}
     assert s == d == {(1, "a")}
+
+
+def test_bloom_index_skips_files_on_unclustered_column(spark, tmp_path):
+    """Per-file bloom index: on a HASH-distributed layout (every file
+    spans the full id range, so min/max stats can never prune), a point
+    lookup through the bloom skips most files and never misses the
+    matching row (no false negatives)."""
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_bloom"))
+    df = spark.range(4000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    # repartition by id HASH: values scatter uniformly — min/max useless
+    vt.write(
+        df.repartition(8, "id"),
+        mode="overwrite",
+        stats_cols=("id",),
+        bloom_cols=("id",),
+    )
+    snap = vt.snapshot()
+    assert len(snap.files) == 8
+    assert all("bloom" in f and "id" in f["bloom"] for f in snap.files)
+
+    # min/max CANNOT prune this layout
+    _, rep_minmax = vt.read_pruned(spark, "id", 1234)
+    assert rep_minmax["files_skipped"] == 0
+
+    # the bloom prunes most files and always keeps the true one
+    out, rep = vt.read_bloom_pruned(spark, "id", 1234)
+    assert rep["files_read"] < rep["files_total"]
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1234
+
+    # every present value is found (no false negatives), sampled ids
+    for probe in (0, 77, 1999, 3999):
+        out, _ = vt.read_bloom_pruned(spark, "id", probe)
+        assert [r["id"] for r in out.collect()] == [probe]
+
+    # absent value: typically all files skipped; result always empty
+    out, rep = vt.read_bloom_pruned(spark, "id", 10**9)
+    assert out.count() == 0
+
+
+def test_bloom_index_conservative_without_index(spark, tmp_path):
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_bloom_none"))
+    vt.write(spark.range(100).repartition(4), mode="overwrite")
+    out, rep = vt.read_bloom_pruned(spark, "id", 50)
+    assert rep["files_skipped"] == 0
+    assert [r["id"] for r in out.collect()] == [50]
+
+
+def test_bloom_index_string_column_and_null_probe(spark, tmp_path):
+    from faers_datalakehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_bloom_str"))
+    df = spark.range(500).select(
+        F.concat(F.lit("user_"), F.col("id").cast("string")).alias("name")
+    )
+    vt.write(df.repartition(6, "name"), mode="overwrite", bloom_cols=("name",))
+    out, rep = vt.read_bloom_pruned(spark, "name", "user_123")
+    assert rep["files_read"] < rep["files_total"]
+    assert [r["name"] for r in out.collect()] == ["user_123"]
+    with pytest.raises(ValueError, match="NULL"):
+        vt.read_bloom_pruned(spark, "name", None)
