@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": S.bucketed_join_query,
         "streaming_attribution": S.streaming_attribution_query,
         "versioned_bloom_read": S.versioned_bloom_read_query,
+        "pq_encode": S.pq_encode_query,
+        "pq_topk": S.pq_topk_query,
         "chunk_documents": partial(
             S.chunk_documents_query, chunk_size=32, overlap=8
         ),
@@ -572,6 +574,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from faers_datalakehouse_spark.operators.dedup import snm_oracle_sql
     from faers_datalakehouse_spark.operators.graph import triangle_oracle_sql
+    from faers_datalakehouse_spark.operators.pq import (
+        pq_encode_oracle_sql,
+        pq_topk_oracle_sql,
+    )
 
     from faers_datalakehouse_spark.operators.ranking import (
         allpairs_oracle_sql,
@@ -587,6 +593,10 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join": S.BUCKETED_JOIN_SQL,
         "streaming_attribution": S.STREAMING_ATTRIBUTION_SQL,
         "versioned_bloom_read": S.VERSIONED_BLOOM_READ_SQL,
+        "pq_encode": pq_encode_oracle_sql(**S.PQ_PARAMS),
+        "pq_topk": pq_topk_oracle_sql(
+            S.PQ_QUERY, topk=10, **S.PQ_PARAMS
+        ),
         "expectations_audit": audit_oracle_sql(
             S.ORDER_EXPECTATIONS, "orders"
         ),

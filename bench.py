@@ -102,6 +102,7 @@ BENCH_QUERIES = {
     "q41_expectations_audit": ("collect", "expectations_audit"),
     "q42_snm_neardup": ("count", "snm_neardup"),
     "q43_allpairs_tfidf": ("count", "allpairs_tfidf"),
+    "q44_pq_encode": ("count", "pq_encode"),
 }
 
 

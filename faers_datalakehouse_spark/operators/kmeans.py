@@ -178,61 +178,66 @@ def kmeans_ctes(
     table: str = "embeddings",
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    prefix: str = "",
 ) -> str:
     """DuckDB CTE chain mirroring ``kmeans_assign`` exactly — the same
     seeds, distances, argmin tiebreak, and integer centroid rounding,
     unrolled round by round (c0 → a0 → c1 → a1 → …). The final CTE
-    ``a{iters}`` holds the assignment ``(id_col, qv, cid)``; composing
-    oracles (kmeans_clusters, semantic_neardup) append their own CTEs."""
+    ``{prefix}a{iters}`` holds the assignment ``(id_col, qv, cid)``;
+    composing oracles (kmeans_clusters, semantic_neardup, pq) append
+    their own CTEs. ``prefix`` namespaces every CTE so multiple chains
+    (one per PQ subspace) can coexist in a single WITH. ``emb_col`` may
+    be any list-valued SQL expression (e.g. a slice ``embedding[1:8]``)."""
+    p = prefix
     rha = (
         "CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n) "
         "ELSE -((2 * (-s) + n) // (2 * n)) END"
     )
     parts = [
-        f"""q AS (
+        f"""{p}q AS (
   SELECT {id_col}, list_transform({emb_col},
          x -> CAST(round(x * {QUANT}) AS BIGINT)) AS qv
   FROM {table}
 ),
-c0 AS (
+{p}c0 AS (
   SELECT rn - 1 AS cid, qv AS cent FROM (
     SELECT qv, row_number() OVER (ORDER BY
       ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT,
       {id_col}) AS rn
-    FROM q
+    FROM {p}q
   ) WHERE rn <= {k}
 )"""
     ]
     for i in range(iters + 1):
         parts.append(
-            f"""d{i} AS (
+            f"""{p}d{i} AS (
   SELECT q.{id_col}, q.qv, c.cid,
          list_sum(list_transform(range(1, {dims + 1}),
            j -> (q.qv[j] - c.cent[j]) * (q.qv[j] - c.cent[j]))) AS dist
-  FROM q CROSS JOIN c{i} c
+  FROM {p}q q CROSS JOIN {p}c{i} c
 ),
-a{i} AS (
+{p}a{i} AS (
   SELECT {id_col}, qv, cid FROM (
     SELECT *, row_number() OVER (
       PARTITION BY {id_col} ORDER BY dist, cid) AS rn
-    FROM d{i}
+    FROM {p}d{i}
   ) WHERE rn = 1
 )"""
         )
         if i == iters:
             break
         parts.append(
-            f"""s{i} AS (
+            f"""{p}s{i} AS (
   SELECT cid, j, sum(qv[j]) AS s, count(*) AS n
-  FROM a{i} CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS j) dd
+  FROM {p}a{i} CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS j) dd
   GROUP BY cid, j
 ),
-u{i} AS (
-  SELECT cid, list({rha} ORDER BY j) AS cent FROM s{i} GROUP BY cid
+{p}u{i} AS (
+  SELECT cid, list({rha} ORDER BY j) AS cent FROM {p}s{i} GROUP BY cid
 ),
-c{i + 1} AS (
+{p}c{i + 1} AS (
   SELECT p.cid, coalesce(u.cent, p.cent) AS cent
-  FROM c{i} p LEFT JOIN u{i} u USING (cid)
+  FROM {p}c{i} p LEFT JOIN {p}u{i} u USING (cid)
 )"""
         )
     return ",\n".join(parts)

@@ -1718,3 +1718,44 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id IN (7, 42, 123, 321)
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (compressed-domain ANN)
+# --------------------------------------------------------------------------
+
+# Fixed synthetic query for the PQ search entry: the oracle SQL is a
+# static string, so the query must be data-independent; this pattern is
+# deterministic and exercises all 64 dims with distinct values.
+PQ_QUERY = [((i * 37) % 100) / 100.0 for i in range(64)]
+PQ_PARAMS = {"m_sub": 8, "k": 16, "iters": 2, "dims": 64}
+
+
+def _pq_models(spark: SparkSession, sf_dir: str):
+    from ..operators.pq import pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, pq_train(emb, **PQ_PARAMS)
+
+
+def pq_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes for the whole corpus: 8 subspace codebooks (integer-exact
+    Lloyd), nearest-centroid indexes packed base-16 into one int64 per
+    vector — 256 bytes of floats compressed to 8. Codes are bit-exact
+    against the oracle's independently-derived SQL codebooks, which
+    verifies the entire train→slice→assign→pack pipeline."""
+    from ..operators.pq import pq_encode
+
+    emb, models = _pq_models(spark, sf_dir)
+    return pq_encode(emb, models, dims=PQ_PARAMS["dims"]).orderBy("vec_id")
+
+
+def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN search: top-10 by asymmetric distance
+    computation over the PQ codes (m_sub literal-table lookups per
+    document, no float math, no decompression)."""
+    from ..operators.pq import pq_encode, pq_topk
+
+    emb, models = _pq_models(spark, sf_dir)
+    codes = pq_encode(emb, models, dims=PQ_PARAMS["dims"])
+    return pq_topk(codes, models, PQ_QUERY, topk=10)
