@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_bloom_read": S.versioned_bloom_read_query,
         "pq_encode": S.pq_encode_query,
         "pq_topk": S.pq_topk_query,
+        "pq_recall": S.pq_recall_query,
         "chunk_documents": partial(
             S.chunk_documents_query, chunk_size=32, overlap=8
         ),
@@ -576,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
     from faers_datalakehouse_spark.operators.graph import triangle_oracle_sql
     from faers_datalakehouse_spark.operators.pq import (
         pq_encode_oracle_sql,
+        pq_recall_oracle_sql,
         pq_topk_oracle_sql,
     )
 
@@ -596,6 +598,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": pq_encode_oracle_sql(**S.PQ_PARAMS),
         "pq_topk": pq_topk_oracle_sql(
             S.PQ_QUERY, topk=10, **S.PQ_PARAMS
+        ),
+        "pq_recall": pq_recall_oracle_sql(
+            n_queries=8, topk=5, **S.PQ_PARAMS
         ),
         "expectations_audit": audit_oracle_sql(
             S.ORDER_EXPECTATIONS, "orders"

@@ -1764,3 +1764,14 @@ def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, models = _pq_models(spark, sf_dir)
     codes = pq_encode(emb, models, dims=PQ_PARAMS["dims"])
     return pq_topk(codes, models, PQ_QUERY, topk=10)
+
+
+def pq_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of PQ-ADC search vs exact quantized-L2 top-5
+    for 8 md5-sampled corpus queries — the quality gauge for the
+    compressed index, with every number (sampled queries, both rank
+    lists, the recall integers) re-derived by the oracle."""
+    from ..operators.pq import pq_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_recall(emb, n_queries=8, topk=5, **PQ_PARAMS)

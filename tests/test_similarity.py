@@ -53,3 +53,29 @@ def test_pq_validation(spark):
         pq_train(emb, m_sub=7)
     with pytest.raises(ValueError, match="base-16"):
         pq_train(emb, m_sub=8, k=32)
+
+
+def test_pq_recall_matches_oracle_and_bounds(spark):
+    """pq_recall's every value (sampled queries, both rank lists, recall
+    integers) matches the DuckDB re-derivation, and the recall numbers
+    are sane: n_exact == topk, 0 <= n_hits <= topk."""
+    import duckdb
+
+    from faers_datalakehouse_spark.operators.pq import (
+        pq_recall,
+        pq_recall_oracle_sql,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [tuple(r) for r in pq_recall(emb, iters=1).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    want = con.execute(pq_recall_oracle_sql(iters=1)).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) == 8
+    for _, n_exact, n_hits, pct in got:
+        assert n_exact == 5 and 0 <= n_hits <= 5
+        assert pct == n_hits * 100 // n_exact
