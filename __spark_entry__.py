@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": S.bucketed_join_query,
         "streaming_attribution": S.streaming_attribution_query,
         "versioned_bloom_read": S.versioned_bloom_read_query,
+        "versioned_partition_ops": S.versioned_partition_query,
         "pq_encode": S.pq_encode_query,
         "pq_topk": S.pq_topk_query,
         "pq_recall": S.pq_recall_query,
@@ -595,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join": S.BUCKETED_JOIN_SQL,
         "streaming_attribution": S.STREAMING_ATTRIBUTION_SQL,
         "versioned_bloom_read": S.VERSIONED_BLOOM_READ_SQL,
+        "versioned_partition_ops": S.VERSIONED_PARTITION_SQL,
         "pq_encode": pq_encode_oracle_sql(**S.PQ_PARAMS),
         "pq_topk": pq_topk_oracle_sql(
             S.PQ_QUERY, topk=10, **S.PQ_PARAMS

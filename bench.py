@@ -103,6 +103,10 @@ BENCH_QUERIES = {
     "q42_snm_neardup": ("count", "snm_neardup"),
     "q43_allpairs_tfidf": ("count", "allpairs_tfidf"),
     "q44_pq_encode": ("count", "pq_encode"),
+    # Round-7 late: partitioned versioned table (partitionBy write +
+    # dynamic partition overwrite + three manifest-pruned reads) —
+    # write-inclusive like q35.
+    "q45_versioned_partition": ("count", "versioned_partition_ops"),
 }
 
 

@@ -1033,6 +1033,65 @@ ORDER BY as_of, doc_id
 """
 
 
+def versioned_partition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned versioned table end-to-end: Hive-layout
+    ``partitionBy`` write, DYNAMIC PARTITION OVERWRITE of one partition,
+    and manifest-level partition pruning — the Delta
+    ``partitionBy``/``replaceWhere`` surface the reference's bronze
+    tables rely on, oracle-checkable.
+
+    v1 writes ``documents(doc_id, lang, score)`` partitioned by
+    ``lang``; v2 overwrites ONLY the ``de`` partition with rescored even
+    doc_ids. The result unions three partition-pruned reads —
+    post-overwrite ``de`` (proves the partition was replaced),
+    post-overwrite ``en`` (proves other partitions were carried by
+    reference, byte-identical), and time-travel v1 ``de`` (proves the
+    old partition is still readable) — each read touching only its
+    partition's files, decided from the manifest with zero file listing.
+    The oracle reproduces all three slices straight from ``documents``.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", (F.col("doc_id") % 7).alias("score")
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_part/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs, partition_by=("lang",), mode="overwrite")
+    vt.write(
+        docs.filter((F.col("lang") == "de") & (F.col("doc_id") % 2 == 0))
+        .withColumn("score", F.col("score") + 100),
+        mode="overwrite_partitions",
+    )
+
+    cur_de, _ = vt.read_partitions(spark, {"lang": "de"})
+    cur_en, _ = vt.read_partitions(spark, {"lang": "en"})
+    v1_de, _ = vt.read_partitions(spark, {"lang": "de"}, version=1)
+    out = (
+        cur_de.withColumn("as_of", F.lit("cur"))
+        .unionByName(cur_en.withColumn("as_of", F.lit("cur")))
+        .unionByName(v1_de.withColumn("as_of", F.lit("v1")))
+    )
+    return out.orderBy("as_of", "lang", "doc_id")
+
+
+VERSIONED_PARTITION_SQL = """
+SELECT doc_id, lang, doc_id % 7 + 100 AS score, 'cur' AS as_of
+FROM documents WHERE lang = 'de' AND doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, doc_id % 7 AS score, 'cur' AS as_of
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang, doc_id % 7 AS score, 'v1' AS as_of
+FROM documents WHERE lang = 'de'
+ORDER BY as_of, lang, doc_id
+"""
+
+
 def versioned_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed between two snapshots of a versioned table
     (``VersionedTable.changes`` — the Delta CDF analog), oracle-checkable.

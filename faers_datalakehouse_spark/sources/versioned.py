@@ -45,6 +45,34 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_values(
+    relpath: str, cols: list[str]
+) -> dict[str, str | None]:
+    """Partition values from a staged file's ``col=value`` path segments
+    (Hive layout, as ``df.write.partitionBy`` lays them down). Values
+    stay in Spark's directory-name encoding (URL-escaped); ``HIVE_NULL``
+    maps to None. Raises if any expected column is missing — a manifest
+    entry with half a partition tuple is corruption, not a default."""
+    from urllib.parse import unquote
+
+    found: dict[str, str | None] = {}
+    for seg in relpath.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if k in cols:
+            found[k] = None if v == HIVE_NULL else unquote(v)
+    missing = [c for c in cols if c not in found]
+    if missing:
+        raise ValueError(
+            f"staged file {relpath!r} lacks partition dirs for {missing}"
+        )
+    return found
+
+
 def _json_safe(v, side: str = "lo"):
     """Manifest-storable AND skip-comparable stat scalar.
 
@@ -172,6 +200,67 @@ class VersionedTable:
         commit-stamp (newest snapshot committed at or before it)."""
         return self.read(spark, version=self.version_as_of(committed_at))
 
+    # -- partition layout -------------------------------------------------
+
+    def partition_spec(self, version: int | None = None) -> dict | None:
+        """The table's partition spec, ``{"cols": [...], "types":
+        {col: spark simpleString}}``, or None for an unpartitioned
+        table. Fixed at first write (Delta-style) and carried forward by
+        every commit."""
+        if self.current_version() is None:
+            return None
+        return self.snapshot(version).extra.get("partition_spec")
+
+    def _read_entries(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        spec: dict | None,
+        schema_json: str | None = None,
+    ) -> DataFrame:
+        """Scan the given manifest entries as one DataFrame.
+
+        ``partitionBy`` strips partition columns from the data files
+        (they live in the directory name), so a partitioned read groups
+        entries by partition tuple, attaches each group's values as
+        typed literal columns — Catalyst constant-folds them, so the
+        per-row cost is zero — and unions the groups. One union branch
+        per distinct partition tuple in the snapshot: fine for the
+        day/region-grained partitioning this layout targets (hundreds of
+        branches), the same order as Delta's add-file grouping. Column
+        order is restored from the snapshot schema when recorded."""
+        from pyspark.sql import functions as F
+
+        if spec is None or not any("partition" in e for e in entries):
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[str(self.root / e["path"]) for e in entries]
+            )
+        cols, types = spec["cols"], spec["types"]
+        groups: dict[tuple, list[str]] = {}
+        for e in entries:
+            key = tuple(e["partition"][c] for c in cols)
+            groups.setdefault(key, []).append(str(self.root / e["path"]))
+        parts = []
+        for key in sorted(groups, key=lambda k: tuple(str(v) for v in k)):
+            part = spark.read.option("mergeSchema", "true").parquet(
+                *groups[key]
+            )
+            for c, v in zip(cols, key):
+                part = part.withColumn(c, F.lit(v).cast(types[c]))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if schema_json is not None:
+            order = [
+                f["name"] for f in json.loads(schema_json)["fields"]
+            ]
+            ordered = [c for c in order if c in out.columns]
+            out = out.select(
+                *ordered, *[c for c in out.columns if c not in ordered]
+            )
+        return out
+
     # -- commits ----------------------------------------------------------
 
     def _stage_files(
@@ -180,13 +269,29 @@ class VersionedTable:
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
         bloom_fp: float = 0.01,
+        partition_by: tuple[str, ...] = (),
     ) -> list[dict]:
         stage = self.root / "data" / uuid.uuid4().hex
-        df.write.parquet(str(stage))
+        if partition_by:
+            bad = set(partition_by) & (set(stats_cols) | set(bloom_cols))
+            if bad:
+                raise ValueError(
+                    f"partition columns {sorted(bad)} need no stats/bloom "
+                    "index — the manifest partition tuple IS their "
+                    "file-level stat (use read_partitions)"
+                )
+            df.write.partitionBy(*partition_by).parquet(str(stage))
+        else:
+            df.write.parquet(str(stage))
         entries = [
             {"path": str(p.relative_to(self.root)), "bytes": p.stat().st_size}
-            for p in sorted(stage.glob("*.parquet"))
+            for p in sorted(stage.rglob("*.parquet"))
         ]
+        if partition_by:
+            for e in entries:
+                e["partition"] = _parse_partition_values(
+                    e["path"], list(partition_by)
+                )
         if bloom_cols and entries:
             self._stage_blooms(df, stage, entries, bloom_cols, bloom_fp)
         if stats_cols and entries:
@@ -330,11 +435,21 @@ class VersionedTable:
         ``constraints``: persisted table CHECKs (None = carry the current
         snapshot's forward unchanged)."""
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        cur = self.current_version()
         if constraints is None:
-            cur = self.current_version()
             constraints = (
                 self.snapshot(cur).constraints if cur is not None else []
             )
+        # table-level properties ride the commit chain: every commit
+        # carries them forward (like constraints), so maintenance commits
+        # (compact, rewrite, merge) can never silently drop the partition
+        # spec or the streaming transaction watermarks
+        extra = dict(extra or {})
+        if cur is not None:
+            prev_extra = self.snapshot(cur).extra
+            for key in ("partition_spec", "txn"):
+                if key not in extra and prev_extra.get(key) is not None:
+                    extra[key] = prev_extra[key]
         version = (self.current_version() or 0) + 1
         doc = {
             "operation": operation,
@@ -342,7 +457,7 @@ class VersionedTable:
             "files": files,
             "schema": schema_json,
             "constraints": constraints,
-            "extra": extra or {},
+            "extra": extra,
         }
         tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(doc, indent=1))
@@ -358,9 +473,21 @@ class VersionedTable:
         bloom_cols: tuple[str, ...] = (),
         constraints: tuple[str, ...] = (),
         commit_extra: dict | None = None,
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         """Commit ``df`` as a new snapshot (``append`` keeps the previous
-        snapshot's files; ``overwrite`` starts from the new files only).
+        snapshot's files; ``overwrite`` starts from the new files only;
+        ``overwrite_partitions`` replaces exactly the partitions present
+        in ``df`` and carries every other partition's files forward by
+        reference — Spark dynamic partition overwrite / Delta
+        ``replaceWhere`` semantics, with zero data movement outside the
+        written partitions).
+
+        ``partition_by`` fixes the table's Hive-layout partition columns
+        at FIRST write (Delta-style: the spec is a table property, not a
+        per-commit choice); later writes may repeat it (validated) or
+        omit it (inherited). Partition values are recorded per file in
+        the manifest, which is what ``read_partitions`` prunes on.
         ``committed_at`` is injectable for deterministic tests (the repo's
         no-wall-clock rule). ``stats_cols`` records per-file min/max in
         the manifest — the data-skipping index ``read_pruned`` consults
@@ -377,9 +504,37 @@ class VersionedTable:
         enforcement). Existing rows are not re-validated (like Delta,
         adding a constraint asserts the future, and the add-time check is
         the caller's responsibility)."""
-        if mode not in ("append", "overwrite"):
+        if mode not in ("append", "overwrite", "overwrite_partitions"):
             raise ValueError(f"unsupported mode: {mode}")
         cur = self.current_version()
+        spec = self.partition_spec()
+        if spec is not None and partition_by and list(partition_by) != spec[
+            "cols"
+        ]:
+            raise ValueError(
+                f"table is partitioned by {spec['cols']}; cannot write "
+                f"with partition_by={list(partition_by)} (the spec is "
+                "fixed at first write)"
+            )
+        if spec is None and partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by columns {missing} not in the frame"
+                )
+            spec = {
+                "cols": list(partition_by),
+                "types": {
+                    c: df.schema[c].dataType.simpleString()
+                    for c in partition_by
+                },
+            }
+        if mode == "overwrite_partitions" and spec is None:
+            raise ValueError(
+                "overwrite_partitions requires a partitioned table "
+                "(pass partition_by on the first write)"
+            )
+        part_cols = tuple(spec["cols"]) if spec is not None else ()
         effective = list(
             dict.fromkeys(
                 (self.snapshot(cur).constraints if cur is not None else [])
@@ -387,24 +542,40 @@ class VersionedTable:
             )
         )
         new_files = self._stage_files(
-            df, stats_cols=stats_cols, bloom_cols=bloom_cols
+            df,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            partition_by=part_cols,
         )
         if effective and new_files:
             self._validate_staged(
-                df.sparkSession, new_files, effective
+                df.sparkSession, new_files, effective, spec=spec
             )
-        prior = (
-            self.snapshot().files
-            if mode == "append" and self.current_version()
-            else []
-        )
+        if mode == "append" and cur is not None:
+            prior = self.snapshot().files
+        elif mode == "overwrite_partitions" and cur is not None:
+            written = {
+                tuple(e["partition"][c] for c in part_cols)
+                for e in new_files
+            }
+            prior = [
+                f
+                for f in self.snapshot().files
+                if tuple(f.get("partition", {}).get(c) for c in part_cols)
+                not in written
+            ]
+        else:
+            prior = []
+        extra = dict(commit_extra or {})
+        if spec is not None:
+            extra["partition_spec"] = spec
         return self._commit(
             prior + new_files,
             mode,
             committed_at,
             schema_json=df.schema.json(),
             constraints=effective,
-            extra=commit_extra,
+            extra=extra,
         )
 
     def _validate_staged(
@@ -413,17 +584,18 @@ class VersionedTable:
         new_files: list[dict],
         checks: list[str],
         cleanup: bool = True,
+        spec: dict | None = None,
     ) -> None:
         """One pass over the given files counting violations per
         constraint; on any hit, raise with counts + up to 3 sample rows
         per failing check. ``cleanup`` deletes the files first (staged
         uncommitted files only — callers validating LIVE files, e.g.
-        ``add_constraint``, MUST pass False)."""
+        ``add_constraint``, MUST pass False). ``spec``: partition spec,
+        so CHECKs may reference partition columns (stripped from the
+        data files by the Hive layout)."""
         from pyspark.sql import functions as F
 
-        staged = spark.read.parquet(
-            *[str(self.root / f["path"]) for f in new_files]
-        )
+        staged = self._read_entries(spark, new_files, spec)
         counts = staged.agg(
             *[
                 F.sum(
@@ -480,9 +652,14 @@ class VersionedTable:
         # mergeSchema: appends may widen the schema (new columns); the
         # union of all file footers in the snapshot is the table schema,
         # with missing columns null-filled per file — Delta-style
-        # schema evolution on the read path
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[str(self.root / f["path"]) for f in snap.files]
+        # schema evolution on the read path. Partitioned snapshots
+        # additionally reconstruct the partition columns from the
+        # manifest (see _read_entries).
+        return self._read_entries(
+            spark,
+            snap.files,
+            snap.extra.get("partition_spec"),
+            schema_json=snap.schema_json,
         )
 
     def changes(
@@ -515,17 +692,20 @@ class VersionedTable:
         new = self.snapshot(v_to)
         old_paths = {f["path"] for f in old.files}
         new_paths = {f["path"] for f in new.files}
-        only_old = sorted(old_paths - new_paths)
-        only_new = sorted(new_paths - old_paths)
 
-        def _read(paths: list[str]) -> DataFrame | None:
-            if not paths:
+        def _read(snap: Snapshot, other: set) -> DataFrame | None:
+            only = [f for f in snap.files if f["path"] not in other]
+            if not only:
                 return None
-            return spark.read.option("mergeSchema", "true").parquet(
-                *[str(self.root / p) for p in paths]
+            return self._read_entries(
+                spark,
+                only,
+                snap.extra.get("partition_spec"),
+                schema_json=snap.schema_json,
             )
 
-        added, removed = _read(only_new), _read(only_old)
+        added = _read(new, old_paths)
+        removed = _read(old, new_paths)
         probe = added if added is not None else removed
         if probe is not None:
             clash = {"_w", "_net", "_i"} & set(probe.columns)
@@ -616,8 +796,8 @@ class VersionedTable:
             return self.read(spark, version).limit(0).filter(
                 F.col(col) == F.lit(value)
             ), report
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[str(self.root / f["path"]) for f in keep]
+        df = self._read_entries(
+            spark, keep, snap.extra.get("partition_spec")
         )
         return df.filter(F.col(col) == F.lit(value)), report
 
@@ -658,8 +838,8 @@ class VersionedTable:
         if not keep:
             df = self.read(spark, version).limit(0)
         else:
-            df = spark.read.option("mergeSchema", "true").parquet(
-                *[str(self.root / f["path"]) for f in keep]
+            df = self._read_entries(
+                spark, keep, snap.extra.get("partition_spec")
             )
         from pyspark.sql import functions as F
 
@@ -667,6 +847,56 @@ class VersionedTable:
             df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))),
             report,
         )
+
+    def read_partitions(
+        self,
+        spark: SparkSession,
+        filters: dict,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Partition pruning from the manifest: read only the files whose
+        recorded partition values satisfy ``filters`` (column -> wanted
+        value or list of values; None matches the NULL partition). The
+        decision is driver-side over KBs of manifest — no file listing,
+        no footer reads — which at 100 TB is what turns a day-grained
+        query into a touch-one-partition scan. Values compare in Spark's
+        directory-name encoding (``str(value)``: ints plain, dates ISO).
+        Returns ``(frame, {"files_total", "files_read",
+        "files_skipped"})``."""
+        snap = self.snapshot(version)
+        spec = snap.extra.get("partition_spec")
+        if spec is None:
+            raise ValueError(f"{self.root} is not a partitioned table")
+        unknown = [c for c in filters if c not in spec["cols"]]
+        if unknown:
+            raise ValueError(
+                f"{unknown} are not partition columns {spec['cols']}"
+            )
+        wanted = {
+            c: {
+                None if x is None else str(x)
+                for x in (v if isinstance(v, (list, tuple, set)) else [v])
+            }
+            for c, v in filters.items()
+        }
+        keep = [
+            f
+            for f in snap.files
+            if all(
+                f.get("partition", {}).get(c) in vs
+                for c, vs in wanted.items()
+            )
+        ]
+        report = {
+            "files_total": len(snap.files),
+            "files_read": len(keep),
+            "files_skipped": len(snap.files) - len(keep),
+        }
+        if not keep:
+            return self.read(spark, version).limit(0), report
+        return self._read_entries(
+            spark, keep, spec, schema_json=snap.schema_json
+        ), report
 
     # -- maintenance ------------------------------------------------------
 
@@ -706,13 +936,25 @@ class VersionedTable:
             sorted({c for f in snap.files for c in f.get("stats", {})})
         )
         df = self.read(spark)
-        if sort_by:
+        spec = snap.extra.get("partition_spec")
+        part_cols = tuple(spec["cols"]) if spec else ()
+        if part_cols:
+            # hash-shuffle on the partition columns: each partition value
+            # lands in exactly one task, so the partitioned write emits
+            # one file per partition value — ideal bin-packing for a
+            # Hive-layout table; sort_by clusters within those files
+            df = df.repartition(n_target, *part_cols)
+            if sort_by:
+                df = df.sortWithinPartitions(*sort_by)
+        elif sort_by:
             df = df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(
                 *sort_by
             )
         else:
             df = df.repartition(n_target)
-        files = self._stage_files(df, stats_cols=stats_cols)
+        files = self._stage_files(
+            df, stats_cols=stats_cols, partition_by=part_cols
+        )
         version = self._commit(
             files, "compact", committed_at, schema_json=df.schema.json()
         )
@@ -781,14 +1023,14 @@ class VersionedTable:
                 "files_kept": len(kept),
                 "rows_matched": 0,
             }
-        hit_paths = [str(self.root / f["path"]) for f in hit]
-        # mergeSchema, like read(): on a schema-evolved table a plain
-        # multi-path read resolves to ONE file's footer (path-sort order,
-        # not argument order) and can silently drop evolved columns from
-        # the rewritten rows
-        affected = spark.read.option("mergeSchema", "true").parquet(
-            *hit_paths
-        )
+        spec = snap.extra.get("partition_spec")
+        # mergeSchema inside _read_entries, like read(): on a
+        # schema-evolved table a plain multi-path read resolves to ONE
+        # file's footer (path-sort order, not argument order) and can
+        # silently drop evolved columns from the rewritten rows;
+        # partitioned tables also need their partition columns back so
+        # the predicate/transform may reference them
+        affected = self._read_entries(spark, hit, spec)
         survivors = affected.filter(f"NOT ({predicate})")
         if transform is not None:
             replaced = transform(affected.filter(predicate))
@@ -800,14 +1042,20 @@ class VersionedTable:
         stats_cols = tuple(
             sorted({c for f in snap.files for c in f.get("stats", {})})
         )
-        new_files = self._stage_files(survivors, stats_cols=stats_cols)
+        new_files = self._stage_files(
+            survivors,
+            stats_cols=stats_cols,
+            partition_by=tuple(spec["cols"]) if spec else (),
+        )
         # UPDATEd rows honor the table's CHECK constraints like every
         # other path (write, merge) — otherwise update_where could
         # silently break the "published constraint is TRUE of the whole
         # table" invariant; violation unlinks the staged files, so the
         # table is untouched
         if snap.constraints and new_files:
-            self._validate_staged(spark, new_files, snap.constraints)
+            self._validate_staged(
+                spark, new_files, snap.constraints, spec=spec
+            )
         from pyspark.sql.types import StructType as _St
 
         table_schema = _St(
@@ -875,7 +1123,13 @@ class VersionedTable:
         if expr in snap.constraints:
             return snap.version
         if validate_existing and snap.files:
-            self._validate_staged(spark, snap.files, [expr], cleanup=False)
+            self._validate_staged(
+                spark,
+                snap.files,
+                [expr],
+                cleanup=False,
+                spec=snap.extra.get("partition_spec"),
+            )
         return self._commit(
             snap.files,
             "add_constraint",
@@ -925,6 +1179,8 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         snap = self.snapshot()
+        spec = snap.extra.get("partition_spec")
+        part_cols = tuple(spec["cols"]) if spec else ()
         keys = source.select(*key_cols)
         if _extra_match_keys is not None:
             # apply_changes: delete-only keys must also be cleared
@@ -932,13 +1188,13 @@ class VersionedTable:
         keys = keys.distinct()
         if not snap.files:
             new_files = (
-                self._stage_files(source)
+                self._stage_files(source, partition_by=part_cols)
                 if when_matched == "replace"
                 else []
             )
             if snap.constraints and new_files:
                 self._validate_staged(
-                    spark, new_files, snap.constraints
+                    spark, new_files, snap.constraints, spec=spec
                 )
             version = self._commit(
                 new_files, "merge", committed_at,
@@ -984,21 +1240,23 @@ class VersionedTable:
             (hit if is_hit else kept).append(f)
         rewritten: list[dict] = []
         if hit:
-            affected = spark.read.parquet(
-                *[str(self.root / f["path"]) for f in hit]
-            )
+            affected = self._read_entries(spark, hit, spec)
             survivors = affected.join(
                 kalias, on=_key_cond(affected), how="left_anti"
             )
-            rewritten = self._stage_files(survivors)
+            rewritten = self._stage_files(survivors, partition_by=part_cols)
         new_files = (
-            self._stage_files(source) if when_matched == "replace" else []
+            self._stage_files(source, partition_by=part_cols)
+            if when_matched == "replace"
+            else []
         )
         # merge-inserted rows honor the table's CHECK constraints too
         # (survivor rows were already in the table; not re-validated)
         if snap.constraints and new_files:
             try:
-                self._validate_staged(spark, new_files, snap.constraints)
+                self._validate_staged(
+                    spark, new_files, snap.constraints, spec=spec
+                )
             except ConstraintViolation:
                 for f in rewritten:  # roll back the whole staged merge
                     p = self.root / f["path"]

@@ -20,6 +20,7 @@ import __spark_entry__ as entrymod
 ALLOWED_NESTED_LOOP = {
     "ann_topk",          # broadcast query set x corpus scan — exact baseline
     "ann_recall",        # recall harness embeds the exact baseline side
+    "pq_recall",         # same: 8-query broadcast x corpus exact side
     "cosine_neardup",    # all-pairs verify kernel (docstring-scoped)
     "ngram_jaccard",     # blocked self-join uses non-equi len-band residual
     "surprisal_scores",  # 1-row corpus-total broadcast onto the vocabulary
