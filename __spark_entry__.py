@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": S.streaming_attribution_query,
         "versioned_bloom_read": S.versioned_bloom_read_query,
         "versioned_partition_ops": S.versioned_partition_query,
+        "streaming_versioned_ingest": S.streaming_versioned_ingest_query,
         "pq_encode": S.pq_encode_query,
         "pq_topk": S.pq_topk_query,
         "pq_recall": S.pq_recall_query,
@@ -597,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_attribution": S.STREAMING_ATTRIBUTION_SQL,
         "versioned_bloom_read": S.VERSIONED_BLOOM_READ_SQL,
         "versioned_partition_ops": S.VERSIONED_PARTITION_SQL,
+        "streaming_versioned_ingest": S.STREAMING_VERSIONED_INGEST_SQL,
         "pq_encode": pq_encode_oracle_sql(**S.PQ_PARAMS),
         "pq_topk": pq_topk_oracle_sql(
             S.PQ_QUERY, topk=10, **S.PQ_PARAMS

@@ -1736,6 +1736,79 @@ ORDER BY click_id, purchase_id
 """
 
 
+def streaming_versioned_ingest_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingestion into an ACID table, end-to-end: a file-source
+    stream lands in a PARTITIONED VersionedTable through the
+    exactly-once sink (``streaming.versioned_sink``), a batch replay is
+    then attempted and SKIPPED by the txn watermark, and the result is a
+    partition-pruned aggregate off the table. ``replay_skipped`` bakes
+    the idempotence proof into the hashed result; everything else the
+    oracle recomputes from ``events`` directly. This is the reference's
+    Delta streaming-ingest surface (stream → ACID table → pruned reads)
+    on the manifest-log format."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.versioned import VersionedTable
+    from ..streaming.events import stream_events_from_dir
+    from ..streaming.versioned_sink import (
+        idempotent_append,
+        stream_to_versioned,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_vt_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    landing = f"{root}/landing"
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stream = stream_events_from_dir(spark, landing)
+    q = stream_to_versioned(
+        stream,
+        f"{root}/vt",
+        checkpoint_dir=f"{root}/ckpt",
+        partition_by=("event_type",),
+        query_name="versioned_ingest",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    vt = VersionedTable(f"{root}/vt")
+    # at-least-once delivery simulated: batch 0 arrives again; the txn
+    # watermark (>= 0 after the run) must reject it without a commit
+    replay = idempotent_append(vt, vt.read(spark), 0)
+    pruned, _ = vt.read_partitions(
+        spark, {"event_type": ["click", "purchase"]}
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .withColumn("replay_skipped", F.lit(replay is None))
+        .orderBy("event_type")
+    )
+
+
+STREAMING_VERSIONED_INGEST_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       TRUE AS replay_skipped
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def versioned_bloom_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-index file skipping end-to-end: write ``documents`` as a
     HASH-distributed versioned table (every file spans the full doc_id
