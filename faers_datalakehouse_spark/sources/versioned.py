@@ -10,7 +10,16 @@ the semantics the reference actually relies on:
 
 - **snapshot isolation**: a reader resolves one manifest and sees exactly
   that file set; an in-flight write is invisible until its manifest is
-  published with an atomic ``os.rename``;
+  published with an atomic, EXCLUSIVE ``os.link`` (a taken version fails
+  the publish instead of silently replacing it);
+- **optimistic concurrency (append-shaped)**: concurrent
+  append/overwrite/overwrite-partitions writers conflict only on the
+  manifest publish; the loser rebases on the new snapshot (re-deriving
+  carried files, re-validating constraints added concurrently) and
+  retries WITHOUT rewriting data — Delta's commit-protocol shape.
+  State-dependent operations (rewrite/merge/compact) raise
+  ``ConcurrentWriteError`` instead, because their staged output was
+  derived from a superseded snapshot; the caller re-runs the operation;
 - **time travel**: ``read(version=N)`` reads any retained snapshot;
 - **transactional compaction**: ``compact()`` writes new files and a new
   manifest — at no instant can a reader observe a partially-compacted
@@ -22,10 +31,11 @@ Data skipping: per-file min/max stats (``read_pruned`` — clustered
 columns) and per-file bloom filter indexes (``read_bloom_pruned`` —
 point lookups on unclustered columns; Delta bloom-filter-index analog).
 
-Deliberate non-goals (use real Delta/Iceberg on a cluster): multi-writer
-optimistic concurrency (single-writer assumed; version allocation is
-max+1), MERGE inside the log (the engine's DataFrame-native SCD2/MERGE
-compose on top), and catalog integration.
+Deliberate non-goals (use real Delta/Iceberg on a cluster): a
+distributed commit service (the exclusive-link protocol assumes a
+filesystem with atomic link semantics — POSIX local/NFS, not S3), MERGE
+inside the log (the engine's DataFrame-native SCD2/MERGE compose on
+top), and catalog integration.
 
 Scale notes: manifests hold file paths + sizes only — KBs per snapshot at
 thousands of files; resolution is one small JSON read on the driver, and
@@ -46,6 +56,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# sentinel: "_commit should resolve the parent snapshot itself" —
+# distinct from None, which means "this commit creates the table"
+_RESOLVE_PARENT: int | None = object()  # type: ignore[assignment]
 
 
 def _parse_partition_values(
@@ -111,6 +125,16 @@ def _probe_safe(v):
 
 class ConstraintViolation(ValueError):
     """A write violated a table CHECK constraint; nothing was committed."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent writer took the version this commit targeted.
+
+    ``write()`` absorbs this for append-shaped modes by rebasing on the
+    new snapshot and retrying (the staged files are reused — no data is
+    rewritten); state-dependent operations (rewrite/merge/compact)
+    propagate it, because their staged output was derived from a
+    snapshot that is no longer current — re-run the operation."""
 
 
 @dataclass
@@ -199,6 +223,60 @@ class VersionedTable:
         """Time travel by timestamp: read the table as of the given
         commit-stamp (newest snapshot committed at or before it)."""
         return self.read(spark, version=self.version_as_of(committed_at))
+
+    # -- metadata frames --------------------------------------------------
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE HISTORY`` analog: one row per snapshot —
+        ``(version, operation, committed_at, n_files, n_bytes,
+        n_constraints)`` — built driver-side from the manifests (KBs;
+        never touches data files)."""
+        rows = [
+            (
+                s.version,
+                s.operation,
+                s.committed_at,
+                len(s.files),
+                sum(f["bytes"] for f in s.files),
+                len(s.constraints),
+            )
+            for s in self.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, operation string, committed_at string, "
+            "n_files int, n_bytes bigint, n_constraints int",
+        )
+
+    def files_df(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """``DESCRIBE DETAIL``-style file inventory of one snapshot:
+        ``(path, bytes, partition, n_stats_cols, n_bloom_cols)`` with
+        the partition tuple as a ``col=value`` string (empty for
+        unpartitioned tables)."""
+        snap = self.snapshot(version)
+        spec = snap.extra.get("partition_spec")
+        cols = spec["cols"] if spec else []
+        rows = [
+            (
+                f["path"],
+                f["bytes"],
+                "/".join(
+                    f"{c}={f['partition'].get(c)}" for c in cols
+                )
+                if "partition" in f
+                else "",
+                len(f.get("stats", {})),
+                len(f.get("bloom", {})),
+            )
+            for f in snap.files
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, bytes bigint, partition string, "
+            "n_stats_cols int, n_bloom_cols int",
+        )
 
     # -- partition layout -------------------------------------------------
 
@@ -428,14 +506,23 @@ class VersionedTable:
         schema_json: str | None = None,
         constraints: list[str] | None = None,
         extra: dict | None = None,
+        parent_version: int | None = _RESOLVE_PARENT,
     ) -> int:
-        """Publish a snapshot with an atomic rename. Single-writer: the
-        version is allocated as max+1; a real multi-writer deployment
-        needs a log with optimistic concurrency (Delta/Iceberg).
-        ``constraints``: persisted table CHECKs (None = carry the current
-        snapshot's forward unchanged)."""
+        """Publish a snapshot with an atomic EXCLUSIVE link.
+        ``parent_version`` is the snapshot the caller derived ``files``
+        from (None = a new table; unset = resolve current now): the new
+        version is allocated as parent+1, so if ANY commit landed after
+        the parent, the publish targets a taken version and raises
+        ``ConcurrentWriteError`` instead of silently building on — or
+        dropping — a snapshot the caller never saw. ``constraints``:
+        persisted table CHECKs (None = carry the parent's forward
+        unchanged)."""
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
-        cur = self.current_version()
+        cur = (
+            self.current_version()
+            if parent_version is _RESOLVE_PARENT
+            else parent_version
+        )
         if constraints is None:
             constraints = (
                 self.snapshot(cur).constraints if cur is not None else []
@@ -450,7 +537,11 @@ class VersionedTable:
             for key in ("partition_spec", "txn"):
                 if key not in extra and prev_extra.get(key) is not None:
                     extra[key] = prev_extra[key]
-        version = (self.current_version() or 0) + 1
+        # allocate from the SAME snapshot read the carry-forward used: if
+        # a concurrent commit lands after it, the exclusive link below
+        # fails and the caller rebases — never a commit whose carried
+        # state (constraints/spec/txn) predates its parent version
+        version = (cur or 0) + 1
         doc = {
             "operation": operation,
             "committed_at": committed_at,
@@ -461,7 +552,22 @@ class VersionedTable:
         }
         tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(doc, indent=1))
-        os.rename(tmp, self.manifest_dir / f"v{version:08d}.json")
+        # EXCLUSIVE publish: os.link fails with FileExistsError if the
+        # version was taken by a concurrent writer (os.rename would
+        # silently replace it — a lost update). This is the conflict
+        # detection under the optimistic-concurrency loop in write();
+        # readers still see either the old or the new manifest, never a
+        # partial one (the content lands under the hidden tmp name first).
+        target = self.manifest_dir / f"v{version:08d}.json"
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.root} was committed by a "
+                "concurrent writer"
+            )
+        finally:
+            tmp.unlink(missing_ok=True)
         return version
 
     def write(
@@ -551,31 +657,71 @@ class VersionedTable:
             self._validate_staged(
                 df.sparkSession, new_files, effective, spec=spec
             )
-        if mode == "append" and cur is not None:
-            prior = self.snapshot().files
-        elif mode == "overwrite_partitions" and cur is not None:
-            written = {
-                tuple(e["partition"][c] for c in part_cols)
-                for e in new_files
-            }
-            prior = [
-                f
-                for f in self.snapshot().files
-                if tuple(f.get("partition", {}).get(c) for c in part_cols)
-                not in written
-            ]
-        else:
-            prior = []
-        extra = dict(commit_extra or {})
-        if spec is not None:
-            extra["partition_spec"] = spec
-        return self._commit(
-            prior + new_files,
-            mode,
-            committed_at,
-            schema_json=df.schema.json(),
-            constraints=effective,
-            extra=extra,
+        # OPTIMISTIC CONCURRENCY (Delta's model, append-shaped subset):
+        # the staged files are final; only the manifest contents depend
+        # on the current snapshot. If a concurrent writer takes our
+        # version, rebase — re-resolve the snapshot, recompute the
+        # carried file list, re-check drift — and retry the publish.
+        # Data is never rewritten on retry.
+        requested = list(constraints)
+        for _ in range(16):
+            cur = self.current_version()
+            latest = self.snapshot(cur) if cur is not None else None
+            live_spec = (
+                latest.extra.get("partition_spec") if latest else None
+            )
+            if live_spec is not None and (
+                spec is None or spec["cols"] != live_spec["cols"]
+            ):
+                raise ConcurrentWriteError(
+                    f"a concurrent writer established partitioning "
+                    f"{live_spec['cols']} on {self.root}; this write "
+                    f"staged files under "
+                    f"{spec['cols'] if spec else 'no partitioning'}"
+                )
+            live_cons = latest.constraints if latest else []
+            # constraints added concurrently must hold for OUR rows too
+            drift = [c for c in live_cons if c not in effective]
+            if drift and new_files:
+                self._validate_staged(
+                    df.sparkSession, new_files, drift, spec=spec
+                )
+            effective = list(dict.fromkeys(live_cons + effective + requested))
+            if mode == "append" and latest is not None:
+                prior = latest.files
+            elif mode == "overwrite_partitions" and latest is not None:
+                written = {
+                    tuple(e["partition"][c] for c in part_cols)
+                    for e in new_files
+                }
+                prior = [
+                    f
+                    for f in latest.files
+                    if tuple(
+                        f.get("partition", {}).get(c) for c in part_cols
+                    )
+                    not in written
+                ]
+            else:
+                prior = []
+            extra = dict(commit_extra or {})
+            if spec is not None:
+                extra["partition_spec"] = spec
+            try:
+                return self._commit(
+                    prior + new_files,
+                    mode,
+                    committed_at,
+                    schema_json=df.schema.json(),
+                    constraints=effective,
+                    extra=extra,
+                    parent_version=cur,
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"gave up publishing to {self.root} after 16 rebases "
+            "(pathological write contention)"
         )
 
     def _validate_staged(
@@ -956,7 +1102,11 @@ class VersionedTable:
             df, stats_cols=stats_cols, partition_by=part_cols
         )
         version = self._commit(
-            files, "compact", committed_at, schema_json=df.schema.json()
+            files,
+            "compact",
+            committed_at,
+            schema_json=df.schema.json(),
+            parent_version=snap.version,
         )
         return {
             "compacted": True,
@@ -1066,6 +1216,7 @@ class VersionedTable:
             "rewrite",
             committed_at,
             schema_json=table_schema.json(),
+            parent_version=snap.version,
         )
         return {
             "version": version,
@@ -1136,6 +1287,7 @@ class VersionedTable:
             committed_at,
             schema_json=snap.schema_json,
             constraints=snap.constraints + [expr],
+            parent_version=snap.version,
         )
 
     def merge_rows(
@@ -1200,6 +1352,7 @@ class VersionedTable:
                 new_files, "merge", committed_at,
                 schema_json=source.schema.json(),
                 extra=commit_extra,
+                parent_version=snap.version,
             )
             return {
                 "version": version,
@@ -1277,6 +1430,7 @@ class VersionedTable:
             committed_at,
             schema_json=merged_schema.json(),
             extra=commit_extra,
+            parent_version=snap.version,
         )
         return {
             "version": version,
@@ -1364,10 +1518,15 @@ class VersionedTable:
                         p.unlink()
                         removed += 1
             (self.manifest_dir / f"v{v:08d}.json").unlink()
-        # prune empty staging dirs
+        # prune staging dirs that hold no live parquet anymore —
+        # partitioned stages nest col=value subdirs, and Spark leaves
+        # _SUCCESS markers, so "directly empty" is the wrong test; a
+        # stage with no referenced data file left is dead wholesale
+        import shutil as _shutil
+
         data_dir = self.root / "data"
         if data_dir.exists():
             for d in data_dir.iterdir():
-                if d.is_dir() and not any(d.iterdir()):
-                    d.rmdir()
+                if d.is_dir() and not any(d.rglob("*.parquet")):
+                    _shutil.rmtree(d)
         return removed

@@ -16,9 +16,12 @@ it carries the partition spec, so the watermark survives table
 maintenance. ``idempotent_append`` reads the current watermark, skips
 batches at-or-below it, and otherwise appends batch + updated watermark
 in ONE atomic manifest publish — the batch's rows and the fact that the
-batch committed can never diverge. Single-writer per table (the
-VersionedTable concurrency model); distinct ``app_id`` values let several
-STREAMS share one table as long as their commits are serialized.
+batch committed can never diverge. Concurrent writers with DISTINCT
+``app_id`` values are safe: appends go through the table's optimistic
+commit loop, and a publish conflict rebases without rewriting data. One
+running instance per ``app_id`` (the watermark check-then-commit is not
+atomic against a same-app twin — which Structured Streaming's
+checkpoint-held query lock already guarantees).
 
 Scale: the idempotence decision is one driver-side manifest read (KBs);
 the data path is the ordinary staged parquet write. State held by the
