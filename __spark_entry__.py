@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_bloom_read": S.versioned_bloom_read_query,
         "versioned_partition_ops": S.versioned_partition_query,
         "streaming_versioned_ingest": S.streaming_versioned_ingest_query,
+        "versioned_restore": S.versioned_restore_query,
+        "versioned_zorder_read": S.versioned_zorder_read_query,
         "pq_encode": S.pq_encode_query,
         "pq_topk": S.pq_topk_query,
         "pq_recall": S.pq_recall_query,
@@ -599,6 +601,8 @@ def oracle_sql() -> dict[str, str]:
         "versioned_bloom_read": S.VERSIONED_BLOOM_READ_SQL,
         "versioned_partition_ops": S.VERSIONED_PARTITION_SQL,
         "streaming_versioned_ingest": S.STREAMING_VERSIONED_INGEST_SQL,
+        "versioned_restore": S.VERSIONED_RESTORE_SQL,
+        "versioned_zorder_read": S.VERSIONED_ZORDER_READ_SQL,
         "pq_encode": pq_encode_oracle_sql(**S.PQ_PARAMS),
         "pq_topk": pq_topk_oracle_sql(
             S.PQ_QUERY, topk=10, **S.PQ_PARAMS

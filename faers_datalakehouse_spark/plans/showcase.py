@@ -1092,6 +1092,97 @@ ORDER BY as_of, lang, doc_id
 """
 
 
+def versioned_restore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE ... TO VERSION AS OF`` on a versioned table
+    (``VersionedTable.restore``), oracle-checkable end-to-end.
+
+    Build the two-commit table of ``versioned_read_query``, DELETE the
+    ``de`` rows (v3), then restore to v2 (v4) — a metadata-only commit
+    that re-publishes v2's file list by reference. The result unions the
+    POST-restore current read (the delete is undone — every v2 row is
+    back) with the pre-restore v3 snapshot (history is intact: restore
+    rolls forward, never erases). Both slices reproduce straight from
+    ``documents``, so the value hashes prove the rollback restored
+    exactly the old content AND kept the rolled-back state readable.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_restore/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs.filter(F.col("doc_id") % 3 == 0), mode="overwrite")
+    vt.write(docs.filter(F.col("doc_id") % 3 == 1), mode="append")
+    vt.delete_where(spark, "lang = 'de'")
+    vt.restore(2)
+
+    post = vt.read(spark).withColumn("as_of", F.lit("post_restore"))
+    pre = vt.read(spark, version=3).withColumn("as_of", F.lit("deleted"))
+    return post.unionByName(pre).orderBy("as_of", "doc_id")
+
+
+VERSIONED_RESTORE_SQL = """
+SELECT doc_id, lang, 'post_restore' AS as_of
+FROM documents WHERE doc_id % 3 IN (0, 1)
+UNION ALL
+SELECT doc_id, lang, 'deleted' AS as_of
+FROM documents WHERE doc_id % 3 IN (0, 1) AND lang <> 'de'
+ORDER BY as_of, doc_id
+"""
+
+
+def versioned_zorder_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE ... ZORDER BY`` on a versioned table
+    (``VersionedTable.optimize_zorder``; the reference's silver layer
+    calls the platform's OPTIMIZE at
+    ``src/silver/silver_demographics.py:93``), oracle-checkable.
+
+    Write ``documents`` with two derived integer axes in a RANDOM
+    layout, z-order-rewrite on ``(x, y)``, then ``read_pruned`` a
+    narrow ``x`` range off the optimized snapshot. The returned slice
+    comes from the REWRITTEN files, so the value hash proves the layout
+    rewrite lost/duplicated/changed nothing in that range; ``pruned``
+    records that the manifest skipped at least one file (the point of
+    the exercise — a z-layout makes min/max skipping effective on both
+    axes; the unit suite asserts the per-axis span narrowing).
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") * 2654435761 % 251).alias("x"),
+        (F.col("doc_id") * 40503 % 251).alias("y"),
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_zorder/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs.repartition(8), stats_cols=("x", "y"))
+    vt.optimize_zorder(spark, "x", "y", n_files=8, bits=8)
+    got, report = vt.read_pruned(spark, "x", 0, 31)
+    return got.withColumn(
+        "pruned", F.lit(report["files_skipped"] > 0)
+    ).orderBy("doc_id")
+
+
+VERSIONED_ZORDER_READ_SQL = """
+SELECT doc_id,
+       doc_id * 2654435761 % 251 AS x,
+       doc_id * 40503 % 251 AS y,
+       TRUE AS pruned
+FROM documents
+WHERE doc_id * 2654435761 % 251 BETWEEN 0 AND 31
+ORDER BY doc_id
+"""
+
+
 def versioned_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed between two snapshots of a versioned table
     (``VersionedTable.changes`` — the Delta CDF analog), oracle-checkable.

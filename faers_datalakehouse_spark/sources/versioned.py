@@ -1115,6 +1115,182 @@ class VersionedTable:
             "files_after": len(files),
         }
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        zx: str,
+        zy: str,
+        n_files: int = 8,
+        bits: int = 12,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> dict:
+        """``OPTIMIZE ... ZORDER BY (zx, zy)`` analog (Delta's layout
+        optimization; reference relies on the platform's OPTIMIZE at
+        ``src/silver/silver_demographics.py:93``): rewrite the current
+        snapshot clustered on the Morton curve of the two columns and
+        record per-file min/max stats on BOTH, so ``read_pruned``
+        predicates on EITHER column skip most files — a single-column
+        sort only prunes its own column.
+
+        Shape: one 1-row bounds collect (min/max of each column), then
+        equi-width bucketize -> interleave (``sources.zorder``, plain
+        shift/mask arithmetic in whole-stage codegen) -> range exchange
+        on the z-value -> sorted write. No driver data movement beyond
+        the bounds row. On a partitioned table the rewrite clusters
+        WITHIN partitions (hash exchange on the partition columns, z-sort
+        inside), keeping one-file-per-partition bin packing.
+
+        State-dependent like ``compact``: a concurrent commit surfaces as
+        ``ConcurrentWriteError`` — re-run on the new snapshot. Time
+        travel to pre-optimize versions still works until ``vacuum``."""
+        from pyspark.sql import functions as F
+
+        from .zorder import bucketize, z_value
+
+        snap = self.snapshot()
+        spec = snap.extra.get("partition_spec")
+        part_cols = tuple(spec["cols"]) if spec else ()
+        if {zx, zy} & set(part_cols):
+            raise ValueError(
+                f"z-order columns {sorted({zx, zy} & set(part_cols))} are "
+                "partition columns — the manifest partition tuple already "
+                "prunes them (use read_partitions)"
+            )
+        df = self.read(spark)
+        b = df.select(
+            F.min(zx).alias("lox"),
+            F.max(zx).alias("hix"),
+            F.min(zy).alias("loy"),
+            F.max(zy).alias("hiy"),
+        ).collect()[0]
+        if b["lox"] is None or b["loy"] is None:
+            raise ValueError(
+                f"cannot z-order on all-NULL column(s) {zx!r}/{zy!r}"
+            )
+        zcol = z_value(
+            bucketize(F.col(zx), F.lit(b["lox"]), F.lit(b["hix"]), bits),
+            bucketize(F.col(zy), F.lit(b["loy"]), F.lit(b["hiy"]), bits),
+            bits,
+        )
+        staged = df.withColumn("_z", zcol)
+        if part_cols:
+            staged = staged.repartition(
+                max(1, n_files), *part_cols
+            ).sortWithinPartitions(*part_cols, "_z")
+        else:
+            staged = staged.repartitionByRange(
+                max(1, n_files), "_z"
+            ).sortWithinPartitions("_z")
+        staged = staged.drop("_z")
+        stats_cols = tuple(
+            sorted(
+                ({c for f in snap.files for c in f.get("stats", {})}
+                 | {zx, zy})
+                - set(part_cols)
+            )
+        )
+        files = self._stage_files(
+            staged, stats_cols=stats_cols, partition_by=part_cols
+        )
+        version = self._commit(
+            files,
+            "optimize_zorder",
+            committed_at,
+            schema_json=df.schema.json(),
+            parent_version=snap.version,
+        )
+        return {
+            "version": version,
+            "files_before": len(snap.files),
+            "files_after": len(files),
+        }
+
+    def restore(
+        self, version: int, committed_at: str = "1970-01-01T00:00:00Z"
+    ) -> dict:
+        """``RESTORE TABLE ... TO VERSION AS OF`` analog: publish a NEW
+        snapshot whose file list is the target version's, carried by
+        reference — zero data movement, and the rolled-back states stay
+        time-travel-readable (restore is itself just another commit).
+        The target's schema, constraints, and partition spec come back
+        with it; streaming transaction watermarks (``extra['txn']``) are
+        deliberately NOT rolled back — rewinding them would make an
+        exactly-once sink re-append batches it already committed.
+        Fails if the target's files were already vacuumed."""
+        cur = self.current_version()
+        target = self.snapshot(version)
+        missing = [
+            f["path"]
+            for f in target.files
+            if not (self.root / f["path"]).exists()
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.root} to v{version}: "
+                f"{len(missing)} data file(s) were vacuumed "
+                f"(first: {missing[0]!r})"
+            )
+        if version == cur:
+            return {"restored": False, "version": cur}
+        new_v = self._commit(
+            target.files,
+            "restore",
+            committed_at,
+            schema_json=target.schema_json,
+            constraints=list(target.constraints),
+            extra={"partition_spec": target.extra.get("partition_spec")},
+            parent_version=cur,
+        )
+        return {"restored": True, "version": new_v, "restored_to": version}
+
+    def clone(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> "VersionedTable":
+        """Shallow ``CLONE`` analog: create a new table at ``dest_root``
+        whose v1 manifest references THIS table's data files by absolute
+        path — a metadata-only copy (KBs), independent history from then
+        on. Writes to the clone stage new files under its own root; the
+        borrowed files are never rewritten. Bloom indexes and min/max
+        stats ride along (they live inline in the manifest).
+
+        Caveats (same as Delta shallow clones): ``vacuum`` on the SOURCE
+        can delete files the clone still references — vacuum the source
+        only after clones are dropped or deep-copied; the clone's own
+        ``vacuum`` never deletes borrowed (absolute-path) files. The
+        source's streaming watermarks are not copied — the clone is a new
+        table identity, so a stream targeting it starts from scratch."""
+        snap = self.snapshot(version)
+        dest = VersionedTable(dest_root)
+        if dest.current_version() is not None:
+            raise ValueError(
+                f"clone destination {dest_root} is already a table"
+            )
+        files = []
+        for f in snap.files:
+            e = dict(f)
+            p = Path(f["path"])
+            e["path"] = str(p if p.is_absolute() else (self.root / p))
+            files.append(e)
+        dest._commit(
+            files,
+            "clone",
+            committed_at,
+            schema_json=snap.schema_json,
+            constraints=list(snap.constraints),
+            extra={
+                "partition_spec": snap.extra.get("partition_spec"),
+                "clone_source": {
+                    "root": str(self.root),
+                    "version": snap.version,
+                },
+            },
+            parent_version=None,
+        )
+        return dest
+
     def rewrite_where(
         self,
         spark: SparkSession,
@@ -1512,6 +1688,11 @@ class VersionedTable:
         removed = 0
         for v in drop:
             for f in self.snapshot(v).files:
+                # absolute paths are files BORROWED from a shallow-clone
+                # source — this table never owns them, so vacuum must
+                # never delete them (mirror of Delta's clone contract)
+                if Path(f["path"]).is_absolute():
+                    continue
                 if f["path"] not in live:
                     p = self.root / f["path"]
                     if p.exists():
