@@ -242,3 +242,91 @@ FROM t
 GROUP BY shard_id
 ORDER BY shard_id
 """
+
+
+def interleave_sources_query(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, int] | None = None,
+    limit: int = 300,
+) -> DataFrame:
+    """Deterministic weighted interleave of corpus sources — the
+    dataloader-facing twin of ``mixture_weights``: given integer source
+    weights, emit documents in the order a rate-proportional scheduler
+    would consume them, so a source with weight 3 appears ~3x as often
+    as a weight-1 source at every prefix of the stream.
+
+    Shape: each doc gets a deterministic within-source rank (ordered by
+    ``md5``-derived shuffle key — same keyed-shuffle idiom as
+    ``shard_manifest``), then a virtual timestamp
+    ``vt = rank * LCM_SCALE div weight`` (ticks between consumptions of
+    a weight-``w`` source are ``1/w`` long). The interleaved order is
+    ``(vt, source, rank)`` — all integer, so the DuckDB twin is
+    bit-identical. The global ``pos`` materialized here is for the
+    oracle/consumer; at 100 TB the ORDER is what matters and it needs
+    no global sort — writers emit per-shard files sorted by ``vt``
+    (range-partitioned on it), which a merge-reading dataloader
+    consumes in order.
+    """
+    weights = weights or {
+        "src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(weights.items()), "source string, weight long"
+        )
+    )
+    ranked = (
+        docs.join(wdf, "source")
+        .select(
+            "source",
+            "doc_id",
+            "weight",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    _md5_hash64(F.col("doc_id").cast("string")), "doc_id"
+                )
+            )
+            .alias("rank"),
+        )
+        .withColumn("vt", F.expr("(rank * 1000000) div weight"))
+    )
+    return (
+        ranked.select(
+            F.row_number()
+            .over(Window.orderBy("vt", "source", "rank"))
+            .alias("pos"),
+            "source",
+            "doc_id",
+            "rank",
+            "vt",
+        )
+        .limit(limit)
+        .orderBy("pos")
+    )
+
+
+INTERLEAVE_SOURCES_SQL = """
+WITH w(source, weight) AS (
+  VALUES ('src0', 5), ('src1', 3), ('src2', 2), ('src3', 1), ('src4', 1)
+), ranked AS (
+  SELECT d.source, d.doc_id, w.weight,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    d.doc_id
+         ) AS rank
+  FROM documents d JOIN w ON d.source = w.source
+), vts AS (
+  SELECT source, doc_id, CAST(rank AS BIGINT) AS rank,
+         (rank * 1000000) // weight AS vt
+  FROM ranked
+)
+SELECT CAST(row_number() OVER (ORDER BY vt, source, rank) AS BIGINT) AS pos,
+       source, doc_id, rank, CAST(vt AS BIGINT) AS vt
+FROM vts
+ORDER BY pos
+LIMIT 300
+"""

@@ -1,0 +1,171 @@
+"""Unit tests for the round-7 batch: Levenshtein entity resolution,
+k-anonymity audit/suppression, histogram-quantile sketch, and the
+weighted source interleave."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.operators.entity import levenshtein_pairs
+from faers_datalakehouse_spark.operators.privacy import (
+    k_anonymity_audit,
+    k_suppress,
+)
+from faers_datalakehouse_spark.operators.quantile_sketch import (
+    histogram_quantiles,
+    histogram_sketch,
+)
+from faers_datalakehouse_spark.plans.training_prep import (
+    interleave_sources_query,
+)
+
+
+# ---------------------------------------------------------------- entity
+
+
+def test_levenshtein_pairs_basic(spark):
+    df = spark.createDataFrame(
+        [("small ring",), ("smal ring",), ("small ring",), ("big hammer",)],
+        ["name"],
+    )
+    out = levenshtein_pairs(df, "name", max_dist=2, band_width=2).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.name1, row.name2) == ("smal ring", "small ring")
+    assert row.dist == 1
+    # n carries the row multiplicity of each distinct value
+    assert {row.n1, row.n2} == {1, 2}
+
+
+def test_levenshtein_pairs_recall_across_bands(spark):
+    # lengths 4 and 6 land in different bands (w=2: bands 2 and 3) —
+    # the double-emit blocking must still pair them (dist 2 <= max 2)
+    df = spark.createDataFrame([("abcd",), ("abcdef",)], ["name"])
+    out = levenshtein_pairs(df, "name", max_dist=2, band_width=2).collect()
+    assert len(out) == 1 and out[0].dist == 2
+
+
+def test_levenshtein_pairs_no_duplicate_candidates(spark):
+    # equal-band values share BOTH emitted keys; distinct() must dedupe
+    df = spark.createDataFrame([("aaaa",), ("aaab",), ("aabb",)], ["name"])
+    out = levenshtein_pairs(df, "name", max_dist=2, band_width=4)
+    rows = [(r.name1, r.name2) for r in out.collect()]
+    assert len(rows) == len(set(rows)) == 3
+
+
+def test_levenshtein_pairs_rejects_narrow_band(spark):
+    df = spark.createDataFrame([("x",)], ["name"])
+    with pytest.raises(ValueError, match="loses recall"):
+        levenshtein_pairs(df, "name", max_dist=3, band_width=2)
+
+
+# --------------------------------------------------------------- privacy
+
+
+@pytest.fixture()
+def people(spark):
+    rows = [
+        # (id, zip, age_band) — zip/age are the quasi identifiers
+        (1, "02139", "30s"),
+        (2, "02139", "30s"),
+        (3, "02139", "30s"),
+        (4, "94110", "40s"),  # unique class -> violating at k=2
+        (5, None, "40s"),
+        (6, None, "40s"),  # NULL zip class of size 2
+    ]
+    return spark.createDataFrame(rows, ["id", "zip", "age_band"])
+
+
+def test_k_anonymity_audit(people):
+    out = {
+        (r.zip, r.age_band): (r.n, r.anonymous)
+        for r in k_anonymity_audit(people, ["zip", "age_band"], k=2).collect()
+    }
+    assert out[("02139", "30s")] == (3, True)
+    assert out[("94110", "40s")] == (1, False)
+    # NULL quasi values form their own (countable) class
+    assert out[(None, "40s")] == (2, True)
+
+
+def test_k_suppress_nulls_only_violating_rows(people):
+    out = k_suppress(people, ["zip", "age_band"], k=2)
+    assert out.columns == people.columns
+    rows = {r.id: (r.zip, r.age_band) for r in out.collect()}
+    assert rows[1] == ("02139", "30s")  # untouched
+    assert rows[4] == (None, None)  # suppressed
+    assert rows[5] == (None, "40s")  # NULL class of size 2 kept
+
+
+def test_k_suppress_all_pass_is_identity(people):
+    out = k_suppress(people, ["zip", "age_band"], k=1)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, people.collect())
+    )
+
+
+def test_k_anonymity_validates_args(people):
+    with pytest.raises(ValueError):
+        k_anonymity_audit(people, [], k=2)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(people, ["zip"], k=0)
+
+
+# ----------------------------------------------------- quantile sketch
+
+
+def test_histogram_sketch_state_bounded(spark):
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in ("a", "b") for v in range(100)],
+        ["g", "v"],
+    )
+    sketch, lo, hi = histogram_sketch(df, "v", ["g"], bins=8, scale=1)
+    assert (lo, hi) == (0, 99)
+    rows = sketch.collect()
+    assert len(rows) <= 2 * 8  # |groups| * bins bound
+    assert sum(r.n for r in rows) == 200
+    assert all(0 <= r.bin < 8 for r in rows)
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark):
+    vals = [float(v) for v in range(1, 1001)]  # 1..1000, uniform
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = {
+        r.p_milli: r.approx_q_units
+        for r in histogram_quantiles(
+            df, "v", ["g"], probs_milli=[500, 950], bins=100, scale=1
+        ).collect()
+    }
+    # bin width is 10 quantized units; estimate = upper edge of hit bin
+    assert abs(out[500] - 500) <= 10
+    assert abs(out[950] - 950) <= 10
+
+
+def test_histogram_quantiles_single_value_degenerate(spark):
+    df = spark.createDataFrame([("g", 5.0)] * 4, ["g", "v"])
+    out = histogram_quantiles(
+        df, "v", ["g"], probs_milli=[500], bins=16, scale=100
+    ).collect()
+    assert len(out) == 1 and out[0].approx_q_units == 500  # 5.0 * 100
+
+
+def test_histogram_sketch_raises_on_all_null(spark):
+    df = spark.createDataFrame([("g", None)], "g string, v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        histogram_sketch(df, "v", ["g"])
+
+
+# ------------------------------------------------------------ interleave
+
+
+def test_interleave_rate_proportional_prefix(spark, sf_dir):
+    out = interleave_sources_query(spark, sf_dir).collect()
+    assert [r.pos for r in out] == list(range(1, len(out) + 1))
+    # weight-5 src0 must appear ~5x as often as weight-1 src3 in any
+    # reasonable prefix; check the first 36 virtual-time slots
+    prefix = [r.source for r in out[:36]]
+    n0, n3 = prefix.count("src0"), prefix.count("src3")
+    assert n0 >= 4 * max(n3, 1) - 2
+    # deterministic: second run identical
+    again = interleave_sources_query(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
