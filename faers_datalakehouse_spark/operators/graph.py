@@ -91,16 +91,20 @@ def triangle_counts(
     (clustering coefficient numerator, spam-farm detection on link
     graphs).
 
-    Algorithm: degree-ordered orientation (the MapReduce-standard
-    Suri–Vassilvitskii / Cohen shape). Each undirected edge is oriented
-    from its lower-(degree, id) endpoint to the higher; wedges are then
-    pairs of OUT-neighbors of a node, and each triangle is found exactly
-    once (at its lowest-rank vertex) by probing the oriented edge set.
-    Orientation bounds every node's out-degree by O(sqrt(m)) — the join
-    that enumerates wedges never explodes on a high-degree hub, which is
-    what kills the naive all-pairs-of-neighbors join at scale. Two
-    equi-joins + one groupBy; all exact integers (DuckDB twin enumerates
-    ``a < b < c`` directly — same triangle set, same counts).
+    Algorithm: degree-ordered orientation + edge iterator. Each
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher, bounding every out-degree by O(sqrt(m)); out-neighbor
+    ADJACENCY ARRAYS are then joined onto each oriented edge (u, v) and
+    the closing vertices are ``array_intersect(N+(u), N+(v))`` — each
+    triangle found exactly once at its lowest-rank base edge. The
+    earlier wedge-join formulation (self-join on u, then a semi-join
+    probe) shuffled the full wedge set — tens of millions of rows here,
+    Σ outdeg² in general — where the intersect form shuffles only the
+    node-sized adjacency table and streams the edge list through two
+    hash joins; per-edge work is O(deg_u + deg_v), the same total
+    compute without materializing wedges through an exchange. All exact
+    integers (DuckDB twin enumerates ``a < b < c`` directly — same
+    triangle set, same counts).
     """
     e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
         F.col("x") != F.col("y")
@@ -131,32 +135,34 @@ def triangle_counts(
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # o: u -> v with rank(u) < rank(v); carry v's rank for wedge ordering
-    # o is consumed three times (both wedge sides + the closing-edge
-    # probe); persist so the orientation join runs once
+    # o: u -> v with rank(u) < rank(v); consumed twice (adjacency build
+    # + edge stream), persist so the orientation join runs once
     o = wd.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).persist()
-    o1, o2 = o.alias("o1"), o.alias("o2")
-    wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).filter(
-        (F.col("o1.dv") < F.col("o2.dv"))
-        | (
-            (F.col("o1.dv") == F.col("o2.dv"))
-            & (F.col("o1.v") < F.col("o2.v"))
+    # node-sized adjacency table; array lengths bounded O(sqrt(m)) by
+    # the orientation, so collect_list state can't blow up on a hub
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    tris = (
+        o.join(adj, "u")
+        .join(
+            adj.select(
+                F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")
+            ),
+            "v",
+            "left",  # v may have no out-neighbors; null intersect -> no rows
         )
-    ).select(
-        F.col("o1.u").alias("w1"),
-        F.col("o1.v").alias("w2"),
-        F.col("o2.v").alias("w3"),
+        .select(
+            "u",
+            "v",
+            F.explode(F.array_intersect("nbrs", "nbrs_v")).alias("w"),
+        )
     )
-    closing = o.select(F.col("u").alias("w2"), F.col("v").alias("w3"))
-    tris = wedges.join(closing, ["w2", "w3"], "left_semi")
     members = (
-        tris.select(F.col("w1").alias("node"))
-        .union(tris.select(F.col("w2").alias("node")))
-        .union(tris.select(F.col("w3").alias("node")))
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v").alias("node")))
+        .union(tris.select(F.col("w").alias("node")))
     )
     return (
         members.groupBy("node")
