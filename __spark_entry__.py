@@ -359,6 +359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round regardless, so rotation never reduces actual coverage.
     return {
         # -- never driver-checked (built this round) --
+        "anomaly_days": A.anomaly_days,
+        "pareto_front": A.pareto_front,
+        "ewma_daily": A.ewma_daily,
         "levenshtein_pairs": _levenshtein_pairs,
         "histogram_quantiles": _histogram_quantiles,
         "k_anonymity_audit": _k_anonymity_audit,
@@ -399,7 +402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the 40 entries last driver-checked in r4 (2-round rule) --
         "segment_status_pivot": A.segment_status_pivot,
         "customer_retention_setops": A.customer_retention_setops,
-        "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         "lang_id": S.lang_id_query,
         "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
         "kmeans_clusters": lambda spark, sf_dir: kmeans_lite(
@@ -416,10 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_agg": A.json_extract_agg,
         "salted_join": S.salted_join_query,
         "multimodal_decode": S.multimodal_decode_query,
-        "simhash_neardup": _docs(simhash_neardup_pairs),
         "quality_classifier": _quality_classifier,
         "asof_join": S.asof_join_query,
-        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
         "pack_sequences": partial(
             T.pack_sequences_query, budget=512, n_shards=4
         ),
@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ≈ triangle_counts (graph). Then the earlier rotations
         #    (bpe_pair_counts, mixture_weights, chunk_documents, parity
         #    flagships) and the r5-green long tail:
+        "vocab_stats": partial(T.vocab_stats_query, top_n=100),
+        "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
+        "simhash_neardup": _docs(simhash_neardup_pairs),
         "topk_parts": partial(A.topk_parts, k=20),
         "latest_day_activity": A.latest_day_activity,
         "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
@@ -660,6 +663,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "anomaly_days": A.ANOMALY_DAYS_SQL,
+        "pareto_front": A.PARETO_FRONT_SQL,
+        "ewma_daily": A.ewma_daily_oracle_sql(window=8),
         "levenshtein_pairs": levenshtein_pairs_oracle_sql(
             "part", "p_name", max_dist=3, band_width=4
         ),

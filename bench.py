@@ -107,6 +107,15 @@ BENCH_QUERIES = {
     # dynamic partition overwrite + three manifest-pruned reads) —
     # write-inclusive like q35.
     "q45_versioned_partition": ("count", "versioned_partition_ops"),
+    # Round-7 batch 2: entity resolution, sketch quantiles, privacy,
+    # mixing, and the three new windowed analytics. Keys stable.
+    "q46_levenshtein": ("count", "levenshtein_pairs"),
+    "q47_hist_quantiles": ("collect", "histogram_quantiles"),
+    "q48_k_anonymity": ("count", "k_anonymity_audit"),
+    "q49_interleave": ("count", "interleave_sources"),
+    "q50_anomaly_days": ("count", "anomaly_days"),
+    "q51_pareto_front": ("collect", "pareto_front"),
+    "q52_ewma": ("count", "ewma_daily"),
 }
 
 

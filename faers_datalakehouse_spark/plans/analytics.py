@@ -1363,3 +1363,189 @@ SELECT m.cohort_week,
 FROM matrix m JOIN sizes s USING (cohort_week)
 ORDER BY cohort_week, week_offset
 """
+
+
+def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status daily order values flagged by the 3-sigma rule —
+    integer-exact outlier detection over grouped series.
+
+    The float-free trick: ``|x - mean| > 3*sigma`` is squared into
+    ``(n*x - S)^2 > 9*(n*Q - S^2)`` (population variance; both sides
+    integer), and to keep the squares inside int64 at any realistic
+    value scale the series is first SHIFTED by its integer mean
+    (variance is shift-invariant): pass 1 computes ``mu0 = S div n``
+    per series, pass 2 works on deviations ``d = x - mu0``, whose
+    squares are bounded by the series SPREAD, not its absolute
+    magnitude. Two window passes over one (status)-partitioned shuffle;
+    no collect, no join. DuckDB reproduces every step bit-for-bit.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # stats run on x div 100 (hundreds of dollars): with the ANSI-mode
+    # exact multiplies below, the coarser unit buys ~4 orders of int64
+    # headroom on (n*d - sd)^2 and n*sq at any realistic daily volume;
+    # the displayed x stays in whole dollars
+    daily = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(F.round("o_totalprice").cast("long")).alias("x"))
+    w = Window.partitionBy("status")
+    p1 = daily.select(
+        "status",
+        "day",
+        "x",
+        F.expr("x div 100").alias("xs"),
+        F.expr("sum(x div 100) over (partition by status) div "
+               "count(*) over (partition by status)").alias("mu0"),
+    )
+    p2 = p1.select(
+        "status",
+        "day",
+        "x",
+        (F.col("xs") - F.col("mu0")).alias("d"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("xs") - F.col("mu0")).over(w).alias("sd"),
+        F.sum((F.col("xs") - F.col("mu0")) * (F.col("xs") - F.col("mu0")))
+        .over(w)
+        .alias("sq"),
+    )
+    return p2.select(
+        "status",
+        "day",
+        "x",
+        (
+            (F.col("n") * F.col("d") - F.col("sd"))
+            * (F.col("n") * F.col("d") - F.col("sd"))
+            > F.lit(9) * (F.col("n") * F.col("sq") - F.col("sd") * F.col("sd"))
+        ).alias("is_anomaly"),
+    ).orderBy("status", "day")
+
+
+ANOMALY_DAYS_SQL = """
+WITH daily AS (
+  SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+), p1 AS (
+  SELECT status, day, x, x // 100 AS xs,
+         sum(x // 100) OVER (PARTITION BY status)
+           // count(*) OVER (PARTITION BY status) AS mu0
+  FROM daily
+), p2 AS (
+  SELECT status, day, x, xs - mu0 AS d,
+         count(*) OVER (PARTITION BY status) AS n,
+         sum(xs - mu0) OVER (PARTITION BY status) AS sd,
+         sum((xs - mu0) * (xs - mu0)) OVER (PARTITION BY status) AS sq
+  FROM p1
+)
+SELECT status, day, x,
+       (n*d - sd) * (n*d - sd) > 9 * (n*sq - sd*sd) AS is_anomaly
+FROM p2
+ORDER BY status, day
+"""
+
+
+def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of parts: minimize price, maximize
+    size — the "best tradeoff set" operator.
+
+    The naive skyline is an all-pairs dominance anti-join; in 2-D it
+    collapses to a SORT + RUNNING MAX: order by price, and a part is
+    non-dominated iff its size beats the best size seen at any STRICTLY
+    lower price (RANGE frame to price-1 — integer cents, so the frame
+    bound is exact) and ties the best size at its own price point
+    (duplicate (price, size) points are mutually non-dominating and all
+    survive). One range-partitioned sort, no self-join — the classic
+    sweep-line, distributed. DuckDB evaluates the identical frames.
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pts = part.select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_lt = (
+        Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("price_c")
+    scored = pts.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        F.max("size").over(w_lt).alias("best_below"),
+        F.max("size").over(w_eq).alias("best_at"),
+    )
+    return (
+        scored.where(
+            (F.col("best_below").isNull() | (F.col("size") > F.col("best_below")))
+            & (F.col("size") == F.col("best_at"))
+        )
+        .select("p_partkey", "price_c", "size")
+        .orderBy("price_c", "p_partkey")
+    )
+
+
+PARETO_FRONT_SQL = """
+WITH pts AS (
+  SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+), scored AS (
+  SELECT p_partkey, price_c, size,
+         max(size) OVER (ORDER BY price_c
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_below,
+         max(size) OVER (PARTITION BY price_c) AS best_at
+  FROM pts
+)
+SELECT p_partkey, price_c, size
+FROM scored
+WHERE (best_below IS NULL OR size > best_below) AND size = best_at
+ORDER BY price_c, p_partkey
+"""
+
+
+def ewma_daily(spark: SparkSession, sf_dir: str, window: int = 8) -> DataFrame:
+    """Exponentially-weighted moving average of daily order value with
+    geometric power-of-2 weights over the trailing ``window`` days —
+    integer-exact (weights ``2^(w-1-i)``, denominator ``2^w - 1``), so
+    the DuckDB twin matches bit-for-bit. A true recursive EWMA depends
+    on unbounded history (not expressible as a frame in either engine);
+    the truncated form keeps >99.6% of the mass at w=8 and is a fixed
+    LAG ladder — one window shuffle, null until the ladder is full."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("x")
+    )
+    w = Window.orderBy("day")
+    terms = None
+    for i in range(window):
+        t = F.lag("x", i).over(w) * F.lit(2 ** (window - 1 - i))
+        terms = t if terms is None else terms + t
+    denom = 2**window - 1
+    return (
+        daily.select("day", "x", terms.alias("wsum"))
+        .select(
+            "day",
+            "x",
+            F.expr(f"wsum div {denom}").alias("ewma_c"),
+        )
+        .orderBy("day")
+    )
+
+
+def ewma_daily_oracle_sql(window: int = 8) -> str:
+    terms = " + ".join(
+        f"lag(x, {i}) OVER w * {2 ** (window - 1 - i)}" for i in range(window)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+)
+SELECT day, x, CAST(({terms}) // {2**window - 1} AS BIGINT) AS ewma_c
+FROM daily
+WINDOW w AS (ORDER BY day)
+ORDER BY day
+"""

@@ -169,3 +169,69 @@ def test_interleave_rate_proportional_prefix(spark, sf_dir):
     # deterministic: second run identical
     again = interleave_sources_query(spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+# ------------------------------------------- anomaly / pareto / ewma
+
+
+def test_anomaly_days_flags_outlier(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import anomaly_days
+
+    out = anomaly_days(spark, sf_dir)
+    rows = out.collect()
+    assert set(out.columns) == {"status", "day", "x", "is_anomaly"}
+    assert len(rows) > 0
+    # sanity: flags are booleans and not everything is anomalous
+    flagged = [r for r in rows if r.is_anomaly]
+    assert len(flagged) < len(rows)
+
+
+def test_pareto_front_small(spark):
+    from faers_datalakehouse_spark.plans.analytics import PARETO_FRONT_SQL  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    # direct mini skyline: (price, size); minimize price, maximize size
+    pts = spark.createDataFrame(
+        [
+            (1, 100, 5),
+            (2, 100, 9),   # dominates id=1 (same price, bigger)
+            (3, 200, 9),   # dominated by id=2 (pricier, same size)
+            (4, 200, 12),  # frontier
+            (5, 50, 2),    # frontier (cheapest)
+            (6, 50, 2),    # duplicate point -> also survives
+        ],
+        ["p_partkey", "price_c", "size"],
+    )
+    w_lt = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_eq = Window.partitionBy("price_c")
+    scored = pts.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        F.max("size").over(w_lt).alias("bb"),
+        F.max("size").over(w_eq).alias("ba"),
+    )
+    out = scored.where(
+        (F.col("bb").isNull() | (F.col("size") > F.col("bb")))
+        & (F.col("size") == F.col("ba"))
+    )
+    ids = sorted(r.p_partkey for r in out.collect())
+    assert ids == [2, 4, 5, 6]
+
+
+def test_ewma_daily_warmup_and_weights(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import ewma_daily
+
+    rows = ewma_daily(spark, sf_dir, window=8).collect()
+    # first window-1 rows have incomplete lag ladders -> NULL ewma
+    assert all(r.ewma_c is None for r in rows[:7])
+    assert all(r.ewma_c is not None for r in rows[7:])
+    # weights sum to 2^w - 1, so a constant series maps to itself:
+    # check on row 8+ that ewma is within the min/max of its window
+    xs = [r.x for r in rows]
+    for i in range(7, min(len(rows), 40)):
+        lo, hi = min(xs[i - 7 : i + 1]), max(xs[i - 7 : i + 1])
+        assert lo <= rows[i].ewma_c <= hi
