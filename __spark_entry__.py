@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round regardless, so rotation never reduces actual coverage.
     return {
         # -- never driver-checked (built this round) --
+        "versioned_mor_delete": S.versioned_mor_delete_query,
         "anomaly_days": A.anomaly_days,
         "pareto_front": A.pareto_front,
         "ewma_daily": A.ewma_daily,
@@ -431,7 +432,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "text_quality": S.text_quality_query,
-        "funnel_steps": A.funnel_steps,
         "incremental_dedup": _incremental_dedup,
         "stratified_cap": partial(S.stratified_cap_query, cap=30),
         # -- rotation tail (positions 51+). First: the 15 r4-green
@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": partial(T.vocab_stats_query, top_n=100),
         "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        "funnel_steps": A.funnel_steps,
         "topk_parts": partial(A.topk_parts, k=20),
         "latest_day_activity": A.latest_day_activity,
         "ann_ivf_topk_nprobe2": partial(_ann_ivf, nprobe=2),
@@ -663,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "versioned_mor_delete": S.VERSIONED_MOR_DELETE_SQL,
         "anomaly_days": A.ANOMALY_DAYS_SQL,
         "pareto_front": A.PARETO_FRONT_SQL,
         "ewma_daily": A.ewma_daily_oracle_sql(window=8),

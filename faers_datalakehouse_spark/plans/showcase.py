@@ -1998,3 +1998,54 @@ def pq_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pq_recall(emb, n_queries=8, topk=5, **PQ_PARAMS)
+
+
+def versioned_mor_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level DELETE (Iceberg position-delete / Delta
+    deletion-vector analog), oracle-checkable end-to-end.
+
+    Same two-commit table as ``versioned_delete_query``, but the delete
+    commits a TOMBSTONE file and leaves every data file in place; the
+    read path anti-joins the tombstones. The result unions the
+    PRE-delete snapshot (time travel) with the POST-delete current read,
+    and every row carries ``metadata_only`` — computed from the actual
+    manifests as "the delete commit changed NO data file" — which the
+    oracle asserts as TRUE: if the MOR path ever started rewriting data
+    files, the hash would fail, not just a doc note.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_mor/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs.filter(F.col("doc_id") % 3 == 0), mode="overwrite")
+    vt.write(docs.filter(F.col("doc_id") % 3 == 1), mode="append")
+    res = vt.delete_where(spark, "lang = 'de'", mode="mor")
+    pre_files = [f["path"] for f in vt.snapshot(2).files]
+    post_files = [f["path"] for f in vt.snapshot(res["version"]).files]
+    metadata_only = (
+        pre_files == post_files and res["files_rewritten"] == 0
+    )
+    pre = vt.read(spark, version=2).withColumn("as_of", F.lit("pre"))
+    post = vt.read(spark).withColumn("as_of", F.lit("post"))
+    return (
+        pre.unionByName(post)
+        .withColumn("metadata_only", F.lit(metadata_only))
+        .orderBy("as_of", "doc_id")
+    )
+
+
+VERSIONED_MOR_DELETE_SQL = """
+SELECT doc_id, lang, 'pre' AS as_of, TRUE AS metadata_only
+FROM documents WHERE doc_id % 3 IN (0, 1)
+UNION ALL
+SELECT doc_id, lang, 'post' AS as_of, TRUE AS metadata_only
+FROM documents WHERE doc_id % 3 IN (0, 1) AND lang <> 'de'
+ORDER BY as_of, doc_id
+"""

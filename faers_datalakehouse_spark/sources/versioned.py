@@ -295,6 +295,8 @@ class VersionedTable:
         entries: list[dict],
         spec: dict | None,
         schema_json: str | None = None,
+        deletes: list[dict] | None = None,
+        keep_lineage: bool = False,
     ) -> DataFrame:
         """Scan the given manifest entries as one DataFrame.
 
@@ -306,29 +308,58 @@ class VersionedTable:
         per distinct partition tuple in the snapshot: fine for the
         day/region-grained partitioning this layout targets (hundreds of
         branches), the same order as Delta's add-file grouping. Column
-        order is restored from the snapshot schema when recorded."""
+        order is restored from the snapshot schema when recorded.
+
+        ``deletes``: merge-on-read tombstone entries (position deletes
+        ``(file_path, row_index)``); live rows are the anti-join against
+        them. ``keep_lineage`` keeps the ``_dv_file``/``_dv_pos``
+        row-lineage columns in the output (mutation paths use them to
+        locate rows; plain reads drop them)."""
         from pyspark.sql import functions as F
 
+        lineage = bool(deletes) or keep_lineage
+
+        def _scan(paths: list[str]) -> DataFrame:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            if lineage:
+                # _metadata must be projected off the scan relation
+                # itself (it does not survive joins/aggregations)
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
+            return df
+
         if spec is None or not any("partition" in e for e in entries):
-            return spark.read.option("mergeSchema", "true").parquet(
-                *[str(self.root / e["path"]) for e in entries]
+            out = _scan([str(self.root / e["path"]) for e in entries])
+        else:
+            cols, types = spec["cols"], spec["types"]
+            groups: dict[tuple, list[str]] = {}
+            for e in entries:
+                key = tuple(e["partition"][c] for c in cols)
+                groups.setdefault(key, []).append(str(self.root / e["path"]))
+            parts = []
+            for key in sorted(groups, key=lambda k: tuple(str(v) for v in k)):
+                part = _scan(groups[key])
+                for c, v in zip(cols, key):
+                    part = part.withColumn(c, F.lit(v).cast(types[c]))
+                parts.append(part)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+        if deletes:
+            tomb = spark.read.parquet(
+                *[str(self.root / d["path"]) for d in deletes]
             )
-        cols, types = spec["cols"], spec["types"]
-        groups: dict[tuple, list[str]] = {}
-        for e in entries:
-            key = tuple(e["partition"][c] for c in cols)
-            groups.setdefault(key, []).append(str(self.root / e["path"]))
-        parts = []
-        for key in sorted(groups, key=lambda k: tuple(str(v) for v in k)):
-            part = spark.read.option("mergeSchema", "true").parquet(
-                *groups[key]
+            out = out.join(
+                tomb,
+                (out["_dv_file"] == tomb["file_path"])
+                & (out["_dv_pos"] == tomb["row_index"]),
+                "left_anti",
             )
-            for c, v in zip(cols, key):
-                part = part.withColumn(c, F.lit(v).cast(types[c]))
-            parts.append(part)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
+        if lineage and not keep_lineage:
+            out = out.drop("_dv_file", "_dv_pos")
         if schema_json is not None:
             order = [
                 f["name"] for f in json.loads(schema_json)["fields"]
@@ -534,9 +565,14 @@ class VersionedTable:
         extra = dict(extra or {})
         if cur is not None:
             prev_extra = self.snapshot(cur).extra
-            for key in ("partition_spec", "txn"):
+            for key in ("partition_spec", "txn", "deletes"):
                 if key not in extra and prev_extra.get(key) is not None:
                     extra[key] = prev_extra[key]
+        # an explicit empty delete list exists only to BLOCK the carry
+        # (overwrite/compact/zorder); the published manifest omits it so
+        # delete-free snapshots stay byte-identical to pre-MOR ones
+        if not extra.get("deletes"):
+            extra.pop("deletes", None)
         # allocate from the SAME snapshot read the carry-forward used: if
         # a concurrent commit lands after it, the exclusive link below
         # fails and the caller rebases — never a commit whose carried
@@ -707,6 +743,10 @@ class VersionedTable:
             extra = dict(commit_extra or {})
             if spec is not None:
                 extra["partition_spec"] = spec
+            if mode == "overwrite":
+                # a truncating overwrite drops every old file; its
+                # tombstones must not be carried onto the new snapshot
+                extra.setdefault("deletes", [])
             try:
                 return self._commit(
                     prior + new_files,
@@ -806,6 +846,7 @@ class VersionedTable:
             snap.files,
             snap.extra.get("partition_spec"),
             schema_json=snap.schema_json,
+            deletes=snap.extra.get("deletes"),
         )
 
     def changes(
@@ -836,8 +877,20 @@ class VersionedTable:
             v_to = self.current_version()
         old = self.snapshot(v_from)
         new = self.snapshot(v_to)
-        old_paths = {f["path"] for f in old.files}
-        new_paths = {f["path"] for f in new.files}
+        # merge-on-read tombstones change a file's LIVE rows without
+        # changing its path, so file-list cancellation is only sound when
+        # both snapshots apply the SAME delete set; otherwise fall back
+        # to full (delete-applied) reads of both versions — correct, at
+        # full-scan cost, the price a MOR delete defers to its readers
+        same_deletes = (old.extra.get("deletes") or []) == (
+            new.extra.get("deletes") or []
+        )
+        old_paths = (
+            {f["path"] for f in old.files} if same_deletes else set()
+        )
+        new_paths = (
+            {f["path"] for f in new.files} if same_deletes else set()
+        )
 
         def _read(snap: Snapshot, other: set) -> DataFrame | None:
             only = [f for f in snap.files if f["path"] not in other]
@@ -848,6 +901,7 @@ class VersionedTable:
                 only,
                 snap.extra.get("partition_spec"),
                 schema_json=snap.schema_json,
+                deletes=snap.extra.get("deletes"),
             )
 
         added = _read(new, old_paths)
@@ -943,7 +997,10 @@ class VersionedTable:
                 F.col(col) == F.lit(value)
             ), report
         df = self._read_entries(
-            spark, keep, snap.extra.get("partition_spec")
+            spark,
+            keep,
+            snap.extra.get("partition_spec"),
+            deletes=snap.extra.get("deletes"),
         )
         return df.filter(F.col(col) == F.lit(value)), report
 
@@ -985,7 +1042,10 @@ class VersionedTable:
             df = self.read(spark, version).limit(0)
         else:
             df = self._read_entries(
-                spark, keep, snap.extra.get("partition_spec")
+                spark,
+                keep,
+                snap.extra.get("partition_spec"),
+                deletes=snap.extra.get("deletes"),
             )
         from pyspark.sql import functions as F
 
@@ -1041,7 +1101,11 @@ class VersionedTable:
         if not keep:
             return self.read(spark, version).limit(0), report
         return self._read_entries(
-            spark, keep, spec, schema_json=snap.schema_json
+            spark,
+            keep,
+            spec,
+            schema_json=snap.schema_json,
+            deletes=snap.extra.get("deletes"),
         ), report
 
     # -- maintenance ------------------------------------------------------
@@ -1106,6 +1170,7 @@ class VersionedTable:
             "compact",
             committed_at,
             schema_json=df.schema.json(),
+            extra={"deletes": []},
             parent_version=snap.version,
         )
         return {
@@ -1197,6 +1262,7 @@ class VersionedTable:
             "optimize_zorder",
             committed_at,
             schema_json=df.schema.json(),
+            extra={"deletes": []},
             parent_version=snap.version,
         )
         return {
@@ -1221,7 +1287,9 @@ class VersionedTable:
         target = self.snapshot(version)
         missing = [
             f["path"]
-            for f in target.files
+            for f in (
+                target.files + (target.extra.get("deletes") or [])
+            )
             if not (self.root / f["path"]).exists()
         ]
         if missing:
@@ -1238,7 +1306,10 @@ class VersionedTable:
             committed_at,
             schema_json=target.schema_json,
             constraints=list(target.constraints),
-            extra={"partition_spec": target.extra.get("partition_spec")},
+            extra={
+                "partition_spec": target.extra.get("partition_spec"),
+                "deletes": target.extra.get("deletes") or [],
+            },
             parent_version=cur,
         )
         return {"restored": True, "version": new_v, "restored_to": version}
@@ -1326,7 +1397,17 @@ class VersionedTable:
                 "files_kept": 0,
                 "rows_matched": 0,
             }
-        df = self.read(spark).withColumn("_file", F.input_file_name())
+        # lineage-based file identity: input_file_name() returns '' once
+        # a join sits between scan and projection, which is exactly what
+        # a MOR-tombstoned read contains — _dv_file is scan-anchored
+        df = self._read_entries(
+            spark,
+            snap.files,
+            snap.extra.get("partition_spec"),
+            schema_json=snap.schema_json,
+            deletes=snap.extra.get("deletes"),
+            keep_lineage=True,
+        ).withColumnRenamed("_dv_file", "_file").drop("_dv_pos")
         # ONE predicate scan yields both the matched file set (bounded:
         # file count, not row count) and rows_matched — the previous
         # distinct-collect + count pair paid two full scans per mutation
@@ -1356,7 +1437,9 @@ class VersionedTable:
         # silently drop evolved columns from the rewritten rows;
         # partitioned tables also need their partition columns back so
         # the predicate/transform may reference them
-        affected = self._read_entries(spark, hit, spec)
+        affected = self._read_entries(
+            spark, hit, spec, deletes=snap.extra.get("deletes")
+        )
         survivors = affected.filter(f"NOT ({predicate})")
         if transform is not None:
             replaced = transform(affected.filter(predicate))
@@ -1392,6 +1475,7 @@ class VersionedTable:
             "rewrite",
             committed_at,
             schema_json=table_schema.json(),
+            extra={"deletes": snap.extra.get("deletes") or []},
             parent_version=snap.version,
         )
         return {
@@ -1406,11 +1490,110 @@ class VersionedTable:
         spark: SparkSession,
         predicate: str,
         committed_at: str = "1970-01-01T00:00:00Z",
+        mode: str = "cow",
     ) -> dict:
-        """Row-level DELETE (copy-on-write; see ``rewrite_where``)."""
-        return self.rewrite_where(
-            spark, predicate, transform=None, committed_at=committed_at
+        """Row-level DELETE.
+
+        - ``mode="cow"`` (copy-on-write, see ``rewrite_where``): files
+          containing matches are rewritten NOW; reads stay plain scans.
+        - ``mode="mor"`` (merge-on-read — Iceberg position deletes /
+          Delta deletion vectors analog): the matching rows' positions
+          ``(file_path, row_index)`` are written as a TOMBSTONE file and
+          the commit re-publishes the data file list unchanged — commit
+          cost is proportional to the matched rows, not to the size of
+          the files containing them. Every reader (read / time travel /
+          pruned reads / CDF / mutations) anti-joins the tombstones at
+          scan time; ``compact()`` (or any rewrite touching the file)
+          materializes them away. The classic trade: MOR wins on
+          delete-heavy write paths, CoW wins on read-heavy tables.
+        """
+        if mode == "cow":
+            return self.rewrite_where(
+                spark, predicate, transform=None, committed_at=committed_at
+            )
+        if mode != "mor":
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        return self._mor_delete(spark, predicate, committed_at)
+
+    def _stage_deletes(self, df: DataFrame) -> list[dict]:
+        """Write a tombstone frame ``(file_path, row_index)`` under
+        ``deletes/<uuid>/`` and return its manifest entries."""
+        stage = f"deletes/{uuid.uuid4().hex}"
+        outdir = self.root / stage
+        df.coalesce(1).write.parquet(str(outdir))
+        return [
+            {
+                "path": str(p.relative_to(self.root)),
+                "bytes": p.stat().st_size,
+            }
+            for p in sorted(outdir.rglob("*.parquet"))
+        ]
+
+    def _mor_delete(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        committed_at: str,
+    ) -> dict:
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if not snap.files:
+            return {
+                "version": snap.version,
+                "rows_deleted": 0,
+                "delete_files": 0,
+                "files_rewritten": 0,
+            }
+        prior = snap.extra.get("deletes") or []
+        # existing tombstones are applied BEFORE matching, so deleting an
+        # already-deleted row never duplicates its tombstone (idempotent
+        # re-delete = empty match = no commit)
+        df = self._read_entries(
+            spark,
+            snap.files,
+            snap.extra.get("partition_spec"),
+            schema_json=snap.schema_json,
+            deletes=prior,
+            keep_lineage=True,
         )
+        matched = df.filter(predicate).select(
+            F.col("_dv_file").alias("file_path"),
+            F.col("_dv_pos").alias("row_index"),
+        )
+        entries = self._stage_deletes(matched)
+        rows = (
+            spark.read.parquet(
+                *[str(self.root / e["path"]) for e in entries]
+            ).count()
+            if entries
+            else 0
+        )
+        if rows == 0:
+            for e in entries:  # unlink the staged empty tombstone
+                p = self.root / e["path"]
+                if p.exists():
+                    p.unlink()
+            return {
+                "version": snap.version,
+                "rows_deleted": 0,
+                "delete_files": 0,
+                "files_rewritten": 0,
+            }
+        version = self._commit(
+            snap.files,
+            "mor_delete",
+            committed_at,
+            schema_json=snap.schema_json,
+            extra={"deletes": prior + entries},
+            parent_version=snap.version,
+        )
+        return {
+            "version": version,
+            "rows_deleted": rows,
+            "delete_files": len(entries),
+            "files_rewritten": 0,
+        }
 
     def update_where(
         self,
@@ -1555,7 +1738,14 @@ class VersionedTable:
                 ],
             )
 
-        tagged = self.read(spark).withColumn("_file", F.input_file_name())
+        tagged = self._read_entries(
+            spark,
+            snap.files,
+            spec,
+            schema_json=snap.schema_json,
+            deletes=snap.extra.get("deletes"),
+            keep_lineage=True,
+        ).withColumnRenamed("_dv_file", "_file").drop("_dv_pos")
         matched_files = {
             r["_file"]
             for r in tagged.join(kalias, on=_key_cond(tagged), how="left_semi")
@@ -1569,7 +1759,9 @@ class VersionedTable:
             (hit if is_hit else kept).append(f)
         rewritten: list[dict] = []
         if hit:
-            affected = self._read_entries(spark, hit, spec)
+            affected = self._read_entries(
+                spark, hit, spec, deletes=snap.extra.get("deletes")
+            )
             survivors = affected.join(
                 kalias, on=_key_cond(affected), how="left_anti"
             )
@@ -1682,12 +1874,15 @@ class VersionedTable:
         keep, drop = vs[-keep_last:], vs[:-keep_last]
         if not drop:
             return 0
+        def _owned(snap: Snapshot) -> list[dict]:
+            return snap.files + (snap.extra.get("deletes") or [])
+
         live = {
-            f["path"] for v in keep for f in self.snapshot(v).files
+            f["path"] for v in keep for f in _owned(self.snapshot(v))
         }
         removed = 0
         for v in drop:
-            for f in self.snapshot(v).files:
+            for f in _owned(self.snapshot(v)):
                 # absolute paths are files BORROWED from a shallow-clone
                 # source — this table never owns them, so vacuum must
                 # never delete them (mirror of Delta's clone contract)
@@ -1705,9 +1900,10 @@ class VersionedTable:
         # stage with no referenced data file left is dead wholesale
         import shutil as _shutil
 
-        data_dir = self.root / "data"
-        if data_dir.exists():
-            for d in data_dir.iterdir():
-                if d.is_dir() and not any(d.rglob("*.parquet")):
-                    _shutil.rmtree(d)
+        for sub in ("data", "deletes"):
+            subdir = self.root / sub
+            if subdir.exists():
+                for d in subdir.iterdir():
+                    if d.is_dir() and not any(d.rglob("*.parquet")):
+                        _shutil.rmtree(d)
         return removed
