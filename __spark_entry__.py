@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked (built this round) --
         "versioned_mor_delete": S.versioned_mor_delete_query,
+        "versioned_rename_read": S.versioned_rename_read_query,
         "anomaly_days": A.anomaly_days,
         "pareto_front": A.pareto_front,
         "ewma_daily": A.ewma_daily,
@@ -424,13 +425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": partial(
             T.pack_sequences_query, budget=512, n_shards=4
         ),
-        "contamination_check": _docs(
-            lambda df: contamination_check(
-                df.filter(F.col("doc_id") % 97 != 0),
-                df.filter(F.col("doc_id") % 97 == 0),
-                n=3,
-            )
-        ),
         "text_quality": S.text_quality_query,
         "incremental_dedup": _incremental_dedup,
         "stratified_cap": partial(S.stratified_cap_query, cap=30),
@@ -453,6 +447,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": partial(T.vocab_stats_query, top_n=100),
         "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        "contamination_check": _docs(
+            lambda df: contamination_check(
+                df.filter(F.col("doc_id") % 97 != 0),
+                df.filter(F.col("doc_id") % 97 == 0),
+                n=3,
+            )
+        ),
         "funnel_steps": A.funnel_steps,
         "topk_parts": partial(A.topk_parts, k=20),
         "latest_day_activity": A.latest_day_activity,
@@ -665,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "versioned_mor_delete": S.VERSIONED_MOR_DELETE_SQL,
+        "versioned_rename_read": S.VERSIONED_RENAME_READ_SQL,
         "anomaly_days": A.ANOMALY_DAYS_SQL,
         "pareto_front": A.PARETO_FRONT_SQL,
         "ewma_daily": A.ewma_daily_oracle_sql(window=8),

@@ -2049,3 +2049,48 @@ SELECT doc_id, lang, 'post' AS as_of, TRUE AS metadata_only
 FROM documents WHERE doc_id % 3 IN (0, 1) AND lang <> 'de'
 ORDER BY as_of, doc_id
 """
+
+
+def versioned_rename_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column RENAME (Iceberg column-mapping analog),
+    oracle-checkable end-to-end: v1 writes ``(doc_id, lang)``, the
+    rename commits ``lang -> language`` WITHOUT touching any data file,
+    v3 appends rows that carry ``language`` physically — so the final
+    read coalesces the two physical generations under one logical name.
+    Every row carries ``metadata_only`` computed from the actual
+    manifests (rename changed no data file); the oracle asserts TRUE.
+    """
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_ren/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    v1 = vt.write(docs.filter(F.col("doc_id") % 3 == 0), mode="overwrite")
+    v2 = vt.rename_column("lang", "language")
+    vt.write(
+        docs.filter(F.col("doc_id") % 3 == 1).withColumnRenamed(
+            "lang", "language"
+        ),
+        mode="append",
+    )
+    metadata_only = [f["path"] for f in vt.snapshot(v1).files] == [
+        f["path"] for f in vt.snapshot(v2).files
+    ]
+    return (
+        vt.read(spark)
+        .withColumn("metadata_only", F.lit(metadata_only))
+        .orderBy("doc_id")
+    )
+
+
+VERSIONED_RENAME_READ_SQL = """
+SELECT doc_id, lang AS language, TRUE AS metadata_only
+FROM documents WHERE doc_id % 3 IN (0, 1)
+ORDER BY doc_id
+"""

@@ -297,6 +297,7 @@ class VersionedTable:
         schema_json: str | None = None,
         deletes: list[dict] | None = None,
         keep_lineage: bool = False,
+        mapping: dict | None = None,
     ) -> DataFrame:
         """Scan the given manifest entries as one DataFrame.
 
@@ -314,7 +315,14 @@ class VersionedTable:
         ``(file_path, row_index)``); live rows are the anti-join against
         them. ``keep_lineage`` keeps the ``_dv_file``/``_dv_pos``
         row-lineage columns in the output (mutation paths use them to
-        locate rows; plain reads drop them)."""
+        locate rows; plain reads drop them).
+
+        ``mapping``: column-mapping projection (``{logical: [physical
+        names, newest first]}``) — renamed columns resolve each logical
+        name by COALESCING its physical aliases across the mixed-name
+        file generations (mergeSchema surfaces every physical name, null
+        where a file lacks it), and physical columns that map to no
+        logical name (dropped columns) are projected away."""
         from pyspark.sql import functions as F
 
         lineage = bool(deletes) or keep_lineage
@@ -357,6 +365,22 @@ class VersionedTable:
                 (out["_dv_file"] == tomb["file_path"])
                 & (out["_dv_pos"] == tomb["row_index"]),
                 "left_anti",
+            )
+        if mapping:
+            keep_extra = ["_dv_file", "_dv_pos"] if lineage else []
+            projected = []
+            for logical, physicals in mapping.items():
+                present = [p for p in physicals if p in out.columns]
+                if not present:
+                    continue  # column exists in no scanned file
+                col = (
+                    F.coalesce(*[F.col(p) for p in present])
+                    if len(present) > 1
+                    else F.col(present[0])
+                )
+                projected.append(col.alias(logical))
+            out = out.select(
+                *projected, *[c for c in keep_extra if c in out.columns]
             )
         if lineage and not keep_lineage:
             out = out.drop("_dv_file", "_dv_pos")
@@ -565,14 +589,16 @@ class VersionedTable:
         extra = dict(extra or {})
         if cur is not None:
             prev_extra = self.snapshot(cur).extra
-            for key in ("partition_spec", "txn", "deletes"):
+            for key in ("partition_spec", "txn", "deletes",
+                        "column_mapping", "column_mapping_dropped"):
                 if key not in extra and prev_extra.get(key) is not None:
                     extra[key] = prev_extra[key]
         # an explicit empty delete list exists only to BLOCK the carry
         # (overwrite/compact/zorder); the published manifest omits it so
         # delete-free snapshots stay byte-identical to pre-MOR ones
-        if not extra.get("deletes"):
-            extra.pop("deletes", None)
+        for k in ("deletes", "column_mapping", "column_mapping_dropped"):
+            if not extra.get(k):
+                extra.pop(k, None)
         # allocate from the SAME snapshot read the carry-forward used: if
         # a concurrent commit lands after it, the exclusive link below
         # fails and the caller rebases — never a commit whose carried
@@ -745,8 +771,30 @@ class VersionedTable:
                 extra["partition_spec"] = spec
             if mode == "overwrite":
                 # a truncating overwrite drops every old file; its
-                # tombstones must not be carried onto the new snapshot
+                # tombstones and name mappings must not be carried onto
+                # the new snapshot
                 extra.setdefault("deletes", [])
+                extra.setdefault("column_mapping", {})
+                extra.setdefault("column_mapping_dropped", [])
+            live_map = (
+                latest.extra.get("column_mapping") if latest else None
+            ) or {}
+            if live_map and mode != "overwrite":
+                dropped = set(
+                    latest.extra.get("column_mapping_dropped") or []
+                )
+                clash = [c for c in df.columns if c in dropped]
+                if clash:
+                    raise ValueError(
+                        f"columns {clash} reuse physical names of DROPPED "
+                        "columns still present in data files; compact() "
+                        "first to purge them"
+                    )
+                newmap = dict(live_map)
+                for c in df.columns:  # schema evolution: identity-map
+                    if c not in newmap:
+                        newmap[c] = [c]
+                extra["column_mapping"] = newmap
             try:
                 return self._commit(
                     prior + new_files,
@@ -847,6 +895,7 @@ class VersionedTable:
             snap.extra.get("partition_spec"),
             schema_json=snap.schema_json,
             deletes=snap.extra.get("deletes"),
+            mapping=snap.extra.get("column_mapping"),
         )
 
     def changes(
@@ -884,6 +933,8 @@ class VersionedTable:
         # full-scan cost, the price a MOR delete defers to its readers
         same_deletes = (old.extra.get("deletes") or []) == (
             new.extra.get("deletes") or []
+        ) and (old.extra.get("column_mapping") or {}) == (
+            new.extra.get("column_mapping") or {}
         )
         old_paths = (
             {f["path"] for f in old.files} if same_deletes else set()
@@ -902,6 +953,7 @@ class VersionedTable:
                 snap.extra.get("partition_spec"),
                 schema_json=snap.schema_json,
                 deletes=snap.extra.get("deletes"),
+                mapping=snap.extra.get("column_mapping"),
             )
 
         added = _read(new, old_paths)
@@ -959,9 +1011,15 @@ class VersionedTable:
         if value is None:
             raise ValueError("bloom lookup value must not be NULL")
         snap = self.snapshot(version)
+        physicals = self._physical_names(snap, col)
         keep = []
         for f in snap.files:
-            idx = f.get("bloom", {}).get(col) if isinstance(f, dict) else None
+            idx = None
+            if isinstance(f, dict):
+                for pname in physicals:
+                    idx = f.get("bloom", {}).get(pname)
+                    if idx is not None:
+                        break
             if idx is None:
                 keep.append(f)
                 continue
@@ -1001,6 +1059,7 @@ class VersionedTable:
             keep,
             snap.extra.get("partition_spec"),
             deletes=snap.extra.get("deletes"),
+            mapping=snap.extra.get("column_mapping"),
         )
         return df.filter(F.col(col) == F.lit(value)), report
 
@@ -1026,9 +1085,15 @@ class VersionedTable:
         # floats for Decimal) — see _json_safe/_probe_safe
         lo_cmp, hi_cmp = _probe_safe(lo), _probe_safe(hi)
         snap = self.snapshot(version)
+        physicals = self._physical_names(snap, col)
         keep = []
         for f in snap.files:
-            stats = f.get("stats", {}).get(col) if isinstance(f, dict) else None
+            stats = None
+            if isinstance(f, dict):
+                for pname in physicals:
+                    stats = f.get("stats", {}).get(pname)
+                    if stats is not None:
+                        break
             if stats is None or stats[0] is None:
                 keep.append(f)  # no stats -> cannot skip safely
             elif not (stats[1] < lo_cmp or stats[0] > hi_cmp):
@@ -1046,6 +1111,7 @@ class VersionedTable:
                 keep,
                 snap.extra.get("partition_spec"),
                 deletes=snap.extra.get("deletes"),
+                mapping=snap.extra.get("column_mapping"),
             )
         from pyspark.sql import functions as F
 
@@ -1106,6 +1172,7 @@ class VersionedTable:
             spec,
             schema_json=snap.schema_json,
             deletes=snap.extra.get("deletes"),
+            mapping=snap.extra.get("column_mapping"),
         ), report
 
     # -- maintenance ------------------------------------------------------
@@ -1142,9 +1209,7 @@ class VersionedTable:
                 "files_before": len(snap.files),
                 "files_after": len(snap.files),
             }
-        stats_cols = tuple(
-            sorted({c for f in snap.files for c in f.get("stats", {})})
-        )
+        stats_cols = self._logical_stats_cols(snap)
         df = self.read(spark)
         spec = snap.extra.get("partition_spec")
         part_cols = tuple(spec["cols"]) if spec else ()
@@ -1170,7 +1235,11 @@ class VersionedTable:
             "compact",
             committed_at,
             schema_json=df.schema.json(),
-            extra={"deletes": []},
+            extra={
+                "deletes": [],
+                "column_mapping": {},
+                "column_mapping_dropped": [],
+            },
             parent_version=snap.version,
         )
         return {
@@ -1249,8 +1318,7 @@ class VersionedTable:
         staged = staged.drop("_z")
         stats_cols = tuple(
             sorted(
-                ({c for f in snap.files for c in f.get("stats", {})}
-                 | {zx, zy})
+                (set(self._logical_stats_cols(snap)) | {zx, zy})
                 - set(part_cols)
             )
         )
@@ -1262,7 +1330,11 @@ class VersionedTable:
             "optimize_zorder",
             committed_at,
             schema_json=df.schema.json(),
-            extra={"deletes": []},
+            extra={
+                "deletes": [],
+                "column_mapping": {},
+                "column_mapping_dropped": [],
+            },
             parent_version=snap.version,
         )
         return {
@@ -1309,6 +1381,11 @@ class VersionedTable:
             extra={
                 "partition_spec": target.extra.get("partition_spec"),
                 "deletes": target.extra.get("deletes") or [],
+                "column_mapping": target.extra.get("column_mapping") or {},
+                "column_mapping_dropped": target.extra.get(
+                    "column_mapping_dropped"
+                )
+                or [],
             },
             parent_version=cur,
         )
@@ -1407,6 +1484,7 @@ class VersionedTable:
             schema_json=snap.schema_json,
             deletes=snap.extra.get("deletes"),
             keep_lineage=True,
+            mapping=snap.extra.get("column_mapping"),
         ).withColumnRenamed("_dv_file", "_file").drop("_dv_pos")
         # ONE predicate scan yields both the matched file set (bounded:
         # file count, not row count) and rows_matched — the previous
@@ -1438,7 +1516,11 @@ class VersionedTable:
         # partitioned tables also need their partition columns back so
         # the predicate/transform may reference them
         affected = self._read_entries(
-            spark, hit, spec, deletes=snap.extra.get("deletes")
+            spark,
+            hit,
+            spec,
+            deletes=snap.extra.get("deletes"),
+            mapping=snap.extra.get("column_mapping"),
         )
         survivors = affected.filter(f"NOT ({predicate})")
         if transform is not None:
@@ -1448,9 +1530,7 @@ class VersionedTable:
         # the skipping index survives row-level mutation exactly as it
         # survives compaction: re-record whatever columns the snapshot
         # already carries stats for
-        stats_cols = tuple(
-            sorted({c for f in snap.files for c in f.get("stats", {})})
-        )
+        stats_cols = self._logical_stats_cols(snap)
         new_files = self._stage_files(
             survivors,
             stats_cols=stats_cols,
@@ -1616,6 +1696,164 @@ class VersionedTable:
             spark, predicate, transform=apply, committed_at=committed_at
         )
 
+    def _physical_names(self, snap: Snapshot, col: str) -> list[str]:
+        """All physical (in-file) names a logical column may appear under
+        across file generations — ``[col]`` when no mapping exists."""
+        m = snap.extra.get("column_mapping") or {}
+        return m.get(col, [col])
+
+    def _logical_stats_cols(self, snap: Snapshot) -> tuple[str, ...]:
+        """The LOGICAL names of every column any file records stats for
+        (rewrites re-record stats on logical-named survivor frames, so
+        physical stat keys must be translated through the mapping)."""
+        phys = {c for f in snap.files for c in f.get("stats", {})}
+        m = snap.extra.get("column_mapping") or {}
+        rev = {p: logical for logical, ps in m.items() for p in ps}
+        return tuple(sorted({rev.get(c, c) for c in phys}))
+
+    def _schema_fields(self, snap: Snapshot):
+        from pyspark.sql.types import StructType
+
+        if snap.schema_json is None:
+            raise ValueError(
+                f"{self.root} v{snap.version} records no schema; column "
+                "evolution needs a schema-bearing snapshot"
+            )
+        return StructType.fromJson(json.loads(snap.schema_json))
+
+    def _check_constraint_refs(self, snap: Snapshot, col: str, op: str):
+        import re as _re
+
+        hits = [
+            c
+            for c in (snap.constraints or [])
+            if _re.search(rf"\b{_re.escape(col)}\b", c)
+        ]
+        if hits:
+            raise ValueError(
+                f"cannot {op} column {col!r}: referenced by CHECK "
+                f"constraint(s) {hits}; drop them first"
+            )
+
+    def rename_column(
+        self,
+        old: str,
+        new: str,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> int:
+        """``ALTER TABLE ... RENAME COLUMN`` as a METADATA-ONLY commit
+        (Iceberg column-mapping analog): no data file is touched — the
+        manifest's schema renames the field and the column mapping
+        records that the logical name resolves to the old physical
+        name(s) in existing files, while files written after the rename
+        carry the new name physically. Reads coalesce the aliases; stats
+        and bloom probes translate through the mapping; compaction
+        materializes everything to the logical name and resets the
+        mapping. Partition columns cannot be renamed (their name is the
+        directory layout), and columns referenced by CHECK constraints
+        must have those constraints dropped first."""
+        snap = self.snapshot()
+        schema = self._schema_fields(snap)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        spec = snap.extra.get("partition_spec")
+        if spec and old in spec["cols"]:
+            raise ValueError(
+                f"{old!r} is a partition column; partition columns "
+                "cannot be renamed (Hive layout encodes the name)"
+            )
+        self._check_constraint_refs(snap, old, "rename")
+        mapping = dict(snap.extra.get("column_mapping") or {})
+        if not mapping:
+            mapping = {n: [n] for n in names}
+        all_phys = {p for ps in mapping.values() for p in ps} | set(
+            snap.extra.get("column_mapping_dropped") or []
+        )
+        if new in all_phys:
+            raise ValueError(
+                f"{new!r} collides with a physical column name still "
+                "present in data files; compact() first"
+            )
+        physicals = mapping.pop(old)
+        out = {}
+        for n in names:  # preserve schema order in the mapping
+            if n == old:
+                out[new] = [new] + physicals
+            else:
+                out[n] = mapping[n]
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        return self._commit(
+            snap.files,
+            "rename_column",
+            committed_at,
+            schema_json=new_schema.json(),
+            extra={
+                "column_mapping": out,
+                "column_mapping_dropped": snap.extra.get(
+                    "column_mapping_dropped"
+                )
+                or [],
+            },
+            parent_version=snap.version,
+        )
+
+    def drop_column(
+        self,
+        col: str,
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> int:
+        """``ALTER TABLE ... DROP COLUMN`` as a METADATA-ONLY commit: the
+        column leaves the schema and the mapping, so reads project it
+        away; its bytes stay in the data files until a rewrite
+        (``compact()``) purges them. The physical name is remembered as
+        DROPPED so a later append cannot reuse it and silently resurrect
+        stale values from pre-drop files."""
+        snap = self.snapshot()
+        schema = self._schema_fields(snap)
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(f"no column {col!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        spec = snap.extra.get("partition_spec")
+        if spec and col in spec["cols"]:
+            raise ValueError(f"{col!r} is a partition column")
+        self._check_constraint_refs(snap, col, "drop")
+        mapping = dict(snap.extra.get("column_mapping") or {})
+        if not mapping:
+            mapping = {n: [n] for n in names}
+        physicals = mapping.pop(col)
+        dropped = list(snap.extra.get("column_mapping_dropped") or [])
+        dropped.extend(p for p in physicals if p not in dropped)
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        return self._commit(
+            snap.files,
+            "drop_column",
+            committed_at,
+            schema_json=new_schema.json(),
+            extra={
+                "column_mapping": mapping,
+                "column_mapping_dropped": dropped,
+            },
+            parent_version=snap.version,
+        )
+
     def add_constraint(
         self,
         spark: SparkSession,
@@ -1745,6 +1983,7 @@ class VersionedTable:
             schema_json=snap.schema_json,
             deletes=snap.extra.get("deletes"),
             keep_lineage=True,
+            mapping=snap.extra.get("column_mapping"),
         ).withColumnRenamed("_dv_file", "_file").drop("_dv_pos")
         matched_files = {
             r["_file"]
@@ -1760,7 +1999,11 @@ class VersionedTable:
         rewritten: list[dict] = []
         if hit:
             affected = self._read_entries(
-                spark, hit, spec, deletes=snap.extra.get("deletes")
+                spark,
+                hit,
+                spec,
+                deletes=snap.extra.get("deletes"),
+                mapping=snap.extra.get("column_mapping"),
             )
             survivors = affected.join(
                 kalias, on=_key_cond(affected), how="left_anti"
