@@ -81,6 +81,65 @@ def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     return q.withColumn("cid", assign_expr(cents, F.col("qv")))
 
 
+def cents_np(cents: list[tuple[int, list[int]]]):
+    """Centroids as an int64 ndarray ``(k, d)`` indexed by cid."""
+    import numpy as np
+
+    C = np.zeros((len(cents), len(cents[0][1])), dtype=np.int64)
+    for cid, vec in cents:
+        C[cid] = vec
+    return C
+
+
+def nearest_cids(X, C):
+    """Argmin of exact int64 squared distance of each row of ``X``
+    (B, d) to each centroid row of ``C`` (k, d). ``np.argmin``'s
+    first-minimum rule IS the tie-to-lowest-cid contract (rows indexed
+    by cid) — identical semantics to :func:`assign_expr`, which remains
+    the codegen-inline variant for composing WITHIN a larger projection
+    (IVF routing); the numpy kernel is the batch path (the k·d literal
+    expression tree costs seconds of Catalyst analysis per query at
+    k·d ≳ 500, while the numpy broadcast is one vectorized op)."""
+    D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return D.argmin(axis=1)
+
+
+def assign_kernel_frame(
+    q: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(id_col, passthrough..., cluster_id)`` via a vectorized numpy
+    Arrow batch — broadcast-the-model as a closure instead of a literal
+    expression tree. ``passthrough`` columns ride the Arrow batch so
+    consumers that need the vector alongside the assignment (SemDeDup's
+    self-join) avoid a corpus-wide join-back on id."""
+    import numpy as np
+    import pandas as pd
+
+    C = cents_np(cents)
+    out_schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} {q.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["cluster_id long"]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[qv_col].to_numpy())
+            out = {id_col: pdf[id_col]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["cluster_id"] = nearest_cids(X, C).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return q.mapInPandas(kernel, schema=out_schema)
+
+
 def train_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -104,18 +163,56 @@ def train_centroids(
     cents = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
     dims = len(cents[0][1])
 
+    import numpy as np
+    import pandas as pd
+
     for _ in range(iters):
-        assigned = _assign(q, cents)
+        # Lloyd statistics via a numpy Arrow kernel: each batch emits
+        # per-cid partial sums/counts (a map-side combine in numpy), so
+        # the shuffle carries at most batches·k rows and the collect is
+        # k rows of (d+1) integers — same bound as before, without the
+        # k·d literal-expression assignment tree whose Catalyst
+        # analysis+codegen dominated wall time (see nearest_cids)
+        C = cents_np(cents)
+
+        def stats_kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["qv"].to_numpy())
+                cid = nearest_cids(X, C)
+                out_c, out_sum, out_n = [], [], []
+                for c in range(len(cents)):
+                    mask = cid == c
+                    n = int(mask.sum())
+                    if n:
+                        out_c.append(c)
+                        out_sum.append(X[mask].sum(axis=0).tolist())
+                        out_n.append(n)
+                yield pd.DataFrame(
+                    {"cid": out_c, "vsum": out_sum, "n": out_n}
+                )
+
         sums = (
-            assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            q.mapInPandas(
+                stats_kernel, schema="cid long, vsum array<long>, n long"
+            )
+            .groupBy("cid")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.element_at("vsum", i + 1))
+                        for i in range(dims)
+                    ]
+                ).alias("vsum"),
+                F.sum("n").alias("n"),
+            )
             .collect()
-        )  # bounded: k·dims rows (after partial agg, regardless of corpus size)
+        )  # bounded: k rows
         by_cid: dict[int, list[int]] = {}
         counts: dict[int, int] = {}
         for r in sums:
-            by_cid.setdefault(r["cid"], [0] * dims)[r["pos"]] = r["s"]
+            by_cid[r["cid"]] = list(r["vsum"])
             counts[r["cid"]] = r["n"]
         cents = [
             (
@@ -144,10 +241,10 @@ def kmeans_assign(
     ``cluster_id`` is the seed index (0..k-1), NOT a row id.
     """
     cents = train_centroids(emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
-    return ensure_compute_parallelism(emb).select(
-        F.col(id_col),
-        assign_expr(cents, _quantized(F.col(emb_col))).alias("cluster_id"),
+    q = ensure_compute_parallelism(emb).select(
+        F.col(id_col), _quantized(F.col(emb_col)).alias("qv")
     )
+    return assign_kernel_frame(q, cents, id_col=id_col)
 
 
 def kmeans_lite(

@@ -53,19 +53,23 @@ def semantic_neardup_pairs(
     and braces union this with the hash-based ``minhash_lsh_pairs``.
     """
     # Train once on the driver (k·dims integers), then compute the cluster
-    # id INLINE in the quantization projection via assign_expr — joining a
-    # separate kmeans_assign frame back by id would shuffle the corpus on
-    # id once per self-join side for an assignment that is a pure
-    # expression of the vector already in hand.
+    # id in the SAME pass that quantizes (the numpy Arrow kernel carries
+    # q_emb/q_norm2 through as passthrough columns) — joining a separate
+    # kmeans_assign frame back by id would shuffle the corpus on id once
+    # per self-join side for an assignment derivable from the vector
+    # already in hand.
+    from .kmeans import assign_kernel_frame
+
     cents = train_centroids(
         emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col
     )
     emb = ensure_compute_parallelism(emb)
-    e = with_quantized_norm(emb.select(id_col, emb_col), emb_col).select(
-        F.col(id_col).alias("id"),
-        "q_emb",
-        "q_norm2",
-        assign_expr(cents, F.col("q_emb")).alias("cluster_id"),
+    qn = with_quantized_norm(emb.select(id_col, emb_col), emb_col).select(
+        F.col(id_col).alias("id"), "q_emb", "q_norm2"
+    )
+    e = assign_kernel_frame(
+        qn, cents, id_col="id", qv_col="q_emb",
+        passthrough=("q_emb", "q_norm2"),
     )
     a, b = e.alias("a"), e.alias("b")
     cosine = _cosine(

@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "surprisal_scores",  # 1-row corpus-total broadcast onto the vocabulary
     "bm25_topk",         # 1-row (n_docs, sum_dl) broadcast onto candidates
     "dsir_weights",      # 1-row smoothed-totals broadcast onto the stream
+    "histogram_quantiles",  # |probs|-row (3) broadcast fan-out onto the sketch
     "dsir_select",       # same totals broadcast via dsir_weights
     "value_histogram",   # 1-row min/max bounds broadcast onto the scan
     "allpairs_tfidf",    # 1-row global-N broadcast onto the postings
