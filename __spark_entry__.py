@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked (built this round) --
         "versioned_mor_delete": S.versioned_mor_delete_query,
         "versioned_rename_read": S.versioned_rename_read_query,
+        "comoment_matrix": A.comoment_matrix,
+        "categorical_encode": A.categorical_encode,
         "anomaly_days": A.anomaly_days,
         "pareto_front": A.pareto_front,
         "ewma_daily": A.ewma_daily,
@@ -404,8 +406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the 40 entries last driver-checked in r4 (2-round rule) --
         "segment_status_pivot": A.segment_status_pivot,
         "customer_retention_setops": A.customer_retention_setops,
-        "lang_id": S.lang_id_query,
-        "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
         "kmeans_clusters": lambda spark, sf_dir: kmeans_lite(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, iters=2
         ),
@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": partial(T.vocab_stats_query, top_n=100),
         "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        "lang_id": S.lang_id_query,
+        "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
         "contamination_check": _docs(
             lambda df: contamination_check(
                 df.filter(F.col("doc_id") % 97 != 0),
@@ -667,6 +669,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "versioned_mor_delete": S.VERSIONED_MOR_DELETE_SQL,
         "versioned_rename_read": S.VERSIONED_RENAME_READ_SQL,
+        "comoment_matrix": A.COMOMENT_MATRIX_SQL,
+        "categorical_encode": A.CATEGORICAL_ENCODE_SQL,
         "anomaly_days": A.ANOMALY_DAYS_SQL,
         "pareto_front": A.PARETO_FRONT_SQL,
         "ewma_daily": A.ewma_daily_oracle_sql(window=8),

@@ -116,6 +116,8 @@ BENCH_QUERIES = {
     "q50_anomaly_days": ("count", "anomaly_days"),
     "q51_pareto_front": ("collect", "pareto_front"),
     "q52_ewma": ("count", "ewma_daily"),
+    "q53_comoment": ("collect", "comoment_matrix"),
+    "q54_mor_delete": ("count", "versioned_mor_delete"),
 }
 
 

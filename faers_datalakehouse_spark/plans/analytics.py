@@ -1549,3 +1549,129 @@ FROM daily
 WINDOW w AS (ORDER BY day)
 ORDER BY day
 """
+
+
+def comoment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-moment state over lineitem's numeric measures — the
+    MERGEABLE sufficient statistics for covariance/correlation:
+    ``(col_a, col_b, n, sum_a, sum_b, sum_aa, sum_bb, sum_ab)``.
+
+    This is the classic distributed-covariance layout: partial
+    co-moments add across partitions/batches/days, so the state — one
+    row per column pair regardless of input size — IS the merge
+    artifact, and any consumer derives covariance
+    ``(n*sum_ab - sum_a*sum_b) / n^2`` or Pearson r from it in closed
+    form. Everything stays exact int64: measures are quantized to
+    coarse units chosen so ``n * max(x^2)`` holds headroom (quantity in
+    whole units, price in whole dollars, discount in milli-units;
+    overflow margin ~1e3 at sf100). One scan, one global aggregate
+    (map-side partial), then a 1-row stack() unpivot — the
+    ``expectations_audit`` shape.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.select(
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice").cast("long").alias("price"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("disc"),
+    )
+    cols = ["qty", "price", "disc"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(c).alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"_p_{a}_{b}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"_p_{a}_{a}"))
+    wide = q.agg(*aggs)
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i:]
+    ]
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _s_{a}, _s_{b}, _p_{a}_{a}, _p_{b}_{b}, "
+        + (f"_p_{a}_{b}" if a != b else f"_p_{a}_{a}")
+        for a, b in pairs
+    )
+    return wide.selectExpr(
+        "_n",
+        f"stack({len(pairs)}, {stack_args}) as "
+        "(col_a, col_b, sum_a, sum_b, sum_aa, sum_bb, sum_ab)",
+    ).select(
+        "col_a",
+        "col_b",
+        F.col("_n").cast("long").alias("n"),
+        "sum_a",
+        "sum_b",
+        "sum_aa",
+        "sum_bb",
+        "sum_ab",
+    ).orderBy("col_a", "col_b")
+
+
+COMOMENT_MATRIX_SQL = """
+WITH q AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice) AS BIGINT) AS price,
+         CAST(round(l_discount * 1000) AS BIGINT) AS disc
+  FROM lineitem
+), w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qty) AS BIGINT) AS s_qty,
+         CAST(sum(price) AS BIGINT) AS s_price,
+         CAST(sum(disc) AS BIGINT) AS s_disc,
+         CAST(sum(qty*qty) AS BIGINT) AS p_qq,
+         CAST(sum(price*price) AS BIGINT) AS p_pp,
+         CAST(sum(disc*disc) AS BIGINT) AS p_dd,
+         CAST(sum(qty*price) AS BIGINT) AS p_qp,
+         CAST(sum(qty*disc) AS BIGINT) AS p_qd,
+         CAST(sum(price*disc) AS BIGINT) AS p_pd
+  FROM q
+)
+SELECT * FROM (
+  SELECT 'qty' AS col_a, 'qty' AS col_b, n,
+         s_qty AS sum_a, s_qty AS sum_b, p_qq AS sum_aa, p_qq AS sum_bb,
+         p_qq AS sum_ab FROM w
+  UNION ALL
+  SELECT 'qty', 'price', n, s_qty, s_price, p_qq, p_pp, p_qp FROM w
+  UNION ALL
+  SELECT 'qty', 'disc', n, s_qty, s_disc, p_qq, p_dd, p_qd FROM w
+  UNION ALL
+  SELECT 'price', 'price', n, s_price, s_price, p_pp, p_pp, p_pp FROM w
+  UNION ALL
+  SELECT 'price', 'disc', n, s_price, s_disc, p_pp, p_dd, p_pd FROM w
+  UNION ALL
+  SELECT 'disc', 'disc', n, s_disc, s_disc, p_dd, p_dd, p_dd FROM w
+)
+ORDER BY col_a, col_b
+"""
+
+
+def categorical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer-style deterministic categorical dictionary:
+    ``(value, n, code)`` for ``c_mktsegment``, codes dense from 0 in
+    (frequency desc, value asc) order — the ML-featurization encoding
+    step as a pure DataFrame plan. The dictionary is category-sized
+    (broadcastable back onto a 100 TB fact for the actual encode); the
+    frequency-major order is what keeps frequent categories in small
+    code values for downstream embedding tables."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    counts = cust.groupBy(F.col("c_mktsegment").alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), "value")
+    return counts.select(
+        "value",
+        "n",
+        (F.row_number().over(w) - 1).cast("long").alias("code"),
+    ).orderBy("code")
+
+
+CATEGORICAL_ENCODE_SQL = """
+WITH counts AS (
+  SELECT c_mktsegment AS value, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1
+)
+SELECT value, n,
+       CAST(row_number() OVER (ORDER BY n DESC, value) - 1 AS BIGINT) AS code
+FROM counts
+ORDER BY code
+"""

@@ -235,3 +235,31 @@ def test_ewma_daily_warmup_and_weights(spark, sf_dir):
     for i in range(7, min(len(rows), 40)):
         lo, hi = min(xs[i - 7 : i + 1]), max(xs[i - 7 : i + 1])
         assert lo <= rows[i].ewma_c <= hi
+
+
+# ---------------------------------------- comoment / categorical
+
+
+def test_comoment_state_merges(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import comoment_matrix
+
+    rows = {(r.col_a, r.col_b): r for r in
+            comoment_matrix(spark, sf_dir).collect()}
+    assert len(rows) == 6  # 3 cols -> 6 unordered pairs incl. diagonal
+    qq = rows[("qty", "qty")]
+    # diagonal pair is internally consistent
+    assert qq.sum_a == qq.sum_b and qq.sum_aa == qq.sum_ab
+    # derived covariance is finite and variance is non-negative
+    for r in rows.values():
+        var_a = r.n * r.sum_aa - r.sum_a * r.sum_a
+        assert var_a >= 0
+
+
+def test_categorical_encode_dense_frequency_major(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import categorical_encode
+
+    out = categorical_encode(spark, sf_dir).collect()
+    codes = [r.code for r in out]
+    assert codes == list(range(len(out)))  # dense from 0
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True)  # frequency-major

@@ -59,6 +59,21 @@ OPS = [
     "bigram_surprisal",
     "systematic_sample",
     "expectations_audit",
+    # round-7 session-2 operators: entity resolution (value-domain
+    # candidate set is quadratic-in-vocab within length bands — the row
+    # domain collapse stays linear; the generator grows the NAME vocab
+    # x factor so the probe stresses both), the mergeable histogram
+    # sketch, the k-anonymity census, the three windowed analytics, PQ
+    # encode (train + one-projection codes), and the merge-on-read
+    # delete (build + tombstone commit + filtered read)
+    "levenshtein_pairs",
+    "histogram_quantiles",
+    "k_anonymity_audit",
+    "anomaly_days",
+    "pareto_front",
+    "ewma_daily",
+    "pq_encode",
+    "versioned_mor_delete",
 ]
 
 
@@ -145,6 +160,37 @@ def generate(spark, out_dir: str, factor: int) -> None:
         )
     ou.repartition(16).write.parquet(str(out / "orders.parquet"))
     lu.repartition(32).write.parquet(str(out / "lineitem.parquet"))
+
+    # part for the entity-resolution probe: re-keyed, and the NAME VALUE
+    # DOMAIN grows x factor too (per-copy prefix), so the blocked
+    # pair-candidate set scales — without it the distinct-name collapse
+    # makes every copy a duplicate and the probe measures only the scan
+    part = spark.read.parquet(f"{BASE}/part.parquet")
+    max_pk = part.agg(F.max("p_partkey")).collect()[0][0] + 1
+    pu = part
+    for i in range(1, factor):
+        pu = pu.unionByName(
+            part.withColumn(
+                "p_partkey", F.col("p_partkey") + F.lit(i * max_pk)
+            ).withColumn(
+                "p_name", F.concat(F.lit(f"c{i} "), F.col("p_name"))
+            )
+        )
+    pu.repartition(8).write.parquet(str(out / "part.parquet"))
+
+    # customer for the k-anonymity probe: re-keyed; quasi-identifier
+    # domain (segment x nation) fixed, so class COUNT is constant and
+    # class sizes grow — the shape k-anonymity audits at scale
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    max_cck = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    cu = cust
+    for i in range(1, factor):
+        cu = cu.unionByName(
+            cust.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(i * max_cck)
+            )
+        )
+    cu.repartition(8).write.parquet(str(out / "customer.parquet"))
 
 
 def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
