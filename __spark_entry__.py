@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked (built this round) --
         "versioned_mor_delete": S.versioned_mor_delete_query,
         "versioned_rename_read": S.versioned_rename_read_query,
+        "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
         "anomaly_days": A.anomaly_days,
@@ -404,7 +405,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bloom_prefilter": S.bloom_prefilter_query,
         # -- the 40 entries last driver-checked in r4 (2-round rule) --
-        "segment_status_pivot": A.segment_status_pivot,
         "customer_retention_setops": A.customer_retention_setops,
         "kmeans_clusters": lambda spark, sf_dir: kmeans_lite(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, iters=2
@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": partial(T.vocab_stats_query, top_n=100),
         "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        "segment_status_pivot": A.segment_status_pivot,
         "lang_id": S.lang_id_query,
         "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
         "contamination_check": _docs(
@@ -669,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "versioned_mor_delete": S.VERSIONED_MOR_DELETE_SQL,
         "versioned_rename_read": S.VERSIONED_RENAME_READ_SQL,
+        "variant_extract": A.VARIANT_EXTRACT_SQL,
         "comoment_matrix": A.COMOMENT_MATRIX_SQL,
         "categorical_encode": A.CATEGORICAL_ENCODE_SQL,
         "anomaly_days": A.ANOMALY_DAYS_SQL,

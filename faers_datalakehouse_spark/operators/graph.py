@@ -110,16 +110,20 @@ def triangle_counts(
         F.col("x") != F.col("y")
     )
     # und feeds degree (twice, via the union) AND the orientation join;
-    # without persist every reference re-runs the upstream edge plan —
-    # the round-7 plan audit showed 8 scans of the source tables for
-    # what is logically one edge list. Persisted, the dedup shuffle runs
-    # once and all consumers read the cached blocks.
+    # without reuse every reference re-runs the upstream edge plan (the
+    # round-7 plan audit showed 8 scans of the source tables for what is
+    # logically one edge list). localCheckpoint(eager=True) — not
+    # persist(): cache-manager entries are keyed by analyzed plan and
+    # accumulate across invocations, and under storage pressure their
+    # eviction churn made this operator bimodal (4.5 s vs 21 s runs in
+    # BENCH_local_session2_r07); checkpoint blocks are per-call, disk-
+    # backed, lineage-truncating, and reclaimed when the frame is GC'd.
     und = (
         e.select(
             F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -136,11 +140,11 @@ def triangle_counts(
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
     # o: u -> v with rank(u) < rank(v); consumed twice (adjacency build
-    # + edge stream), persist so the orientation join runs once
+    # + edge stream), checkpointed so the orientation join runs once
     o = wd.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     # node-sized adjacency table; array lengths bounded O(sqrt(m)) by
     # the orientation, so collect_list state can't blow up on a hub
     adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
