@@ -70,7 +70,14 @@ from faers_datalakehouse_spark.operators.surprisal import (
     bigram_surprisal_scores,
 )
 from faers_datalakehouse_spark.operators.bpe import bpe_encode, train_bpe_merges
+from faers_datalakehouse_spark.operators.basket import (
+    basket_pairs,
+    basket_pairs_oracle_sql,
+)
+from faers_datalakehouse_spark.operators.diff import table_diff_oracle_sql
 from faers_datalakehouse_spark.operators.graph import (
+    bfs_distances,
+    bfs_oracle_sql,
     pagerank_lite,
     pagerank_oracle_sql,
 )
@@ -257,6 +264,56 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_lite(edges, iters=2)
 
 
+BASKET_SQL = "SELECT l_orderkey AS basket_id, l_partkey AS item FROM lineitem"
+
+
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("basket_id"),
+        F.col("l_partkey").alias("item"),
+    )
+    return basket_pairs(li, top_n=25)
+
+
+BFS_SOURCES = [1, 2, 3]
+
+# Two simulated snapshots of orders: A drops key%7==0, B drops key%5==0
+# and rewrites o_orderpriority on key%3==0 — populates all four diff
+# statuses (added / removed / changed / unchanged) deterministically.
+DIFF_LEFT_SQL = "SELECT * FROM orders WHERE o_orderkey % 7 != 0"
+DIFF_RIGHT_SQL = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 3 = 0 THEN '9-TEST' ELSE o_orderpriority END "
+    "AS o_orderpriority FROM orders WHERE o_orderkey % 5 != 0"
+)
+DIFF_COMPARE = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.diff import table_diff_summary
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = orders.filter(F.col("o_orderkey") % 7 != 0)
+    right = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("9-TEST"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return table_diff_summary(left, right, ["o_orderkey"], DIFF_COMPARE)
+
+
+def _bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return bfs_distances(edges, BFS_SOURCES, max_hops=3)
+
+
 def _allpairs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faers_datalakehouse_spark.operators.ranking import (
         allpairs_similarity,
@@ -361,6 +418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked (built this round) --
         "versioned_mor_delete": S.versioned_mor_delete_query,
         "versioned_rename_read": S.versioned_rename_read_query,
+        "ab_test": A.ab_test,
+        "basket_pairs": _basket_pairs,
+        "bfs_distances": _bfs_distances,
+        "markov_transitions": A.markov_transitions,
+        "top_event_paths": A.top_event_paths,
+        "table_diff": _table_diff,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -417,7 +480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "unpivot_measures": A.unpivot_measures,
         "quantiles_by_group": A.quantiles_by_group,
-        "json_extract_agg": A.json_extract_agg,
         "salted_join": S.salted_join_query,
         "multimodal_decode": S.multimodal_decode_query,
         "quality_classifier": _quality_classifier,
@@ -447,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": partial(T.vocab_stats_query, top_n=100),
         "dup_spans": _docs(partial(duplicated_window_spans, k=8)),
         "simhash_neardup": _docs(simhash_neardup_pairs),
+        "json_extract_agg": A.json_extract_agg,
         "segment_status_pivot": A.segment_status_pivot,
         "lang_id": S.lang_id_query,
         "shard_manifest": partial(T.shard_manifest_query, n_shards=8),
@@ -670,6 +733,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "versioned_mor_delete": S.VERSIONED_MOR_DELETE_SQL,
         "versioned_rename_read": S.VERSIONED_RENAME_READ_SQL,
+        "ab_test": A.ab_test_oracle_sql(),
+        "basket_pairs": basket_pairs_oracle_sql(BASKET_SQL, top_n=25),
+        "markov_transitions": A.MARKOV_TRANSITIONS_SQL,
+        "top_event_paths": A.top_event_paths_oracle_sql(),
+        "table_diff": table_diff_oracle_sql(
+            DIFF_LEFT_SQL, DIFF_RIGHT_SQL, ["o_orderkey"], DIFF_COMPARE
+        ),
+        "bfs_distances": bfs_oracle_sql(
+            PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
+        ),
         "variant_extract": A.VARIANT_EXTRACT_SQL,
         "comoment_matrix": A.COMOMENT_MATRIX_SQL,
         "categorical_encode": A.CATEGORICAL_ENCODE_SQL,

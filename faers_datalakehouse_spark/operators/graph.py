@@ -239,3 +239,77 @@ def pagerank_oracle_sql(
         + f"\nSELECT node, rank_micro FROM r{iters}"
         + "\nORDER BY rank_micro DESC, node"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum-hop BFS distances from a fixed source set over the
+    DISTINCT directed edge set — ``(node, dist)`` for every node
+    reachable within ``max_hops``, ordered by (dist, node). Completes
+    the graph family (PageRank = importance, connected components =
+    membership, triangles = density, BFS = reachability radius); the
+    multi-source form is the building block for landmark/seed-distance
+    features (e.g. spam-distance from a trusted seed set in web-graph
+    curation).
+
+    Frontier algorithm: per hop, ONE hash join (frontier ⋈ edges on
+    src) + distinct + anti-join against the settled set — the settled
+    frame is |reachable nodes|-sized, nothing is collected, and lineage
+    is linear in ``max_hops`` (small, fixed). Only NEW nodes join the
+    next frontier, so each edge is traversed at most once per endpoint
+    discovery — the textbook distributed BFS.
+
+    Exactness: hop counts are integers; the DuckDB twin
+    (``bfs_oracle_sql``) walks the same graph with a bounded recursive
+    CTE and takes ``min(dist)`` — bit-identical.
+
+    No counterpart in the reference (engine extension surface).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    settled = spark.createDataFrame(
+        [(int(s), 0) for s in sorted(set(sources))], "node long, dist long"
+    )
+    frontier = settled.select("node")
+    for hop in range(1, max_hops + 1):
+        new = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+        )
+        settled = settled.union(new)
+        frontier = new.select("node")
+    return settled.orderBy("dist", "node")
+
+
+def bfs_oracle_sql(
+    edges_sql: str, sources: list[int], max_hops: int = 3
+) -> str:
+    """DuckDB twin: bounded recursive CTE over any ``(src, dst)``
+    edge SQL. The recursive UNION dedups (node, dist) pairs, so the
+    walk is bounded by |nodes| x hops rows; min(dist) recovers the
+    BFS level."""
+    seeds = ", ".join(
+        f"({int(s)}, 0)" for s in sorted(set(sources))
+    )
+    return f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+walk(node, dist) AS (
+    SELECT CAST(v.node AS BIGINT), CAST(v.dist AS BIGINT)
+    FROM (VALUES {seeds}) v(node, dist)
+  UNION
+    SELECT e.dst, walk.dist + 1
+    FROM walk JOIN e ON e.src = walk.node
+    WHERE walk.dist < {max_hops}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+ORDER BY dist, node
+"""

@@ -1722,3 +1722,220 @@ FROM k
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def ab_test(spark: SparkSession, sf_dir: str, conv_min: int = 14) -> DataFrame:
+    """Two-proportion z-test on a deterministic A/B split — the
+    experimentation primitive completing the product-analytics family
+    (funnel, attribution, retention, anomaly): users split by
+    ``user_id % 2``, "converted" = at least ``conv_min`` purchase
+    events. One row: per-arm trials/conversions (exact integers) plus
+    the pooled z-squared statistic and its 95% verdict
+    (``z^2 > 3.8416`` = chi-squared(1) critical value).
+
+    Cross-engine float rule: ``z2`` is derived from the four exact
+    integer counts through the IDENTICAL IEEE-double formula in both
+    engines (binary64 ops are deterministic given the same operand
+    order), so even the double hashes equal. Shape: one groupBy(user)
+    partial-agg, one 2-row aggregate, a 1-row pivot — nothing
+    corpus-sized moves.
+    """
+    from ..sources.tables import read_events
+
+    events = read_events(spark, sf_dir)
+    users = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            (F.col("n_purch") >= conv_min).cast("long").alias("conv"),
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    wide = arms.groupBy().pivot("arm", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("c").alias("c")
+    )
+    # identical-order IEEE arithmetic on the exact integer counts
+    diff = F.expr(
+        "CAST(`0_c` AS DOUBLE) / CAST(`0_n` AS DOUBLE)"
+        " - CAST(`1_c` AS DOUBLE) / CAST(`1_n` AS DOUBLE)"
+    )
+    pooled = F.expr(
+        "(CAST(`0_c` + `1_c` AS DOUBLE) / CAST(`0_n` + `1_n` AS DOUBLE))"
+    )
+    var = pooled * (F.lit(1.0) - pooled) * F.expr(
+        "1.0 / CAST(`0_n` AS DOUBLE) + 1.0 / CAST(`1_n` AS DOUBLE)"
+    )
+    z2v = (diff * diff) / var
+    return wide.select(
+        F.col("`0_n`").alias("n_a"),
+        F.col("`0_c`").alias("c_a"),
+        F.col("`1_n`").alias("n_b"),
+        F.col("`1_c`").alias("c_b"),
+        z2v.alias("z2"),
+        (z2v > F.lit(3.8416)).alias("significant_95"),
+    )
+
+
+def ab_test_oracle_sql(conv_min: int = 14) -> str:
+    return f"""
+WITH users AS (
+  SELECT user_id % 2 AS arm,
+         CAST(count(*) >= {conv_min} AS BIGINT) AS conv
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM users GROUP BY arm
+), wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+    max(CASE WHEN arm = 0 THEN c END) AS c_a,
+    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+    max(CASE WHEN arm = 1 THEN c END) AS c_b
+  FROM arms
+)
+SELECT n_a, c_a, n_b, c_b,
+       ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        * (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+       / ((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         AS z2,
+       ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        * (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+       / ((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         > 3.8416 AS significant_95
+FROM wide
+"""
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of consecutive events (by
+    ``(ts, event_id)`` within a user), the transition count and its
+    EXACT milli-probability ``(n * 1000) div row_total`` — the
+    behavioral-model primitive behind funnel diagnosis, next-action
+    prediction features, and anomalous-session scoring.
+
+    Shape: ONE window ``lag`` riding the (user_id) hash partition the
+    event family already uses, one map-side-combinable groupBy on the
+    (src, dst) pair (|event_types|² ≤ tiny), and a row-normalizing
+    window over that tiny frame — nothing corpus-sized shuffles twice,
+    nothing is collected. Integer milli-units → bit-identical DuckDB
+    twin (cross-engine float rule).
+    """
+    events = read_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.lag("event_type").over(by_user).alias("src_event"),
+        F.col("event_type").alias("dst_event"),
+    ).filter(F.col("src_event").isNotNull())
+    counts = seq.groupBy("src_event", "dst_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("src_event")
+    return counts.select(
+        "src_event",
+        "dst_event",
+        "n",
+        F.expr("n * 1000").cast("long").alias("_num"),
+        F.sum("n").over(row_tot).alias("_tot"),
+    ).select(
+        "src_event",
+        "dst_event",
+        "n",
+        F.expr("_num div _tot").cast("long").alias("prob_milli"),
+    ).orderBy("src_event", "dst_event")
+
+
+MARKOV_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src_event,
+         event_type AS dst_event
+  FROM events
+), pairs AS (
+  SELECT src_event, dst_event, count(*) AS n
+  FROM seq WHERE src_event IS NOT NULL
+  GROUP BY src_event, dst_event
+)
+SELECT src_event, dst_event, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000) // sum(n) OVER (PARTITION BY src_event) AS BIGINT)
+         AS prob_milli
+FROM pairs
+ORDER BY src_event, dst_event
+"""
+
+
+def top_event_paths(
+    spark: SparkSession, sf_dir: str, top_n: int = 15
+) -> DataFrame:
+    """Most common opening 3-step event paths across users — the
+    "common journeys" report: each user's first three events (by
+    ``(ts, event_id)``), folded to a ``step1 > step2 > step3`` path
+    string, counted, top-``top_n``. Users with fewer than 3 events
+    contribute their shorter prefix (missing steps render as ``-``).
+
+    Shape: one row_number window on the (user) partition, a
+    conditional-aggregation pivot (max-case per step — avoids
+    collect_list's undefined ordering), one groupBy(path) count, and a
+    deterministic TakeOrderedAndProject (count desc, path asc is a
+    total order over distinct paths).
+    """
+    events = read_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(by_user).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("rn") == i, F.col("event_type"))),
+                    F.lit("-"),
+                ).alias(f"s{i}")
+                for i in (1, 2, 3)
+            ]
+        )
+    )
+    paths = first3.select(
+        F.concat_ws(" > ", "s1", "s2", "s3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    return paths.orderBy(F.desc("n_users"), "path").limit(top_n)
+
+
+def top_event_paths_oracle_sql(top_n: int = 15) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), first3 AS (
+  SELECT user_id,
+         coalesce(max(CASE WHEN rn = 1 THEN event_type END), '-') AS s1,
+         coalesce(max(CASE WHEN rn = 2 THEN event_type END), '-') AS s2,
+         coalesce(max(CASE WHEN rn = 3 THEN event_type END), '-') AS s3
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+)
+SELECT concat_ws(' > ', s1, s2, s3) AS path,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM first3
+GROUP BY 1
+ORDER BY n_users DESC, path
+LIMIT {top_n}
+"""

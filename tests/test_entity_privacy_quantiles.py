@@ -263,3 +263,37 @@ def test_categorical_encode_dense_frequency_major(spark, sf_dir):
     assert codes == list(range(len(out)))  # dense from 0
     ns = [r.n for r in out]
     assert ns == sorted(ns, reverse=True)  # frequency-major
+
+
+def test_ab_test_counts_and_verdict(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import ab_test
+
+    row = ab_test(spark, sf_dir).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0 <= row.c_a <= row.n_a and 0 <= row.c_b <= row.n_b
+    assert row.z2 >= 0.0
+    assert row.significant_95 == (row.z2 > 3.8416)
+
+
+def test_markov_transitions_rows_sum_to_milli(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import markov_transitions
+
+    out = markov_transitions(spark, sf_dir).collect()
+    assert len(out) > 0
+    by_src = {}
+    for r in out:
+        assert 0 <= r.prob_milli <= 1000
+        by_src.setdefault(r.src_event, []).append(r.prob_milli)
+    # truncating div: each row sums to <= 1000, > 1000 - n_dst
+    for src, probs in by_src.items():
+        assert 1000 - len(probs) < sum(probs) <= 1000
+
+
+def test_top_event_paths_counts(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import top_event_paths
+
+    out = top_event_paths(spark, sf_dir, top_n=10).collect()
+    assert 0 < len(out) <= 10
+    ns = [r.n_users for r in out]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r.path.split(" > ")) == 3 for r in out)

@@ -240,3 +240,71 @@ def test_triangle_counts_match_oracle(spark, sf_dir):
     want = con.execute(triangle_oracle_sql(edges_sql)).fetchall()
     assert got == [tuple(r) for r in want]
     assert len(got) > 0  # the graph genuinely has triangles
+
+
+def test_bfs_known_graph(spark):
+    from faers_datalakehouse_spark.operators.graph import bfs_distances
+
+    # 1 -> 2 -> 3 -> 4, 1 -> 3, 5 -> 1 (5 unreachable from 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 1)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [1], max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_max_hops_truncates(spark):
+    from faers_datalakehouse_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [1], max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # node 4 is beyond max_hops
+
+
+def test_bfs_multi_source_takes_min(spark):
+    from faers_datalakehouse_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 3)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [1, 9], max_hops=3).collect()
+    }
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1}  # 3 via 9, not via 1->2->3
+
+
+def test_basket_pairs_known_counts(spark):
+    from faers_datalakehouse_spark.operators.basket import basket_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"), (4, "c"),  # duplicate line collapses
+    ]
+    df = spark.createDataFrame(rows, ["basket_id", "item"])
+    out = basket_pairs(df, top_n=10).collect()
+    got = {(r.item_a, r.item_b): (r.pair_count, r.lift_milli) for r in out}
+    # (a,b) in baskets 1,2,3; n_baskets=4, cnt_a=3, cnt_b=3
+    assert got[("a", "b")] == (3, (3 * 4 * 1000) // 9)
+    assert got[("a", "c")][0] == 1 and got[("b", "c")][0] == 1
+    assert out[0].item_a == "a" and out[0].item_b == "b"  # top by support
+
+
+def test_basket_pairs_top_n_deterministic(spark):
+    from faers_datalakehouse_spark.operators.basket import basket_pairs
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (1, "d")]
+    df = spark.createDataFrame(rows, ["basket_id", "item"])
+    out = [(r.item_a, r.item_b) for r in basket_pairs(df, top_n=3).collect()]
+    # all six pairs tie at count 1 -> lexicographic tiebreak
+    assert out == [("a", "b"), ("a", "c"), ("a", "d")]
