@@ -75,6 +75,10 @@ from faers_datalakehouse_spark.operators.basket import (
     basket_pairs_oracle_sql,
 )
 from faers_datalakehouse_spark.operators.diff import table_diff_oracle_sql
+from faers_datalakehouse_spark.operators.setjoin import (
+    prefix_filter_jaccard_pairs,
+    prefix_filter_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
@@ -424,6 +428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": A.markov_transitions,
         "top_event_paths": A.top_event_paths,
         "table_diff": _table_diff,
+        "mad_outliers": A.mad_outliers,
+        "prefix_filter_pairs": _docs(
+            partial(prefix_filter_jaccard_pairs, threshold_milli=900)
+        ),
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -740,6 +748,8 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": table_diff_oracle_sql(
             DIFF_LEFT_SQL, DIFF_RIGHT_SQL, ["o_orderkey"], DIFF_COMPARE
         ),
+        "mad_outliers": A.MAD_OUTLIERS_SQL,
+        "prefix_filter_pairs": prefix_filter_oracle_sql(threshold_milli=900),
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

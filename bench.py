@@ -118,6 +118,11 @@ BENCH_QUERIES = {
     "q52_ewma": ("count", "ewma_daily"),
     "q53_comoment": ("collect", "comoment_matrix"),
     "q54_mor_delete": ("count", "versioned_mor_delete"),
+    # Round-7 batch 3: graph reachability, market-basket mining, and the
+    # full-outer snapshot reconciliation diff. Keys stable.
+    "q55_bfs": ("count", "bfs_distances"),
+    "q56_basket_pairs": ("collect", "basket_pairs"),
+    "q57_table_diff": ("collect", "table_diff"),
 }
 
 

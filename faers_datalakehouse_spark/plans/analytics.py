@@ -1939,3 +1939,91 @@ GROUP BY 1
 ORDER BY n_users DESC, path
 LIMIT {top_n}
 """
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier screen via the Median Absolute
+    Deviation: for each event type, the median of ``value``, the MAD
+    (median of ``|x - median|``), and the count of rows deviating more
+    than ``3 x MAD`` — the standard robust alternative to z-scores for
+    heavy-tailed data (a mean/stddev screen is dragged by the very
+    outliers it hunts).
+
+    Exactness: BOTH percentile inputs stay integer. Values are scaled
+    to double-cents (``2 x round(value*100)`` — even integers), so the
+    interpolated median is itself integer-valued and the absolute
+    deviation is computed integer-exactly; only the FINAL mad can carry
+    a .5 fraction, and the outlier comparison is one identical-order
+    IEEE multiply in both engines (repo cross-engine float rule; the
+    ``quantiles_by_group`` integer-percentile idiom).
+
+    Shape: two grouped exact percentiles (sort within ~5 tiny groups),
+    each joined back via a broadcast of the |groups|-sized stats frame,
+    then one counting aggregate — the events scan is the only big input.
+    """
+    events = read_events(spark, sf_dir)
+    vals = events.select(
+        "event_type",
+        F.expr("2 * CAST(round(value * 100) AS BIGINT)").alias("v2"),
+    )
+    med = vals.groupBy("event_type").agg(
+        F.expr("percentile(v2, 0.5)").alias("med2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = vals.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "med2",
+        F.expr("CAST(abs(v2 - CAST(med2 AS BIGINT)) AS BIGINT)").alias(
+            "adev2"
+        ),
+    )
+    mad = dev.groupBy("event_type", "n", "med2").agg(
+        F.expr("percentile(adev2, 0.5)").alias("mad2")
+    )
+    out = (
+        dev.select("event_type", "adev2")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med2", "mad2")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("adev2").cast("double") > F.lit(3.0) * F.col("mad2"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        (F.col("med2") / 200.0).alias("median_value"),
+        (F.col("mad2") / 200.0).alias("mad_value"),
+        "n_outliers",
+    ).orderBy("event_type")
+
+
+MAD_OUTLIERS_SQL = """
+WITH vals AS (
+  SELECT event_type, 2 * CAST(round(value * 100) AS BIGINT) AS v2
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v2, 0.5) AS med2, count(*) AS n
+  FROM vals GROUP BY event_type
+), dev AS (
+  SELECT vals.event_type, med.n, med.med2,
+         CAST(abs(v2 - CAST(med2 AS BIGINT)) AS BIGINT) AS adev2
+  FROM vals JOIN med ON vals.event_type = med.event_type
+), mad AS (
+  SELECT event_type, n, med2, quantile_cont(adev2, 0.5) AS mad2
+  FROM dev GROUP BY event_type, n, med2
+)
+SELECT dev.event_type, CAST(dev.n AS BIGINT) AS n,
+       mad.med2 / 200.0 AS median_value,
+       mad.mad2 / 200.0 AS mad_value,
+       CAST(sum(CASE WHEN CAST(dev.adev2 AS DOUBLE) > 3.0 * mad.mad2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type, dev.n, mad.med2, mad.mad2
+ORDER BY dev.event_type
+"""

@@ -297,3 +297,13 @@ def test_top_event_paths_counts(spark, sf_dir):
     ns = [r.n_users for r in out]
     assert ns == sorted(ns, reverse=True)
     assert all(len(r.path.split(" > ")) == 3 for r in out)
+
+
+def test_mad_outliers_basic(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import mad_outliers
+
+    out = mad_outliers(spark, sf_dir).collect()
+    assert len(out) == 5  # one row per event type
+    for r in out:
+        assert r.n > 0 and r.mad_value >= 0.0
+        assert 0 <= r.n_outliers < r.n  # robust screen can't flag everything
