@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_pairs": _docs(
             partial(prefix_filter_jaccard_pairs, threshold_milli=900)
         ),
+        "quantile_binning": A.quantile_binning,
+        "crosstab_chi2": A.crosstab_chi2,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -750,6 +752,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mad_outliers": A.MAD_OUTLIERS_SQL,
         "prefix_filter_pairs": prefix_filter_oracle_sql(threshold_milli=900),
+        "quantile_binning": A.quantile_binning_oracle_sql(),
+        "crosstab_chi2": A.CROSSTAB_CHI2_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -2027,3 +2027,191 @@ FROM dev JOIN mad ON dev.event_type = mad.event_type
 GROUP BY dev.event_type, dev.n, mad.med2, mad.mad2
 ORDER BY dev.event_type
 """
+
+
+def global_ntile(
+    df: DataFrame, n_bins: int, sort_cols: list[str], n_parts: int = 32
+) -> DataFrame:
+    """Distributed ``ntile(n_bins)`` over a TOTAL order without the
+    single-partition window funnel.
+
+    ``F.ntile().over(Window.orderBy(...))`` moves every row to ONE
+    partition (WindowExec warns exactly this) — a non-starter at 100 TB.
+    Instead: range-repartition on the sort key (parallel sampled-split
+    shuffle, the same mechanism as a global sort), take a local
+    ``row_number`` per physical partition, and add each partition's
+    cumulative row offset — a |partitions|-row frame aggregated and
+    broadcast — to form the exact global rank. The bin is then pure
+    arithmetic: ``ntile(n) == floor((rank-1)*n/N) + 1`` (first ``N mod
+    n`` bins get the extra row, matching SQL ntile exactly). The range
+    exchange feeds both the size census and the rank pass, so Spark
+    reuses one shuffle.
+
+    ``sort_cols`` must form a total order (include a unique tie
+    breaker), otherwise ntile is nondeterministic in any engine.
+    Adds column ``bin``; drops nothing.
+    """
+    part = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # |partitions| rows: the unpartitioned windows here are over a
+    # bounded tiny frame, not the data.
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_n").over(Window.partitionBy()).alias("_tot"),
+    )
+    ranked = part.join(F.broadcast(offsets), "_pid").withColumn(
+        "_rank",
+        F.col("_off")
+        + F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*sort_cols)
+        ),
+    )
+    return ranked.withColumn(
+        "bin",
+        F.expr(f"((_rank - 1) * CAST({int(n_bins)} AS BIGINT)) div _tot")
+        + 1,
+    ).drop("_pid", "_off", "_tot", "_rank")
+
+
+def quantile_binning(
+    spark: SparkSession, sf_dir: str, n_bins: int = 10
+) -> DataFrame:
+    """Equal-frequency discretization (the feature-engineering binning
+    primitive behind GBDT feature histograms and monotonic-risk
+    bucketing): lineitem extended price ntile'd into ``n_bins`` bins
+    over a TOTAL order (scaled-integer cents, line identity as the tie
+    breaker), with per-bin row count and exact integer bounds/mass.
+
+    Shape: one range-partitioned shuffle via :func:`global_ntile` — no
+    single-partition window anywhere — then a map-side-combinable
+    groupBy of |bins| rows.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    binned = global_ntile(
+        li.select(
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            ).alias("price_c"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ),
+        n_bins,
+        ["price_c", "l_orderkey", "l_linenumber"],
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price_c").alias("lo_cents"),
+            F.max("price_c").alias("hi_cents"),
+            F.sum("price_c").alias("mass_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+def quantile_binning_oracle_sql(n_bins: int = 10) -> str:
+    return f"""
+WITH binned AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         ntile({n_bins}) OVER (
+           ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                    l_orderkey, l_linenumber
+         ) AS bin
+  FROM lineitem
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+       min(price_c) AS lo_cents, max(price_c) AS hi_cents,
+       CAST(sum(price_c) AS BIGINT) AS mass_cents
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared contingency analysis of event type vs a
+    deterministic user segment (``user_id % 4``) — the categorical
+    independence test completing the experimentation family
+    (``ab_test`` = two proportions; this = r x c counts). Per cell:
+    observed count, expected count, and the cell's chi-squared
+    contribution ``(o - e)^2 / e``. The doubles are PER-CELL values
+    derived from the three exact integer totals through the identical
+    IEEE expression in both engines — no float SUM whose accumulation
+    order could diverge (an integer-rational form was rejected: the
+    cross-multiplied residual ``(o*n - r*c)^2`` overflows int64 once
+    n reaches ~1e5 rows, i.e. immediately at bench scale).
+
+    Shape: one groupBy over (type, segment) — |cells| = ~20 rows —
+    then window sums over that tiny frame; the events scan dominates.
+    """
+    events = read_events(spark, sf_dir)
+    cells = (
+        events.select(
+            "event_type", (F.col("user_id") % 4).alias("segment")
+        )
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("segment")
+    w_all = Window.partitionBy()
+    return (
+        cells.withColumn("r_tot", F.sum("observed").over(w_row))
+        .withColumn("c_tot", F.sum("observed").over(w_col))
+        .withColumn("n", F.sum("observed").over(w_all))
+        .select(
+            "event_type",
+            "segment",
+            "observed",
+            F.expr(
+                "CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)"
+                " / CAST(n AS DOUBLE)"
+            ).alias("expected"),
+            F.expr(
+                "(CAST(observed AS DOUBLE)"
+                " - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)"
+                "   / CAST(n AS DOUBLE))"
+                " * (CAST(observed AS DOUBLE)"
+                " - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)"
+                "   / CAST(n AS DOUBLE))"
+                " / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)"
+                "    / CAST(n AS DOUBLE))"
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("event_type", "segment")
+    )
+
+
+CROSSTAB_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, user_id % 4 AS segment, count(*) AS observed
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, segment, observed,
+         sum(observed) OVER (PARTITION BY event_type) AS r_tot,
+         sum(observed) OVER (PARTITION BY segment) AS c_tot,
+         sum(observed) OVER () AS n
+  FROM cells
+)
+SELECT event_type, CAST(segment AS BIGINT) AS segment,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n AS DOUBLE)
+         AS expected,
+       (CAST(observed AS DOUBLE)
+        - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(observed AS DOUBLE)
+          - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n AS DOUBLE))
+         AS chi2_contrib
+FROM tot
+ORDER BY event_type, segment
+"""

@@ -307,3 +307,27 @@ def test_mad_outliers_basic(spark, sf_dir):
     for r in out:
         assert r.n > 0 and r.mad_value >= 0.0
         assert 0 <= r.n_outliers < r.n  # robust screen can't flag everything
+
+
+def test_quantile_binning_equal_frequency(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import quantile_binning
+
+    out = quantile_binning(spark, sf_dir, n_bins=10).collect()
+    assert [r.bin for r in out] == list(range(1, 11))
+    ns = [r.n_rows for r in out]
+    assert max(ns) - min(ns) <= 1  # ntile leaves at most 1-row imbalance
+    los = [r.lo_cents for r in out]
+    his = [r.hi_cents for r in out]
+    assert all(lo <= hi for lo, hi in zip(los, his))
+    assert all(his[i] <= los[i + 1] for i in range(9))  # ordered bins
+
+
+def test_crosstab_chi2_marginals(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import crosstab_chi2
+
+    out = crosstab_chi2(spark, sf_dir).collect()
+    assert len(out) == 20  # 5 event types x 4 segments
+    n = sum(r.observed for r in out)
+    exp_sum = sum(r.expected for r in out)
+    assert abs(exp_sum - n) < 1e-6  # expected counts sum to n
+    assert all(r.chi2_contrib >= 0.0 for r in out)
