@@ -79,6 +79,14 @@ from faers_datalakehouse_spark.operators.setjoin import (
     prefix_filter_jaccard_pairs,
     prefix_filter_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.spatial import (
+    spatial_oracle_sql,
+    spatial_radius_pairs,
+)
+from faers_datalakehouse_spark.operators.integrity import (
+    REFERENTIAL_AUDIT_SQL,
+    referential_audit,
+)
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
@@ -434,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "quantile_binning": A.quantile_binning,
         "crosstab_chi2": A.crosstab_chi2,
+        "lag_autocorr": A.lag_autocorrelation,
+        "spatial_radius_join": spatial_radius_pairs,
+        "referential_audit": referential_audit,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -754,6 +765,9 @@ def oracle_sql() -> dict[str, str]:
         "prefix_filter_pairs": prefix_filter_oracle_sql(threshold_milli=900),
         "quantile_binning": A.quantile_binning_oracle_sql(),
         "crosstab_chi2": A.CROSSTAB_CHI2_SQL,
+        "lag_autocorr": A.lag_autocorrelation_oracle_sql(),
+        "spatial_radius_join": spatial_oracle_sql(),
+        "referential_audit": REFERENTIAL_AUDIT_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -2215,3 +2215,100 @@ SELECT event_type, CAST(segment AS BIGINT) AS segment,
 FROM tot
 ORDER BY event_type, segment
 """
+
+
+def lag_autocorrelation(
+    spark: SparkSession, sf_dir: str, max_lag: int = 7
+) -> DataFrame:
+    """Per-event-type autocorrelation function (ACF) of the daily count
+    series at lags 1..``max_lag`` — the seasonality probe behind
+    forecasting and anomaly pipelines (weekly cadence shows as a lag-7
+    peak).
+
+    Exactness: the six sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy)
+    are exact int64 sums of daily counts; the Pearson r is ONE IEEE
+    expression over them (int64->double conversion stays exact while the
+    stats are < 2^53 — true for daily counts up to ~30M/day over a
+    decade; coarsen the count unit beyond that). ``sqrt`` is correctly
+    rounded by IEEE-754, so both engines emit identical doubles.
+
+    Shape: daily rollup is one map-side-combinable groupBy; the lag
+    pairing is an equi-join of the (type, day) series against itself
+    shifted by an exploded lag column — no global window, no collect;
+    partitions by event type at any scale.
+    """
+    events = read_events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(
+        "event_type",
+        "day",
+        F.col("c").alias("x"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("pair_day", F.date_add("day", F.col("lag")))
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("pair_day"),
+        F.col("c").alias("y"),
+    )
+    stats = (
+        a.join(b, ["event_type", "pair_day"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    return stats.select(
+        "event_type",
+        "lag",
+        "n",
+        F.expr(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+def lag_autocorrelation_oracle_sql(max_lag: int = 7) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), lags AS (
+  SELECT unnest(range(1, {max_lag + 1})) AS lag
+), stats AS (
+  SELECT a.event_type, l.lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.c) AS BIGINT) AS sx,
+         CAST(sum(b.c) AS BIGINT) AS sy,
+         CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+         CAST(sum(b.c * b.c) AS BIGINT) AS syy,
+         CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b
+    ON b.event_type = a.event_type AND b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY a.event_type, l.lag
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS acf
+FROM stats
+ORDER BY event_type, lag
+"""
