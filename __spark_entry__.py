@@ -87,6 +87,10 @@ from faers_datalakehouse_spark.operators.integrity import (
     REFERENTIAL_AUDIT_SQL,
     referential_audit,
 )
+from faers_datalakehouse_spark.operators.bitmap import (
+    BITMAP_DISTINCT_SQL,
+    bitmap_distinct,
+)
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
@@ -445,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_autocorr": A.lag_autocorrelation,
         "spatial_radius_join": spatial_radius_pairs,
         "referential_audit": referential_audit,
+        "bitmap_distinct": bitmap_distinct,
+        "window_suite": A.window_suite,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -768,6 +774,8 @@ def oracle_sql() -> dict[str, str]:
         "lag_autocorr": A.lag_autocorrelation_oracle_sql(),
         "spatial_radius_join": spatial_oracle_sql(),
         "referential_audit": REFERENTIAL_AUDIT_SQL,
+        "bitmap_distinct": BITMAP_DISTINCT_SQL,
+        "window_suite": A.WINDOW_SUITE_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -2312,3 +2312,75 @@ SELECT event_type, CAST(lag AS INT) AS lag, n,
 FROM stats
 ORDER BY event_type, lag
 """
+
+
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one pass: row_number, lag/lead,
+    nth_value, first/last with explicit frames, running sum,
+    percent_rank, and cume_dist over per-customer order sequences —
+    every frame is spelled out explicitly because default frames for
+    value functions differ subtly across engines.
+
+    The ordering (o_orderdate, o_orderkey) is TOTAL per partition, so
+    the rank-derived doubles (percent_rank = (rank-1)/(n-1), cume_dist
+    = rank/n) are single IEEE divisions of exact integers — identical
+    cross-engine. One (custkey)-partitioned shuffle; each window below
+    shares it, so Spark plans a single exchange + sort.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice").cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    near = w.rowsBetween(-1, 1)
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag("cents", 1).over(w).alias("prev_cents"),
+        F.lead("cents", 1).over(w).alias("next_cents"),
+        F.nth_value("cents", 2).over(grow).alias("second_cents"),
+        F.first("cents").over(near).alias("near_first"),
+        F.last("cents").over(near).alias("near_last"),
+        F.sum("cents").over(grow).alias("run_cents"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).orderBy("o_custkey", "rn")
+
+
+WINDOW_SUITE_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS rn,
+       lag(cents, 1) OVER w AS prev_cents,
+       lead(cents, 1) OVER w AS next_cents,
+       nth_value(cents, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS second_cents,
+       first_value(cents) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+       ) AS near_first,
+       last_value(cents) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+       ) AS near_last,
+       CAST(sum(cents) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS run_cents,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rn
+"""
