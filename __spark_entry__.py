@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_audit": referential_audit,
         "bitmap_distinct": bitmap_distinct,
         "window_suite": A.window_suite,
+        "pyds_pushdown_read": S.pyds_pushdown_read_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -776,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_audit": REFERENTIAL_AUDIT_SQL,
         "bitmap_distinct": BITMAP_DISTINCT_SQL,
         "window_suite": A.WINDOW_SUITE_SQL,
+        "pyds_pushdown_read": S.PYDS_PUSHDOWN_READ_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

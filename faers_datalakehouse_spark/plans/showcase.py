@@ -2094,3 +2094,48 @@ SELECT doc_id, lang AS language, TRUE AS metadata_only
 FROM documents WHERE doc_id % 3 IN (0, 1)
 ORDER BY doc_id
 """
+
+
+def pyds_pushdown_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource end-to-end: write ``documents`` as a
+    range-clustered versioned table with per-file doc_id stats, register
+    the ``versioned_py`` format, and read a doc_id range back THROUGH
+    ``spark.read.format(...)`` — Catalyst pushes the range filters into
+    the Python reader (``pushFilters``), which skips non-overlapping
+    files from the manifest stats before any task launches. The oracle
+    is the plain slice of ``documents``: equality proves pushdown-
+    driven skipping lost no rows (file-count assertions live in
+    ``tests/test_pyds.py``)."""
+    import shutil
+
+    from ..sources.pyds import register
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_pyds/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(
+        docs.repartitionByRange(8, "doc_id"),
+        mode="overwrite",
+        stats_cols=("doc_id",),
+    )
+    register(spark)
+    out = (
+        spark.read.format("versioned_py")
+        .option("path", root)
+        .load()
+        .where((F.col("doc_id") >= 200) & (F.col("doc_id") <= 399))
+        .orderBy("doc_id")
+    )
+    return out
+
+
+PYDS_PUSHDOWN_READ_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id BETWEEN 200 AND 399
+ORDER BY doc_id
+"""
