@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct": bitmap_distinct,
         "window_suite": A.window_suite,
         "pyds_pushdown_read": S.pyds_pushdown_read_query,
+        "pyds_write_read": S.pyds_write_read_query,
+        "pyds_stream_tail": S.pyds_stream_tail_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -778,6 +780,8 @@ def oracle_sql() -> dict[str, str]:
         "bitmap_distinct": BITMAP_DISTINCT_SQL,
         "window_suite": A.WINDOW_SUITE_SQL,
         "pyds_pushdown_read": S.PYDS_PUSHDOWN_READ_SQL,
+        "pyds_write_read": S.PYDS_WRITE_READ_SQL,
+        "pyds_stream_tail": S.PYDS_STREAM_TAIL_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

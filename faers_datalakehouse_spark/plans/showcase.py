@@ -2139,3 +2139,98 @@ SELECT doc_id, lang FROM documents
 WHERE doc_id BETWEEN 200 AND 399
 ORDER BY doc_id
 """
+
+
+def pyds_write_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource WRITER end-to-end: ``df.write.format(
+    "versioned_py")`` commits two snapshots (append + append) through
+    the exclusive-link manifest protocol with parquet-footer file
+    stats, and the same format reads the result back. Oracle: the
+    plain union slice of ``documents`` — proving executor-staged Arrow
+    writes + driver-side commit lose and duplicate nothing."""
+    import shutil
+
+    from ..sources.pyds import register
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_pyds_write/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    register(spark)
+    (
+        docs.where(F.col("doc_id") < 250)
+        .write.format("versioned_py")
+        .option("stats_cols", "doc_id")
+        .mode("append")
+        .save(root)
+    )
+    (
+        docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 500))
+        .write.format("versioned_py")
+        .option("stats_cols", "doc_id")
+        .mode("append")
+        .save(root)
+    )
+    return (
+        spark.read.format("versioned_py")
+        .option("path", root)
+        .load()
+        .orderBy("doc_id")
+    )
+
+
+PYDS_WRITE_READ_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id < 500
+ORDER BY doc_id
+"""
+
+
+def pyds_stream_tail_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource STREAMING source end-to-end: two committed
+    snapshots are tailed by ``spark.readStream.format("versioned_py")``
+    (offsets = snapshot versions, one file-grain input partition per
+    added file) into a parquet sink with an availableNow trigger; the
+    sink is read back and ordered. Oracle: the plain slice — the
+    version-offset protocol must deliver every committed row exactly
+    once."""
+    import shutil
+
+    from ..sources.pyds import register
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_pyds_stream/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(docs.where(F.col("doc_id") < 150), mode="overwrite")
+    vt.write(
+        docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+        mode="append",
+    )
+    register(spark)
+    sink = f"{root}/_sink"
+    q = (
+        spark.readStream.format("versioned_py")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{sink}/out")
+        .option("checkpointLocation", f"{sink}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{sink}/out").orderBy("doc_id")
+
+
+PYDS_STREAM_TAIL_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id < 300
+ORDER BY doc_id
+"""

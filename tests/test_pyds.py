@@ -144,3 +144,137 @@ def test_refuses_tombstoned_table(spark, sf_dir):
             VersionedReader(root, schema, {"path": root})
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_writer_append_and_overwrite_roundtrip(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="pyds_w_")
+    try:
+        register(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        lo = docs.where(F.col("doc_id") < 300)
+        hi = docs.where(F.col("doc_id") >= 300)
+        (
+            lo.write.format("versioned_py")
+            .option("stats_cols", "doc_id")
+            .mode("append")
+            .save(root)
+        )
+        (
+            hi.write.format("versioned_py")
+            .option("stats_cols", "doc_id")
+            .mode("append")
+            .save(root)
+        )
+        vt = VersionedTable(root)
+        assert vt.current_version() == 2
+        got = vt.read(spark).orderBy("doc_id").collect()
+        want = docs.orderBy("doc_id").collect()
+        assert got == want
+        # footer-derived stats are present and enable pruning
+        snap = vt.snapshot(2)
+        stats = [f["stats"]["doc_id"] for f in snap.files if "stats" in f]
+        assert stats and all(lo_ <= hi_ for lo_, hi_ in stats)
+        # overwrite truncates
+        lo.limit(7).write.format("versioned_py").mode("overwrite").save(root)
+        assert vt.read(spark).count() == 7
+        # the format can read its own commits back
+        got2 = (
+            spark.read.format("versioned_py").option("path", root).load()
+        )
+        assert got2.count() == 7
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_writer_refuses_constrained_table(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="pyds_wc_")
+    try:
+        register(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        vt = VersionedTable(root)
+        vt.write(docs, mode="overwrite", constraints=["doc_id IS NOT NULL"])
+        with pytest.raises(Exception, match="CHECK"):
+            docs.limit(1).write.format("versioned_py").mode("append").save(
+                root
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_reader_tails_snapshots(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="pyds_s_")
+    sink = tempfile.mkdtemp(prefix="pyds_sink_")
+    try:
+        register(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        vt = VersionedTable(root)
+        vt.write(docs.where(F.col("doc_id") < 100), mode="overwrite")
+        vt.write(
+            docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)),
+            mode="append",
+        )
+        q = (
+            spark.readStream.format("versioned_py")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{sink}/out")
+            .option("checkpointLocation", f"{sink}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        first = spark.read.parquet(f"{sink}/out").count()
+        assert first == docs.where(F.col("doc_id") < 200).count()
+        # a later append streams ONLY the new files on restart
+        vt.write(
+            docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 250)),
+            mode="append",
+        )
+        q2 = (
+            spark.readStream.format("versioned_py")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{sink}/out")
+            .option("checkpointLocation", f"{sink}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        total = spark.read.parquet(f"{sink}/out").count()
+        assert total == docs.where(F.col("doc_id") < 250).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_stream_reader_fails_on_rewrite_unless_opted_in(spark, sf_dir):
+    from faers_datalakehouse_spark.sources.pyds import VersionedStreamReader
+
+    root = tempfile.mkdtemp(prefix="pyds_sr_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        vt = VersionedTable(root)
+        vt.write(docs.repartition(4), mode="overwrite")
+        vt.write(docs.limit(5), mode="append")
+        vt.compact(spark)  # rewrites earlier files
+        schema = VersionedDataSource({"path": root}).schema()
+        rd = VersionedStreamReader(root, schema, {"path": root})
+        latest = rd.latestOffset()["version"]
+        with pytest.raises(ValueError, match="rewritten"):
+            rd.partitions({"version": 1}, {"version": latest})
+        rd2 = VersionedStreamReader(
+            root, schema, {"path": root, "ignore_changes": "true"}
+        )
+        assert rd2.partitions({"version": 1}, {"version": latest})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
