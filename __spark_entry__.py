@@ -451,9 +451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_audit": referential_audit,
         "bitmap_distinct": bitmap_distinct,
         "window_suite": A.window_suite,
+        "period_over_period": A.period_over_period,
         "pyds_pushdown_read": S.pyds_pushdown_read_query,
         "pyds_write_read": S.pyds_write_read_query,
         "pyds_stream_tail": S.pyds_stream_tail_query,
+        "streaming_stateful_totals": S.streaming_stateful_totals_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -779,9 +781,11 @@ def oracle_sql() -> dict[str, str]:
         "referential_audit": REFERENTIAL_AUDIT_SQL,
         "bitmap_distinct": BITMAP_DISTINCT_SQL,
         "window_suite": A.WINDOW_SUITE_SQL,
+        "period_over_period": A.PERIOD_OVER_PERIOD_SQL,
         "pyds_pushdown_read": S.PYDS_PUSHDOWN_READ_SQL,
         "pyds_write_read": S.PYDS_WRITE_READ_SQL,
         "pyds_stream_tail": S.PYDS_STREAM_TAIL_SQL,
+        "streaming_stateful_totals": S.STREAMING_STATEFUL_TOTALS_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -123,6 +123,14 @@ BENCH_QUERIES = {
     "q55_bfs": ("count", "bfs_distances"),
     "q56_basket_pairs": ("collect", "basket_pairs"),
     "q57_table_diff": ("collect", "table_diff"),
+    # Round-7 batch 4: grid-bucketed spatial join, bitmap exact
+    # distinct, distributed global ntile, FK orphan audit, and the
+    # Python DataSource pushdown roundtrip (write-inclusive like q35).
+    "q58_spatial_join": ("count", "spatial_radius_join"),
+    "q59_bitmap_distinct": ("collect", "bitmap_distinct"),
+    "q60_quantile_binning": ("collect", "quantile_binning"),
+    "q61_referential_audit": ("collect", "referential_audit"),
+    "q62_pyds_roundtrip": ("count", "pyds_pushdown_read"),
 }
 
 

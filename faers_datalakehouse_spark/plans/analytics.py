@@ -2384,3 +2384,76 @@ FROM base
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, rn
 """
+
+
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue deltas — the
+    period-comparison staple of every BI layer. Monthly revenue is an
+    exact integer cents rollup; the comparisons are self-equi-joins on
+    shifted month keys (key-1 for MoM, key-12 for YoY), so the plan is
+    two broadcast-size hash joins over a |months|-row frame — never a
+    single-partition global window, and gap months (no LAG misfire)
+    compare against true calendar neighbors. Growth ratios are single
+    IEEE divisions of exact integers, bit-identical cross-engine.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "mkey"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    prev = monthly.select(
+        (F.col("mkey") + 1).alias("mkey"), F.col("rev_c").alias("prev_c")
+    )
+    yago = monthly.select(
+        (F.col("mkey") + 12).alias("mkey"), F.col("rev_c").alias("yago_c")
+    )
+    return (
+        monthly.join(prev, "mkey", "left")
+        .join(yago, "mkey", "left")
+        .select(
+            F.expr("mkey div 12").alias("yr"),
+            (F.col("mkey") % 12 + 1).alias("mo"),
+            "rev_c",
+            "prev_c",
+            "yago_c",
+            F.expr(
+                "CASE WHEN prev_c IS NOT NULL AND prev_c != 0 THEN"
+                " (CAST(rev_c AS DOUBLE) - CAST(prev_c AS DOUBLE))"
+                " / CAST(prev_c AS DOUBLE) END"
+            ).alias("mom"),
+            F.expr(
+                "CASE WHEN yago_c IS NOT NULL AND yago_c != 0 THEN"
+                " (CAST(rev_c AS DOUBLE) - CAST(yago_c AS DOUBLE))"
+                " / CAST(yago_c AS DOUBLE) END"
+            ).alias("yoy"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+PERIOD_OVER_PERIOD_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS mkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT m.mkey // 12 AS yr, CAST(m.mkey % 12 + 1 AS BIGINT) AS mo,
+       m.rev_c, p.rev_c AS prev_c, y.rev_c AS yago_c,
+       CASE WHEN p.rev_c IS NOT NULL AND p.rev_c != 0 THEN
+         (CAST(m.rev_c AS DOUBLE) - CAST(p.rev_c AS DOUBLE))
+         / CAST(p.rev_c AS DOUBLE) END AS mom,
+       CASE WHEN y.rev_c IS NOT NULL AND y.rev_c != 0 THEN
+         (CAST(m.rev_c AS DOUBLE) - CAST(y.rev_c AS DOUBLE))
+         / CAST(y.rev_c AS DOUBLE) END AS yoy
+FROM monthly m
+LEFT JOIN monthly p ON m.mkey = p.mkey + 1
+LEFT JOIN monthly y ON m.mkey = y.mkey + 12
+ORDER BY yr, mo
+"""

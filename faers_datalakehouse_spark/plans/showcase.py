@@ -2234,3 +2234,69 @@ SELECT doc_id, lang FROM documents
 WHERE doc_id < 300
 ORDER BY doc_id
 """
+
+
+def streaming_stateful_totals_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-facing proof of the CUSTOM stateful streaming operator
+    (``applyInPandasWithState``): events stream through per-user group
+    state (running event count + exact cents total), update-mode
+    emissions land in a parquet sink via foreachBatch-append, and the
+    final state per user — the emission with the highest running count,
+    well-defined whatever the micro-batch boundaries, since the count
+    is strictly increasing — must hash-match the batch GROUP BY oracle.
+    The kernel keeps integer cents in state (no float accumulation
+    drift) and divides once on emit, so the doubles agree cross-engine.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..streaming.events import (
+        stateful_user_totals,
+        stream_events_from_dir,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_state_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    landing = f"{root}/landing"
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stream = stream_events_from_dir(spark, landing)
+    totals = stateful_user_totals(stream)
+    out_dir = f"{root}/totals"
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .orderBy("user_id")
+    )
+
+
+STREAMING_STATEFUL_TOTALS_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
