@@ -91,6 +91,14 @@ from faers_datalakehouse_spark.operators.bitmap import (
     BITMAP_DISTINCT_SQL,
     bitmap_distinct,
 )
+from faers_datalakehouse_spark.functions.udtf_ops import (
+    UDTF_CHUNKS_SQL,
+    udtf_chunks,
+)
+from faers_datalakehouse_spark.operators.cogroup import (
+    ORDER_RECONCILIATION_SQL,
+    order_reconciliation,
+)
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
@@ -456,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyds_write_read": S.pyds_write_read_query,
         "pyds_stream_tail": S.pyds_stream_tail_query,
         "streaming_stateful_totals": S.streaming_stateful_totals_query,
+        "udtf_chunks": udtf_chunks,
+        "cogroup_reconcile": order_reconciliation,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -786,6 +796,8 @@ def oracle_sql() -> dict[str, str]:
         "pyds_write_read": S.PYDS_WRITE_READ_SQL,
         "pyds_stream_tail": S.PYDS_STREAM_TAIL_SQL,
         "streaming_stateful_totals": S.STREAMING_STATEFUL_TOTALS_SQL,
+        "udtf_chunks": UDTF_CHUNKS_SQL,
+        "cogroup_reconcile": ORDER_RECONCILIATION_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),
