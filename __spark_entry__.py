@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct": bitmap_distinct,
         "window_suite": A.window_suite,
         "period_over_period": A.period_over_period,
+        "rolling_range_frame": A.rolling_range_frame,
+        "key_skew_profile": A.key_skew_profile,
         "pyds_pushdown_read": S.pyds_pushdown_read_query,
         "pyds_write_read": S.pyds_write_read_query,
         "pyds_stream_tail": S.pyds_stream_tail_query,
@@ -792,6 +794,8 @@ def oracle_sql() -> dict[str, str]:
         "bitmap_distinct": BITMAP_DISTINCT_SQL,
         "window_suite": A.WINDOW_SUITE_SQL,
         "period_over_period": A.PERIOD_OVER_PERIOD_SQL,
+        "rolling_range_frame": A.ROLLING_RANGE_FRAME_SQL,
+        "key_skew_profile": A.key_skew_oracle_sql(),
         "pyds_pushdown_read": S.PYDS_PUSHDOWN_READ_SQL,
         "pyds_write_read": S.PYDS_WRITE_READ_SQL,
         "pyds_stream_tail": S.PYDS_STREAM_TAIL_SQL,

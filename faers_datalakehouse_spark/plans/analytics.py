@@ -2457,3 +2457,134 @@ LEFT JOIN monthly p ON m.mkey = p.mkey + 1
 LEFT JOIN monthly y ON m.mkey = y.mkey + 12
 ORDER BY yr, mo
 """
+
+
+def rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per order priority via a RANGE frame over
+    integer epoch-day keys — the gap-correct form of a moving window.
+    A ROWS frame slides over the previous N ROWS and silently spans
+    calendar gaps; the RANGE frame ``6 PRECEDING`` over the day NUMBER
+    covers exactly the trailing week whether or not every day traded —
+    the semantics dashboards actually mean by "rolling 7d".
+
+    Exactness: revenue is integer cents; the frame sum and count are
+    exact; the rolling mean is one IEEE division. Partitioned by
+    priority, so the shuffle is keyed and the sort is per-partition —
+    no single-partition window.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias(
+            "epoch_day"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "priority",
+        "epoch_day",
+        "rev_c",
+        F.sum("rev_c").over(w).alias("rev_7d_c"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+        (
+            F.sum("rev_c").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("avg_daily_7d"),
+    ).orderBy("priority", "epoch_day")
+
+
+ROLLING_RANGE_FRAME_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS INT)
+           AS epoch_day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, epoch_day, rev_c,
+       CAST(sum(rev_c) OVER w AS BIGINT) AS rev_7d_c,
+       CAST(count(*) OVER w AS BIGINT) AS days_in_window,
+       CAST(sum(rev_c) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+         AS avg_daily_7d
+FROM daily
+WINDOW w AS (PARTITION BY priority ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY priority, epoch_day
+"""
+
+
+def key_skew_profile(
+    spark: SparkSession, sf_dir: str, top_n: int = 20
+) -> DataFrame:
+    """Join-key skew diagnosis — the profile an engineer reads BEFORE
+    choosing salting/AQE strategies: the top-N heaviest user_ids with
+    per-key row share, plus each key's cumulative share of total rows.
+    Shares are IEEE divisions of exact counts; ranking ties break on
+    the key so the top-N set is deterministic.
+
+    Shape: one map-side-combinable groupBy over the fact; the top-N
+    selection is ``orderBy().limit()`` — Spark plans TakeOrdered, a
+    per-partition heap + N-row driver merge, NEVER a global window over
+    the |distinct keys| frame — and the grand total is a 1-row scalar
+    aggregate broadcast in. Rank/cumulative windows then run over the
+    N-row tail only.
+    """
+    events = read_events(spark, sf_dir)
+    counts = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(top_n)
+    # bounded unpartitioned windows: the frame is top_n rows by
+    # construction
+    w = Window.orderBy(F.col("n").desc(), F.col("key"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = top.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n",
+        "total",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(wcum).alias("cum_n"),
+    )
+    return ranked.select(
+        "rank",
+        "key",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        (
+            F.col("cum_n").cast("double") / F.col("total").cast("double")
+        ).alias("cum_share"),
+    ).orderBy("rank")
+
+
+def key_skew_oracle_sql(top_n: int = 20) -> str:
+    return f"""
+WITH counts AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT key, n,
+         CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+         CAST(sum(n) OVER (ORDER BY n DESC, key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM counts
+)
+SELECT rank, key, n,
+       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM ranked WHERE rank <= {int(top_n)}
+ORDER BY rank
+"""

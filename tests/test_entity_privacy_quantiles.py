@@ -331,3 +331,36 @@ def test_crosstab_chi2_marginals(spark, sf_dir):
     exp_sum = sum(r.expected for r in out)
     assert abs(exp_sum - n) < 1e-6  # expected counts sum to n
     assert all(r.chi2_contrib >= 0.0 for r in out)
+
+
+def test_rolling_range_frame_gap_correct(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import rolling_range_frame
+
+    out = rolling_range_frame(spark, sf_dir).collect()
+    by_p = {}
+    for r in out:
+        by_p.setdefault(r.priority, []).append(r)
+    for rs in by_p.values():
+        rs.sort(key=lambda r: r.epoch_day)
+        days = {r.epoch_day: r.rev_c for r in rs}
+        for r in rs:
+            window = [
+                days[d]
+                for d in range(r.epoch_day - 6, r.epoch_day + 1)
+                if d in days
+            ]
+            assert r.rev_7d_c == sum(window)
+            assert r.days_in_window == len(window)
+
+
+def test_key_skew_profile_shares(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.analytics import key_skew_profile
+
+    out = key_skew_profile(spark, sf_dir, top_n=10).collect()
+    assert [r.rank for r in out] == list(range(1, 11))
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True)
+    assert all(0 < r.share <= 1 for r in out)
+    cum = [r.cum_share for r in out]
+    assert all(cum[i] < cum[i + 1] for i in range(len(cum) - 1))
+    assert cum[-1] <= 1.0 + 1e-12
