@@ -99,6 +99,10 @@ from faers_datalakehouse_spark.operators.cogroup import (
     ORDER_RECONCILIATION_SQL,
     order_reconciliation,
 )
+from faers_datalakehouse_spark.operators.sketches import (
+    hll_set_algebra as _hll_set_algebra,
+    hll_set_algebra_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
@@ -651,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frequency paths themselves
         "hll_registers": S.hll_registers_query,
         "hll_by_group": S.hll_by_group_query,
+        "hll_set_algebra": _hll_set_algebra,
         "cms_counts": S.cms_counts_query,
         "bm25_topk": _docs(
             lambda df: bm25_topk(df, BM25_QUERY_TERMS, k=15)
@@ -859,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_matview": S.INCREMENTAL_MATVIEW_SQL,
         "hll_registers": S.hll_registers_oracle(),
         "hll_by_group": S.hll_by_group_oracle(),
+        "hll_set_algebra": hll_set_algebra_oracle_sql(),
         "cms_counts": S.cms_counts_oracle(),
         "bloom_prefilter": S.BLOOM_PREFILTER_SQL,
         "bm25_topk": bm25_oracle_sql(BM25_QUERY_TERMS, k=15),

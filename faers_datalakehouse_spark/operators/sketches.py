@@ -252,3 +252,63 @@ SELECT p.key, min(coalesce(s.cnt, 0)) AS est_count
 FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
 GROUP BY p.key
 """
+
+
+def hll_set_algebra(spark, sf_dir: str, p: int = 8):
+    """Sketch set algebra — the register states behind a distinct-
+    intersection estimate (|A∩B| ≈ est(A) + est(B) − est(A∪B),
+    inclusion–exclusion over mergeable sketches). Emits the three
+    register sets tagged by name: 'a' (click users), 'b' (purchase
+    users), and 'union' — which is the register-wise MAX merge, the
+    property that makes HLL distributable (sketch per day/partition,
+    merge without rescanning). The driver oracle checks all three
+    REGISTER STATES bit-for-bit; the numeric intersection estimate and
+    its error bound are pytest-checked (its log correction is libm-
+    dependent, per this module's convention).
+    """
+    from ..sources.tables import read_events
+
+    events = read_events(spark, sf_dir)
+    a = hll_sketch(
+        events.where(F.col("event_type") == "click"), "user_id", p
+    )
+    b = hll_sketch(
+        events.where(F.col("event_type") == "purchase"), "user_id", p
+    )
+    u = hll_merge(a, b)
+    tag = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("set_name"), "bucket", "max_rank"
+    )
+    return (
+        tag(a, "a")
+        .unionAll(tag(b, "b"))
+        .unionAll(tag(u, "union"))
+        .orderBy("set_name", "bucket")
+    )
+
+
+def hll_set_algebra_oracle_sql(p: int = 8) -> str:
+    m = 1 << p
+
+    def regs(pred: str) -> str:
+        return f"""
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {m} AS bucket,
+         max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)
+           AS max_rank
+  FROM (
+    SELECT user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS w
+    FROM events WHERE {pred}
+  ) GROUP BY 1
+"""
+
+    return f"""
+SELECT 'a' AS set_name, bucket, max_rank FROM ({regs("event_type = 'click'")})
+UNION ALL
+SELECT 'b', bucket, max_rank FROM ({regs("event_type = 'purchase'")})
+UNION ALL
+SELECT 'union', bucket, max_rank
+FROM ({regs("event_type IN ('click', 'purchase')")})
+ORDER BY set_name, bucket
+"""

@@ -186,3 +186,40 @@ def test_streaming_sketch_fold_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(state_path).collect()
     }
     assert got == _regs(hll_sketch(full, "id"))
+
+
+def test_hll_intersection_estimate_within_bound(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+    from faers_datalakehouse_spark.sources.tables import read_events
+
+    p = 8
+    events = read_events(spark, sf_dir)
+    a_df = events.where(F.col("event_type") == "click")
+    b_df = events.where(F.col("event_type") == "purchase")
+    a = hll_sketch(a_df, "user_id", p)
+    b = hll_sketch(b_df, "user_id", p)
+    est = (
+        hll_estimate(a, p)
+        + hll_estimate(b, p)
+        - hll_estimate(hll_merge(a, b), p)
+    )
+    true = (
+        a_df.select("user_id")
+        .intersect(b_df.select("user_id"))
+        .count()
+    )
+    union_true = (
+        a_df.select("user_id").union(b_df.select("user_id")).distinct().count()
+    )
+    # inclusion-exclusion compounds three sketch errors, each
+    # ~1.04/sqrt(m) RELATIVE TO ITS OWN SET; bound against the union size
+    tol = 5 * 1.04 / math.sqrt(1 << p) * union_true + 5
+    assert abs(est - true) <= tol
