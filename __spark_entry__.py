@@ -103,6 +103,10 @@ from faers_datalakehouse_spark.operators.sketches import (
     hll_set_algebra as _hll_set_algebra,
     hll_set_algebra_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.linkage import (
+    linkage_oracle_sql,
+    linkage_scores,
+)
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
@@ -472,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_totals": S.streaming_stateful_totals_query,
         "udtf_chunks": udtf_chunks,
         "cogroup_reconcile": order_reconciliation,
+        "linkage_scores": linkage_scores,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -807,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_totals": S.STREAMING_STATEFUL_TOTALS_SQL,
         "udtf_chunks": UDTF_CHUNKS_SQL,
         "cogroup_reconcile": ORDER_RECONCILIATION_SQL,
+        "linkage_scores": linkage_oracle_sql(),
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -54,3 +54,31 @@ def test_cogroup_reconciliation_bucket_invariance(spark, sf_dir):
     # the line rollup is genuinely populated (orders with no lines — a
     # real occurrence in this synthetic data — roll up to exactly 0)
     assert any(r.li_cents > 0 for r in a)
+
+
+def test_linkage_rare_agreement_outscores_common(spark):
+    from faers_datalakehouse_spark.operators.linkage import linkage_scores
+
+    # sf0.001's ~60 blocked pairs rarely agree on anything; the score
+    # distribution needs the sf0.01 pair universe
+    out = linkage_scores(spark, "/root/testdata/sf0.01", min_score=1).collect()
+    assert out
+    # a positive score requires at least one field agreement
+    assert all(r.agree_bal_band or r.agree_bal_cents for r in out)
+    assert all(r.score >= 1 for r in out)
+    # frequency weighting in aggregate: the high-cardinality cents
+    # field (≈100 values) averages a higher weight than the coarse
+    # band field across single-field agreements
+    cents_only = [
+        r.score for r in out if r.agree_bal_cents and not r.agree_bal_band
+    ]
+    band_only = [
+        r.score for r in out if r.agree_bal_band and not r.agree_bal_cents
+    ]
+    assert cents_only and band_only
+    assert sum(cents_only) / len(cents_only) > sum(band_only) / len(band_only)
+    # deterministic: a second build yields the identical scored set
+    again = linkage_scores(
+        spark, "/root/testdata/sf0.01", min_score=1
+    ).collect()
+    assert out == again
