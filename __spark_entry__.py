@@ -107,6 +107,26 @@ from faers_datalakehouse_spark.operators.linkage import (
     linkage_oracle_sql,
     linkage_scores,
 )
+from faers_datalakehouse_spark.operators.rolling_distinct import (
+    rolling_distinct_oracle_sql,
+    rolling_distinct_query,
+)
+from faers_datalakehouse_spark.operators.target_encoding import (
+    target_encode_oof_oracle_sql,
+    target_encode_query,
+)
+from faers_datalakehouse_spark.operators.interval_join import (
+    TRANSIT_AUDIT_OVERLAPS_SQL,
+    transit_audit_overlaps,
+)
+from faers_datalakehouse_spark.operators.top_p import (
+    TOP_P_SOURCES_SQL,
+    top_p_sources_query,
+)
+from faers_datalakehouse_spark.operators.sampling import (
+    priority_sample_oracle_sql,
+    priority_sample_query,
+)
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
@@ -477,6 +497,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_chunks": udtf_chunks,
         "cogroup_reconcile": order_reconciliation,
         "linkage_scores": linkage_scores,
+        "rolling_distinct": rolling_distinct_query,
+        "group_ols_trend": A.group_ols_trend,
+        "target_encode": target_encode_query,
+        "interval_overlap": transit_audit_overlaps,
+        "priority_sample": priority_sample_query,
+        "top_p_sources": top_p_sources_query,
+        "streaming_join": S.streaming_join_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -813,6 +840,13 @@ def oracle_sql() -> dict[str, str]:
         "udtf_chunks": UDTF_CHUNKS_SQL,
         "cogroup_reconcile": ORDER_RECONCILIATION_SQL,
         "linkage_scores": linkage_oracle_sql(),
+        "rolling_distinct": rolling_distinct_oracle_sql(),
+        "group_ols_trend": A.GROUP_OLS_TREND_SQL,
+        "target_encode": target_encode_oof_oracle_sql(),
+        "interval_overlap": TRANSIT_AUDIT_OVERLAPS_SQL,
+        "priority_sample": priority_sample_oracle_sql(),
+        "top_p_sources": TOP_P_SOURCES_SQL,
+        "streaming_join": S.STREAMING_JOIN_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

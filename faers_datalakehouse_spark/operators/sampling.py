@@ -203,3 +203,66 @@ SELECT * FROM cum
 WHERE (running_total - {phase} + {step}) // {step}
       > (running_total - {weight_col} - {phase} + {step}) // {step}
 """
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via priority
+    sampling (Duffield–Lund–Thorup 2007): each row gets priority
+    ``u / w`` where ``u`` is a deterministic 32-bit uniform derived from
+    the id (the shared md5 bucket hash) and ``w`` its positive integer
+    weight; the ``k`` smallest priorities win. Inclusion probability is
+    proportional to weight; the sample is identical across runs,
+    partitionings, and engines (``randomSplit``/``rand()`` are neither),
+    which is what reproducible corpus subsampling needs.
+
+    Scale shape: a pure projection computes priorities, then ONE
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject (per-
+    partition heaps + a k-row driver merge), never a global sort. The
+    priority is one exactly-rounded IEEE division of exact integers, so
+    the DuckDB twin reproduces the selection AND the priority values
+    bit-for-bit. Rows with weight <= 0 or NULL are excluded (they have
+    no sampling mass). Ties (same priority) break on the id, making the
+    cut deterministic even for duplicate (hash, weight) pairs.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 25, 8), 16, 10
+    ).cast("long")
+    pri = u.cast("double") / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
+def priority_sample_oracle_sql(k: int = 64) -> str:
+    """DuckDB twin over documents (weight = n_chars)."""
+    return f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+            AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority, doc_id
+LIMIT {int(k)}
+"""
+
+
+def priority_sample_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry: 64-doc weighted sample of the corpus, weight =
+    document length (proportional-to-size, the token-budget case)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return priority_sample(docs, "doc_id", "n_chars", k=64)

@@ -2588,3 +2588,98 @@ SELECT rank, key, n,
 FROM ranked WHERE rank <= {int(top_n)}
 ORDER BY rank
 """
+
+
+def group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend line — slope/intercept/r² of daily
+    event volume against time, one regression per event_type, in closed
+    form from mergeable sufficient statistics (the distributed-OLS
+    classic: no iteration, no solver, one aggregation).
+
+    Exactness discipline: x is an integer day offset from a fixed
+    anchor, y an integer daily count, so n, Σx, Σy, Σxy, Σx², Σy² are
+    exact int64 (map-side-combinable sums over a day-spine-sized
+    frame); slope is ONE exactly-rounded IEEE division of two exact
+    integers, and intercept/r² are short fixed-shape double expressions
+    both engines evaluate identically (no libm anywhere). Headroom: the
+    int64 products hold to ~1e6 distinct days x 1e9 rows/day.
+
+    Scale shape: groupBy(type, day) reduces the fact to |types x days|
+    rows in one shuffle; the per-type moment aggregation runs over that
+    tiny frame. Nothing is windowed, nothing is collected.
+    """
+    anchor = "2024-01-01"
+    ev = read_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            "g",
+            F.datediff("day", F.lit(anchor)).cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+        )
+    )
+    m = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    syc = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    slope = num.cast("double") / F.nullif(den, F.lit(0)).cast("double")
+    intercept = (
+        m["sy"].cast("double") - slope * m["sx"].cast("double")
+    ) / m["n"].cast("double")
+    r2 = (num.cast("double") * num.cast("double")) / F.nullif(
+        den.cast("double") * syc.cast("double"), F.lit(0.0)
+    )
+    return m.select(
+        F.col("g").alias("event_type"),
+        F.col("n").alias("n_days"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    ).orderBy("event_type")
+
+
+GROUP_OLS_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, CAST(ts AS DATE)
+), m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(x*x) AS BIGINT) AS sxx,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT g AS event_type, n AS n_days, sx, sy, sxy, sxx, syy,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / CAST(nullif(n*sxx - sx*sx, 0) AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(nullif(n*sxx - sx*sx, 0) AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+         / nullif(CAST(n*sxx - sx*sx AS DOUBLE)
+                  * CAST(n*syy - sy*sy AS DOUBLE), 0.0) AS r2
+FROM m
+ORDER BY event_type
+"""

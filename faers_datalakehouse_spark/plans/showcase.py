@@ -2300,3 +2300,61 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def streaming_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: watermarked stream-stream inner join (purchase →
+    preceding-30-min same-user clicks), run end-to-end — landing dir →
+    two readStream sides → time-range join → APPEND-mode parquet sink
+    (the only output mode stream-stream inner joins support) → read
+    back. With availableNow over one landed file both sides arrive in
+    the first micro-batch, so the emitted set equals the batch join —
+    which is precisely what ``STREAMING_JOIN_SQL`` hash-checks."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import (
+        stream_events_from_dir,
+        streaming_click_purchase_join,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_join_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    landing = f"{root}/landing"
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stream = stream_events_from_dir(spark, landing)
+    joined = streaming_click_purchase_join(stream)
+    out_dir = f"{root}/joined"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy(
+        "purchase_id", "click_id"
+    )
+
+
+STREAMING_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, c.click_id, p.user_id,
+       date_diff('second', date_trunc('second', c.click_ts),
+                 date_trunc('second', p.purchase_ts)) AS delta_s
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+ORDER BY purchase_id, click_id
+"""

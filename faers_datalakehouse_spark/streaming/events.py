@@ -413,3 +413,66 @@ def streaming_document_curation(
         q["q_tokens"].alias("q_tokens"),
         q["q_score"].alias("q_score"),
     ).filter((F.col("q_score") >= min_score) & (F.col("q_tokens") >= min_tokens))
+
+
+def streaming_click_purchase_join(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each purchase matched to the
+    same user's clicks in the preceding ``within`` interval.
+
+    This is the canonical Structured Streaming two-stream shape: both
+    sides carry an event-time watermark and the join condition includes
+    an event-time RANGE (click_ts in [purchase_ts - within,
+    purchase_ts]), which is exactly what lets Spark bound the join state
+    — clicks older than the watermark minus the range can never match a
+    future purchase and are evicted. Without the time bound the state
+    grows forever; with it, state is O(traffic within the window), the
+    production contract for attribution joins at any scale.
+
+    Emits append-mode rows (matched pairs finalize as soon as both sides
+    arrive); the caller picks the sink. ``events`` is one normalized
+    event stream — both sides derive from it by type filter, each with
+    its own watermark.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")
+        )
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        # explicit whole-second truncation on both operands: Spark's
+        # timestampdiff floors the elapsed interval while DuckDB's
+        # date_diff counts boundary crossings — they disagree on
+        # sub-second inputs unless both are truncated first
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', click_ts),"
+            " date_trunc('second', purchase_ts))"
+        )
+        .cast("long")
+        .alias("delta_s"),
+    )

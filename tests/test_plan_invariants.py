@@ -30,6 +30,8 @@ ALLOWED_NESTED_LOOP = {
     "dsir_select",       # same totals broadcast via dsir_weights
     "value_histogram",   # 1-row min/max bounds broadcast onto the scan
     "allpairs_tfidf",    # 1-row global-N broadcast onto the postings
+    "key_skew_profile",  # 1-row grand-total broadcast onto the top-N frame
+    "basket_pairs",      # 1-row n_baskets broadcast onto the pair frame
 }
 
 
