@@ -131,6 +131,17 @@ BENCH_QUERIES = {
     "q60_quantile_binning": ("collect", "quantile_binning"),
     "q61_referential_audit": ("collect", "referential_audit"),
     "q62_pyds_roundtrip": ("count", "pyds_pushdown_read"),
+    # Round-7 batch 5: interval-overlap join, rolling-distinct fan-out,
+    # nucleus filter, OOF target encoding, priority sampling, group OLS.
+    # (streaming_join is driver-gated but excluded here like the other
+    # streaming entries: fixed stream-startup overhead dominates at sf0.1
+    # and would measure the harness, not the operator.)
+    "q63_interval_overlap": ("count", "interval_overlap"),
+    "q64_rolling_distinct": ("collect", "rolling_distinct"),
+    "q65_top_p_sources": ("count", "top_p_sources"),
+    "q66_target_encode": ("collect", "target_encode"),
+    "q67_priority_sample": ("collect", "priority_sample"),
+    "q68_group_ols": ("collect", "group_ols_trend"),
 }
 
 
