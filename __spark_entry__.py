@@ -127,6 +127,10 @@ from faers_datalakehouse_spark.operators.sampling import (
     priority_sample_oracle_sql,
     priority_sample_query,
 )
+from faers_datalakehouse_spark.operators.source_overlap import (
+    source_overlap_oracle_sql,
+    source_overlap_query,
+)
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
@@ -504,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": priority_sample_query,
         "top_p_sources": top_p_sources_query,
         "streaming_join": S.streaming_join_query,
+        "source_overlap": source_overlap_query,
+        "asof_nearest": S.asof_nearest_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -847,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": priority_sample_oracle_sql(),
         "top_p_sources": TOP_P_SOURCES_SQL,
         "streaming_join": S.STREAMING_JOIN_SQL,
+        "source_overlap": source_overlap_oracle_sql(),
+        "asof_nearest": S.ASOF_NEAREST_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

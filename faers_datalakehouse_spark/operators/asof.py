@@ -40,8 +40,21 @@ def as_of_join(
     right_cols: Sequence[str],
     tolerance_seconds: int | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: latest right row with ``right_ts <= left_ts`` per key.
+
+    ``direction`` (pandas ``merge_asof`` parity):
+
+    - ``"backward"`` (default): latest right row with right_ts <= left_ts;
+    - ``"forward"``: earliest right row with right_ts >= left_ts
+      (the mirrored window — ``first(..., ignorenulls)`` over
+      [currentRow, unboundedFollowing] with right rows sorting after
+      left at equal timestamps so ``>=`` includes ties);
+    - ``"nearest"``: whichever of the two is closer in event time; an
+      exact tie attaches the BACKWARD match (documented, deterministic).
+      Both candidate passes share one partition exchange — two sorts,
+      no second shuffle.
 
     Output = all left columns + ``<right_col><suffix>`` for each requested
     right column + ``<right_ts><suffix>`` (the matched timestamp, NULL when
@@ -51,10 +64,21 @@ def as_of_join(
     attached (whole-row atomically) — the same unspecified-among-ties
     contract as DuckDB ASOF JOIN / pandas merge_asof.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if direction == "nearest" and not isinstance(
+        left.schema[left_ts].dataType, T.TimestampType
+    ):
+        raise ValueError(
+            "direction='nearest' requires timestamp event-time columns "
+            "(distance comparison uses epoch micros)"
+        )
     on = list(on)
     left_cols = left.columns
     matched_ts = f"{right_ts}{suffix}"
-    reserved = {"_t", "_side", "_rp"} & (
+    reserved = {"_t", "_side", "_rp", "_rpb", "_rpf"} & (
         set(left.columns) | set(right.columns)
     )
     if reserved:
@@ -107,25 +131,67 @@ def as_of_join(
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows first at equal _t → "<=" as-of semantics
-    w = (
+    w_back = (
         Window.partitionBy(*on)
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # left rows first at equal _t (desc on the side tag) → the
+    # [current, following] frame still sees an equal-ts right row: ">="
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("_t"), F.desc("_side"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    back_p = F.last("_rp", ignorenulls=True).over(w_back)
+    fwd_p = F.first("_rp", ignorenulls=True).over(w_fwd)
+    if direction == "backward":
+        picked = [back_p.alias("_rp")]
+    elif direction == "forward":
+        picked = [fwd_p.alias("_rp")]
+    else:
+        picked = [back_p.alias("_rpb"), fwd_p.alias("_rpf")]
     filled = u.select(
         *on,
         "_t",
         "_side",
         *[F.col(c) for c in left_cols if c not in on and c != left_ts],
-        F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
+        *picked,
     ).filter(F.col("_side") == 1)
 
-    if tolerance_seconds is not None:
-        too_old = (
-            F.unix_micros(F.col("_t")) - F.unix_micros(F.col(f"_rp.{matched_ts}"))
-        ) > tolerance_seconds * 1_000_000
+    def _delta(payload_col: str) -> F.Column:
+        d = F.unix_micros(F.col(f"{payload_col}.{matched_ts}")) - F.unix_micros(
+            F.col("_t")
+        )
+        return F.abs(d)
+
+    def _within_tol(payload_col: str, col: F.Column) -> F.Column:
+        if tolerance_seconds is None:
+            return col
+        return F.when(
+            _delta(payload_col) > tolerance_seconds * 1_000_000,
+            F.lit(None).cast(payload_type),
+        ).otherwise(col)
+
+    if direction == "nearest":
+        rpb = _within_tol("_rpb", F.col("_rpb"))
+        rpf = _within_tol("_rpf", F.col("_rpf"))
+        # tie (equal distance) attaches the backward match
+        filled = (
+            filled.withColumn("_rpb", rpb)
+            .withColumn("_rpf", rpf)
+            .withColumn(
+                "_rp",
+                F.when(F.col("_rpb").isNull(), F.col("_rpf"))
+                .when(F.col("_rpf").isNull(), F.col("_rpb"))
+                .when(_delta("_rpf") < _delta("_rpb"), F.col("_rpf"))
+                .otherwise(F.col("_rpb")),
+            )
+            .drop("_rpb", "_rpf")
+        )
+    elif tolerance_seconds is not None:
         filled = filled.withColumn(
-            "_rp", F.when(too_old, F.lit(None).cast(payload_type)).otherwise(F.col("_rp"))
+            "_rp", _within_tol("_rp", F.col("_rp"))
         )
     expanded = filled.select(
         *on,

@@ -2358,3 +2358,52 @@ FROM p JOIN c ON p.user_id = c.user_id
  AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
 ORDER BY purchase_id, click_id
 """
+
+
+def asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click event: the user's NEAREST purchase in event time,
+    either direction (``as_of_join(direction='nearest')`` — the pandas
+    ``merge_asof`` parity surface). The purchase side is deduplicated to
+    one row per (user, ts) first so the nearest match is unique and the
+    LATERAL oracle deterministic."""
+    from ..operators.asof import as_of_join
+    from ..sources.tables import read_events
+
+    events = read_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    return as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["pvalue"],
+        direction="nearest",
+    ).orderBy("user_id", "event_id")
+
+
+ASOF_NEAREST_SQL = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT l.user_id, l.event_id, l.ts, l.value,
+       r.pvalue AS pvalue_asof, r.ts AS ts_asof
+FROM (SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'click') l
+LEFT JOIN LATERAL (
+  SELECT pvalue, ts FROM p
+  WHERE p.user_id = l.user_id
+  ORDER BY abs(date_diff('microsecond', l.ts, p.ts)), p.ts
+  LIMIT 1
+) r ON true
+ORDER BY l.user_id, l.event_id
+"""

@@ -99,3 +99,98 @@ def test_asof_tolerance_requires_timestamps(spark):
         as_of_join(
             left, right, ["k"], "seq", "seq", ["v"], tolerance_seconds=10
         )
+
+
+def _mk(spark, rows, cols):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame([Row(**dict(zip(cols, r))) for r in rows])
+
+
+def _ts(s):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_forward_direction(spark):
+    from faers_datalakehouse_spark.operators.asof import as_of_join
+
+    left = _mk(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"))],
+        ["k", "lts"],
+    )
+    right = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01 09:00:00"), 1.0),  # before: not forward
+            (1, _ts("2024-01-01 10:00:00"), 2.0),  # equal: qualifies (>=)
+            (1, _ts("2024-01-01 11:00:00"), 3.0),
+        ],
+        ["k", "rts", "v"],
+    )
+    got = as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["v"], direction="forward",
+    ).collect()
+    assert got[0].v_asof == 2.0
+    # without the equal-ts row, the next later one attaches
+    got2 = as_of_join(
+        left,
+        right.where("v <> 2.0"),
+        on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["v"], direction="forward",
+    ).collect()
+    assert got2[0].v_asof == 3.0
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from faers_datalakehouse_spark.operators.asof import as_of_join
+
+    left = _mk(spark, [(1, _ts("2024-01-01 10:00:00"))], ["k", "lts"])
+    right = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01 09:30:00"), 1.0),  # 30 min back
+            (1, _ts("2024-01-01 10:30:00"), 2.0),  # 30 min forward: tie
+            (1, _ts("2024-01-01 10:20:00"), 3.0),  # 20 min forward: wins
+        ],
+        ["k", "rts", "v"],
+    )
+    got = as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["v"], direction="nearest",
+    ).collect()
+    assert got[0].v_asof == 3.0
+    # drop the 10:20 row → exact 30-min tie → backward wins
+    got2 = as_of_join(
+        left,
+        right.where("v <> 3.0"),
+        on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["v"], direction="nearest",
+    ).collect()
+    assert got2[0].v_asof == 1.0
+
+
+def test_asof_nearest_tolerance_and_validation(spark):
+    import pytest
+
+    from faers_datalakehouse_spark.operators.asof import as_of_join
+
+    left = _mk(spark, [(1, _ts("2024-01-01 10:00:00"))], ["k", "lts"])
+    right = _mk(
+        spark,
+        [(1, _ts("2024-01-01 12:00:00"), 9.0)],
+        ["k", "rts", "v"],
+    )
+    got = as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["v"], direction="nearest", tolerance_seconds=3600,
+    ).collect()
+    assert got[0].v_asof is None  # 2 h away, 1 h tolerance
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["v"], direction="sideways",
+        )

@@ -115,3 +115,25 @@ def test_streaming_join_equals_batch(spark, sf_dir):
     assert list(got["click_id"]) == list(batch["click_id"])
     assert (got["delta_s"] >= 0).all()
     assert (got["delta_s"] <= 1800).all()
+
+
+def test_source_overlap_matrix_invariants(spark, sf_dir):
+    from faers_datalakehouse_spark.operators.source_overlap import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = source_overlap_matrix(docs).toPandas()
+    # upper triangle only, shared bounded by both marginals
+    assert (m["source_a"] < m["source_b"]).all()
+    assert (m["shared"] <= m[["n_a", "n_b"]].min(axis=1)).all()
+    assert (m["jaccard_milli"] >= 0).all()
+    assert (m["jaccard_milli"] <= 1000).all()
+    # self-overlap sanity via a doubled source: duplicate one source
+    # under a new name -> jaccard with its twin must be 1000 (identical)
+    from pyspark.sql import functions as F
+
+    one = docs.where(F.col("source") == "src0")
+    twin = one.withColumn("source", F.lit("zz_twin"))
+    m2 = source_overlap_matrix(one.unionByName(twin)).toPandas()
+    assert list(m2["jaccard_milli"]) == [1000]
