@@ -10,12 +10,15 @@ statistic is per-pair distinct n-gram overlap and its exact Jaccard
 
 Scale shape: the fact reduces to DISTINCT (source, ngram) in one
 shuffle (map-side partial dedup; size = vocabulary x sources, NOT
-corpus rows). The pair counts come from a SELF-JOIN ON THE NGRAM KEY —
-each n-gram key carries at most |sources| replicas, so a key's join
-fan-out is bounded by |sources|² (a constant ~tens), never
-corpus-quadratic; the aggregation is a |source-pairs|-sized groupBy.
-Marginals are a |sources|-row frame broadcast onto the pairs. At
-100 TB the only data-proportional stage is the initial distinct.
+corpus rows), then each n-gram collapses to its sorted SOURCE SET and
+all i<j source pairs are generated MAP-SIDE from that array — fan-out
+bounded by |sources|² per n-gram, never corpus-quadratic, and cheaper
+than the equivalent ngram-keyed self-join (which would re-evaluate the
+n-gram pipeline once per plan consumer; measured). Marginal counts
+ride the same explode as NULL-marked rows and attach via windows over
+the tiny (|pairs|+|sources|)-row counts frame, keeping every expensive
+node single-consumer. At 100 TB the only data-proportional stages are
+the initial distinct and the vocab-sized set aggregation.
 
 N-grams reuse ``contamination._distinct_ngrams`` (lowercased
 whitespace token windows, per-document dedup before explode) so the
@@ -26,7 +29,7 @@ No counterpart in the reference (LLM-curation extension surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .contamination import _distinct_ngrams
@@ -50,39 +53,66 @@ def source_overlap_matrix(
         )
         .distinct()
     )
-    marginals = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_ng"))
-    a, b = grams.alias("a"), grams.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.ng") == F.col("b.ng"))
-            & (F.col("a.src") < F.col("b.src")),
+    # one pass over the expensive n-gram frame: reduce each ngram to its
+    # sorted source SET, then both the pair counts and the marginals
+    # derive from that vocab-sized frame — a naive self-join would
+    # re-evaluate the n-gram generation once per consumer (no
+    # ReusedExchange across the alias boundary; measured 4 Generates)
+    by_ng = grams.groupBy("ng").agg(
+        F.sort_array(F.collect_set("src")).alias("srcs")
+    )
+    n_srcs = F.size("srcs")
+    # all i<j pairs of the (small, |sources|-bounded) source list,
+    # generated map-side — fan-out <= |sources|^2 per ngram
+    pair_array = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, n_srcs),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
+    # marginals ride the same explode as the pairs (source_b = NULL
+    # marks a marginal row), so by_ng — and the n-gram generation above
+    # it — is consumed exactly ONCE in the physical plan
+    src_type = dict(docs.dtypes)[source_col]
+    marginal_array = F.transform(
+        F.col("srcs"),
+        lambda s: F.struct(
+            s.alias("source_a"),
+            F.lit(None).cast(src_type).alias("source_b"),
+        ),
+    )
+    counts = (
+        by_ng.select(
+            F.explode(F.concat(pair_array, marginal_array)).alias("p")
         )
         .groupBy(
-            F.col("a.src").alias("source_a"),
-            F.col("b.src").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # marginals attach via windows over the TINY counts frame (pair rows
+    # + one NULL-marked marginal row per source), not a self-join — a
+    # join would make counts a two-consumer node and replan the n-gram
+    # pipeline twice (measured: no exchange/stage reuse fires across the
+    # consumer boundary, doubling the dominant cost)
+    w_a = Window.partitionBy("source_a")
+    w_b = Window.partitionBy(F.coalesce("source_b", "source_a"))
+    is_marg = F.col("source_b").isNull()
     out = (
-        shared.join(
-            F.broadcast(
-                marginals.select(
-                    F.col("src").alias("source_a"),
-                    F.col("n_ng").alias("n_a"),
-                )
-            ),
+        counts.select(
             "source_a",
-        )
-        .join(
-            F.broadcast(
-                marginals.select(
-                    F.col("src").alias("source_b"),
-                    F.col("n_ng").alias("n_b"),
-                )
-            ),
             "source_b",
+            "shared",
+            F.max(F.when(is_marg, F.col("shared"))).over(w_a).alias("n_a"),
+            F.max(F.when(is_marg, F.col("shared"))).over(w_b).alias("n_b"),
         )
+        .where(F.col("source_b").isNotNull())
         .select(
             "source_a",
             "source_b",
