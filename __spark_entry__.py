@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": S.streaming_join_query,
         "source_overlap": source_overlap_query,
         "asof_nearest": S.asof_nearest_query,
+        "versioned_evolve": S.versioned_evolve_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -855,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_join": S.STREAMING_JOIN_SQL,
         "source_overlap": source_overlap_oracle_sql(),
         "asof_nearest": S.ASOF_NEAREST_SQL,
+        "versioned_evolve": S.VERSIONED_EVOLVE_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

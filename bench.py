@@ -142,6 +142,8 @@ BENCH_QUERIES = {
     "q66_target_encode": ("collect", "target_encode"),
     "q67_priority_sample": ("collect", "priority_sample"),
     "q68_group_ols": ("collect", "group_ols_trend"),
+    "q69_source_overlap": ("collect", "source_overlap"),
+    "q70_asof_nearest": ("count", "asof_nearest"),
 }
 
 

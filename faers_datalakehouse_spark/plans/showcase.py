@@ -2407,3 +2407,48 @@ LEFT JOIN LATERAL (
 ) r ON true
 ORDER BY l.user_id, l.event_id
 """
+
+
+def versioned_evolve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION end-to-end (Iceberg parity): v1 writes
+    the even-doc half partitioned by ``lang``; v2 is the metadata-only
+    ``evolve_partition_spec(["source"])``; v3 appends the odd-doc half —
+    laid out under the NEW spec while v1's files keep their old
+    directories. The result unions two pruned reads over the mixed-
+    generation table: by the LIVE column (``source`` — old-generation
+    files scanned with a residual filter, new ones manifest-pruned) and
+    by the HISTORIC column (``lang`` — the reverse). Value hashes prove
+    both prunes stay exact across layout generations."""
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_versioned_evolve/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(
+        docs.filter(F.col("doc_id") % 2 == 0), partition_by=("lang",)
+    )
+    vt.evolve_partition_spec(["source"])
+    vt.write(docs.filter(F.col("doc_id") % 2 == 1), mode="append")
+
+    by_live, _ = vt.read_partitions(spark, {"source": "src3"})
+    by_historic, _ = vt.read_partitions(spark, {"lang": "de"})
+    out = by_live.withColumn("pruned_by", F.lit("source")).unionByName(
+        by_historic.withColumn("pruned_by", F.lit("lang"))
+    )
+    return out.orderBy("pruned_by", "doc_id")
+
+
+VERSIONED_EVOLVE_SQL = """
+SELECT doc_id, lang, source, 'lang' AS pruned_by
+FROM documents WHERE lang = 'de'
+UNION ALL
+SELECT doc_id, lang, source, 'source' AS pruned_by
+FROM documents WHERE source = 'src3'
+ORDER BY pruned_by, doc_id
+"""

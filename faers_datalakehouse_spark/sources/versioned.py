@@ -280,6 +280,87 @@ class VersionedTable:
 
     # -- partition layout -------------------------------------------------
 
+    def evolve_partition_spec(
+        self,
+        new_cols: tuple[str, ...] | list[str],
+        committed_at: str = "1970-01-01T00:00:00Z",
+    ) -> int:
+        """Iceberg-style partition-spec EVOLUTION: a metadata-only commit
+        that changes the partition columns for FUTURE writes. Existing
+        files keep their old directory layout and are never rewritten —
+        reads reconstruct each file generation under its own spec
+        (``_read_entries`` groups by per-entry partition tuples), and
+        ``compact()`` naturally migrates old files to the live spec
+        because compaction re-stages through the normal write path.
+
+        Contrast with the Delta-style fixed-at-first-write rule the
+        plain ``write`` enforces: evolution is the deliberate escape
+        hatch, a distinct audited operation in the table history.
+        ``read_partitions`` stays EXACT on evolved tables: files from
+        older generations that do not record a filtered column cannot be
+        manifest-pruned and are scanned with a residual row filter.
+
+        ``new_cols`` must exist in the current table schema; an empty
+        list switches future writes to unpartitioned layout.
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"{self.root} has no snapshot; set the initial spec with "
+                "partition_by on the first write"
+            )
+        snap = self.snapshot(cur)
+        if snap.schema_json is None:
+            raise ValueError(
+                f"version {cur} records no schema; cannot validate the "
+                "new partition columns"
+            )
+        fields = {
+            f["name"]: f["type"]
+            for f in json.loads(snap.schema_json)["fields"]
+        }
+        new_cols = list(new_cols)
+        missing = [c for c in new_cols if c not in fields]
+        if missing:
+            raise ValueError(
+                f"partition columns {missing} not in the table schema "
+                f"{sorted(fields)}"
+            )
+        old = snap.extra.get("partition_spec")
+        if old is not None and old["cols"] == new_cols:
+            raise ValueError(
+                f"table is already partitioned by {new_cols}"
+            )
+        history = list(snap.extra.get("partition_spec_history") or [])
+        if old is not None:
+            history.append(old)
+        extra = {"partition_spec_history": history}
+        if new_cols:
+            extra["partition_spec"] = {
+                "cols": new_cols,
+                "types": {
+                    c: (
+                        fields[c]
+                        if isinstance(fields[c], str)
+                        else json.dumps(fields[c])
+                    )
+                    for c in new_cols
+                },
+            }
+        else:
+            # explicit empty spec: future writes are unpartitioned (the
+            # carry-forward in _commit would otherwise resurrect the old
+            # spec)
+            extra["partition_spec"] = None
+        return self._commit(
+            snap.files,
+            "evolve_spec",
+            committed_at,
+            schema_json=snap.schema_json,
+            extra=extra,
+            parent_version=cur,
+        )
+
     def partition_spec(self, version: int | None = None) -> dict | None:
         """The table's partition spec, ``{"cols": [...], "types":
         {col: spark simpleString}}``, or None for an unpartitioned
@@ -339,19 +420,34 @@ class VersionedTable:
                 )
             return df
 
-        if spec is None or not any("partition" in e for e in entries):
+        if not any("partition" in e for e in entries):
             out = _scan([str(self.root / e["path"]) for e in entries])
         else:
-            cols, types = spec["cols"], spec["types"]
-            groups: dict[tuple, list[str]] = {}
+            # group by each entry's OWN partition tuple (not the live
+            # spec's columns): after partition-spec evolution a snapshot
+            # legitimately mixes file generations laid out under
+            # different specs — each group attaches exactly the literal
+            # columns its directory layout stripped, and unionByName
+            # null-fills across generations
+            fallback = spec["types"] if spec else {}
+            groups: dict[tuple, tuple[dict, list[str]]] = {}
             for e in entries:
-                key = tuple(e["partition"][c] for c in cols)
-                groups.setdefault(key, []).append(str(self.root / e["path"]))
+                part = e.get("partition", {})
+                key = tuple(sorted(part.items()))
+                grp = groups.setdefault(key, (e, []))
+                grp[1].append(str(self.root / e["path"]))
             parts = []
-            for key in sorted(groups, key=lambda k: tuple(str(v) for v in k)):
-                part = _scan(groups[key])
-                for c, v in zip(cols, key):
-                    part = part.withColumn(c, F.lit(v).cast(types[c]))
+            for key in sorted(
+                groups, key=lambda k: tuple(map(str, (x for kv in k for x in kv)))
+            ):
+                first, paths = groups[key]
+                types = {**fallback, **first.get("partition_types", {})}
+                part = _scan(paths)
+                for c, v in key:
+                    lit = F.lit(v)
+                    if c in types:
+                        lit = lit.cast(types[c])
+                    part = part.withColumn(c, lit)
                 parts.append(part)
             out = parts[0]
             for p in parts[1:]:
@@ -421,10 +517,18 @@ class VersionedTable:
             for p in sorted(stage.rglob("*.parquet"))
         ]
         if partition_by:
+            ptypes = {
+                c: df.schema[c].dataType.simpleString()
+                for c in partition_by
+            }
             for e in entries:
                 e["partition"] = _parse_partition_values(
                     e["path"], list(partition_by)
                 )
+                # per-entry types: after evolve_partition_spec the live
+                # spec no longer describes files staged under older
+                # specs, so each entry carries its own generation's types
+                e["partition_types"] = ptypes
         if bloom_cols and entries:
             self._stage_blooms(df, stage, entries, bloom_cols, bloom_fp)
         if stats_cols and entries:
@@ -589,8 +693,9 @@ class VersionedTable:
         extra = dict(extra or {})
         if cur is not None:
             prev_extra = self.snapshot(cur).extra
-            for key in ("partition_spec", "txn", "deletes",
-                        "column_mapping", "column_mapping_dropped"):
+            for key in ("partition_spec", "partition_spec_history", "txn",
+                        "deletes", "column_mapping",
+                        "column_mapping_dropped"):
                 if key not in extra and prev_extra.get(key) is not None:
                     extra[key] = prev_extra[key]
         # an explicit empty delete list exists only to BLOCK the carry
@@ -682,7 +787,8 @@ class VersionedTable:
             raise ValueError(
                 f"table is partitioned by {spec['cols']}; cannot write "
                 f"with partition_by={list(partition_by)} (the spec is "
-                "fixed at first write)"
+                "fixed at first write — change it explicitly with "
+                "evolve_partition_spec)"
             )
         if spec is None and partition_by:
             missing = [c for c in partition_by if c not in df.columns]
@@ -1137,12 +1243,19 @@ class VersionedTable:
         "files_skipped"})``."""
         snap = self.snapshot(version)
         spec = snap.extra.get("partition_spec")
-        if spec is None:
+        historic = {
+            c for f in snap.files for c in f.get("partition", {})
+        }
+        if spec is None and not historic:
             raise ValueError(f"{self.root} is not a partitioned table")
-        unknown = [c for c in filters if c not in spec["cols"]]
+        known = set(spec["cols"] if spec else []) | historic
+        unknown = [c for c in filters if c not in known]
         if unknown:
             raise ValueError(
-                f"{unknown} are not partition columns {spec['cols']}"
+                f"{unknown} are not partition columns of any file "
+                f"generation (live spec "
+                f"{spec['cols'] if spec else []}, historic "
+                f"{sorted(historic)})"
             )
         wanted = {
             c: {
@@ -1151,14 +1264,20 @@ class VersionedTable:
             }
             for c, v in filters.items()
         }
-        keep = [
-            f
-            for f in snap.files
-            if all(
-                f.get("partition", {}).get(c) in vs
-                for c, vs in wanted.items()
+        def _match(f: dict) -> bool:
+            part = f.get("partition", {})
+            # a file generation that predates a filtered partition column
+            # (spec evolution) records no value for it — it cannot be
+            # manifest-pruned and must be scanned (the residual row
+            # filter below keeps the result exact)
+            return all(
+                c not in part or part[c] in vs for c, vs in wanted.items()
             )
-        ]
+
+        keep = [f for f in snap.files if _match(f)]
+        mixed = any(
+            c not in f.get("partition", {}) for f in keep for c in wanted
+        )
         report = {
             "files_total": len(snap.files),
             "files_read": len(keep),
@@ -1166,14 +1285,24 @@ class VersionedTable:
         }
         if not keep:
             return self.read(spark, version).limit(0), report
-        return self._read_entries(
+        out = self._read_entries(
             spark,
             keep,
             spec,
             schema_json=snap.schema_json,
             deletes=snap.extra.get("deletes"),
             mapping=snap.extra.get("column_mapping"),
-        ), report
+        )
+        if mixed:
+            from pyspark.sql import functions as F
+
+            for c, vs in wanted.items():
+                non_null = [v for v in vs if v is not None]
+                cond = F.col(c).cast("string").isin(non_null)
+                if None in vs:
+                    cond = cond | F.col(c).isNull()
+                out = out.where(cond)
+        return out, report
 
     # -- maintenance ------------------------------------------------------
 

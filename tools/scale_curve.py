@@ -74,6 +74,20 @@ OPS = [
     "ewma_daily",
     "pq_encode",
     "versioned_mor_delete",
+    # round-7 session-4 operators: interval-overlap join (grid-cell
+    # replication, broadcast calendar), rolling-distinct fan-out (xW
+    # explode + two-phase distinct), top-p (bucket histogram + boundary
+    # window), source overlap (vocab-sized set aggregation), OOF target
+    # encoding (category x fold frame), priority sampling (TakeOrdered),
+    # per-group OLS (day-spine moments), nearest as-of (keyed window)
+    "interval_overlap",
+    "rolling_distinct",
+    "top_p_sources",
+    "source_overlap",
+    "target_encode",
+    "priority_sample",
+    "group_ols_trend",
+    "asof_nearest",
 ]
 
 
@@ -191,6 +205,22 @@ def generate(spark, out_dir: str, factor: int) -> None:
             )
         )
     cu.repartition(8).write.parquet(str(out / "customer.parquet"))
+
+    # events: shift event ids AND user ids per copy (distinct-user counts
+    # must grow with the corpus, not collapse into 5x traffic from the
+    # same users); timestamps stay — the day span is a fixed domain like
+    # the calendar, so per-day volume scales linearly, the correct
+    # regime for the rolling/OLS/as-of probes
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    max_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    max_u = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    vu = ev
+    for i in range(1, factor):
+        vu = vu.unionByName(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * max_ev))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * max_u))
+        )
+    vu.repartition(16).write.parquet(str(out / "events.parquet"))
 
 
 def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
