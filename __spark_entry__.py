@@ -128,6 +128,8 @@ from faers_datalakehouse_spark.operators.sampling import (
     priority_sample_query,
 )
 from faers_datalakehouse_spark.operators.source_overlap import (
+    source_minhash_oracle_sql,
+    source_minhash_query,
     source_overlap_oracle_sql,
     source_overlap_query,
 )
@@ -511,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": source_overlap_query,
         "asof_nearest": S.asof_nearest_query,
         "versioned_evolve": S.versioned_evolve_query,
+        "source_minhash": source_minhash_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -857,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": source_overlap_oracle_sql(),
         "asof_nearest": S.ASOF_NEAREST_SQL,
         "versioned_evolve": S.VERSIONED_EVOLVE_SQL,
+        "source_minhash": source_minhash_oracle_sql(),
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -165,3 +165,110 @@ JOIN marg ma ON ma.src = pairs.source_a
 JOIN marg mb ON mb.src = pairs.source_b
 ORDER BY source_a, source_b
 """
+
+
+def source_minhash_similarity(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash ESTIMATE of the pairwise source Jaccard — the sketch twin
+    of ``source_overlap_matrix``. Each source's distinct n-gram set
+    collapses to a k-component signature (component i = min over the
+    set of a salted md5 hash); the estimated Jaccard of a pair is the
+    fraction of matching components (Broder 1997). The signature frame
+    is |sources| x k — constant-size however large the corpus — which
+    is the point: at 100 TB the exact matrix costs a vocabulary-sized
+    set aggregation per refresh, while signatures are ONE
+    map-side-combinable min-aggregation and can be merged incrementally
+    (min is associative) as new batches land.
+
+    Everything is deterministic integer arithmetic: salted md5 minima
+    and an exact ``(1000*matches) div k`` milli-estimate, so the DuckDB
+    twin reproduces the signatures AND the estimates bit-for-bit. The
+    pairwise comparison is a self-join of the |sources|-row signature
+    frame — deliberately tiny; the plan-invariant allowlist documents
+    the nested-loop there.
+    """
+    grams = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(_distinct_ngrams(F.col(text_col), n)).alias("ng"),
+    ).distinct()
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"s{i}:"), F.col("ng"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = grams.groupBy("src").agg(*mins)
+    a = sig.alias("a")
+    b = sig.select(
+        F.col("src").alias("src_b"),
+        *[F.col(f"h{i}").alias(f"g{i}") for i in range(k)],
+    ).alias("b")
+    matches = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.g{i}")).cast("long")
+        for i in range(k)
+    )
+    return (
+        a.join(b, F.col("a.src") < F.col("b.src_b"))
+        .select(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src_b").alias("source_b"),
+            matches.alias("matches"),
+            F.expr(f"(1000 * ({' + '.join(f'CAST(a.h{i} = b.g{i} AS BIGINT)' for i in range(k))})) div {k}")
+            .cast("long")
+            .alias("est_jaccard_milli"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_minhash_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry: 16-component MinHash source-similarity estimates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_minhash_similarity(docs)
+
+
+def source_minhash_oracle_sql(n: int = 3, k: int = 16) -> str:
+    parts = ", ".join(f"words[i+{j}]" for j in range(n))
+    mins = ",\n         ".join(
+        f"min(('0x' || substr(md5('s{i}:' || ng), 1, 15))::BIGINT) AS h{i}"
+        for i in range(k)
+    )
+    match_expr = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS BIGINT)" for i in range(k)
+    )
+    return f"""
+WITH w AS (
+  SELECT source AS src,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), g AS (
+  SELECT DISTINCT src, unnest(
+           CASE WHEN len(words) >= {n}
+                THEN list_distinct(list_transform(
+                       range(1, len(words) - {n - 2}),
+                       i -> concat_ws(' ', {parts})))
+                ELSE [] END) AS ng
+  FROM w
+), sig AS (
+  SELECT src,
+         {mins}
+  FROM g GROUP BY src
+)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST({match_expr} AS BIGINT) AS matches,
+       CAST((1000 * ({match_expr})) // {k} AS BIGINT)
+         AS est_jaccard_milli
+FROM sig a JOIN sig b ON a.src < b.src
+ORDER BY source_a, source_b
+"""

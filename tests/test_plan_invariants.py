@@ -32,6 +32,7 @@ ALLOWED_NESTED_LOOP = {
     "allpairs_tfidf",    # 1-row global-N broadcast onto the postings
     "key_skew_profile",  # 1-row grand-total broadcast onto the top-N frame
     "basket_pairs",      # 1-row n_baskets broadcast onto the pair frame
+    "source_minhash",    # |sources|-row signature frame self-pairing
 }
 
 

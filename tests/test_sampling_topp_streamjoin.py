@@ -137,3 +137,29 @@ def test_source_overlap_matrix_invariants(spark, sf_dir):
     twin = one.withColumn("source", F.lit("zz_twin"))
     m2 = source_overlap_matrix(one.unionByName(twin)).toPandas()
     assert list(m2["jaccard_milli"]) == [1000]
+
+
+def test_source_minhash_estimates_track_exact(spark, sf_dir):
+    """Sketch-accuracy harness: the 16-component MinHash estimate must
+    agree with the exact Jaccard within the Broder bound's practical
+    envelope at these (low) similarities, and be exactly 1000 for a
+    duplicated source."""
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.operators.source_overlap import (
+        source_minhash_similarity,
+        source_overlap_matrix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = source_minhash_similarity(docs, k=16).toPandas()
+    exact = source_overlap_matrix(docs).toPandas()
+    m = est.merge(exact, on=["source_a", "source_b"])
+    assert len(m) == len(est)
+    # k=16 → one component is 62.5 milli; allow a few components of slack
+    assert (abs(m["est_jaccard_milli"] - m["jaccard_milli"]) <= 350).all()
+    # identical sources estimate exactly 1000 (all minima equal)
+    one = docs.where(F.col("source") == "src0")
+    twin = one.withColumn("source", F.lit("zz_twin"))
+    e2 = source_minhash_similarity(one.unionByName(twin)).toPandas()
+    assert list(e2["est_jaccard_milli"]) == [1000]
