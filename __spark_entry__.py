@@ -178,6 +178,7 @@ from faers_datalakehouse_spark.operators.quantile_sketch import (
     histogram_quantiles_oracle_sql,
 )
 from faers_datalakehouse_spark.plans import analytics as A
+from faers_datalakehouse_spark.plans import sql_features as SQ
 from faers_datalakehouse_spark.plans import showcase as S
 from faers_datalakehouse_spark.plans import training_prep as T
 from faers_datalakehouse_spark.plans.date_dim import build_date_dim, date_dim_oracle
@@ -514,6 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": S.asof_nearest_query,
         "versioned_evolve": S.versioned_evolve_query,
         "source_minhash": source_minhash_query,
+        "sql_scripting": SQ.sql_scripting_query,
+        "sql_variables": SQ.sql_variables_query,
+        "observed_quality": SQ.observed_quality_entry,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -861,6 +865,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": S.ASOF_NEAREST_SQL,
         "versioned_evolve": S.VERSIONED_EVOLVE_SQL,
         "source_minhash": source_minhash_oracle_sql(),
+        "sql_scripting": SQ.SQL_SCRIPTING_SQL,
+        "sql_variables": SQ.SQL_VARIABLES_SQL,
+        "observed_quality": SQ.OBSERVED_QUALITY_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),
