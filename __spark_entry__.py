@@ -93,7 +93,9 @@ from faers_datalakehouse_spark.operators.bitmap import (
 )
 from faers_datalakehouse_spark.functions.udtf_ops import (
     UDTF_CHUNKS_SQL,
+    UDTF_DATEPARTS_SQL,
     udtf_chunks,
+    udtf_dateparts_query as udtf_dateparts,
 )
 from faers_datalakehouse_spark.operators.cogroup import (
     ORDER_RECONCILIATION_SQL,
@@ -518,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_scripting": SQ.sql_scripting_query,
         "sql_variables": SQ.sql_variables_query,
         "observed_quality": SQ.observed_quality_entry,
+        "pandas_api": SQ.pandas_api_query,
+        "udtf_dateparts": udtf_dateparts,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -868,6 +872,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_scripting": SQ.SQL_SCRIPTING_SQL,
         "sql_variables": SQ.SQL_VARIABLES_SQL,
         "observed_quality": SQ.OBSERVED_QUALITY_SQL,
+        "pandas_api": SQ.PANDAS_API_SQL,
+        "udtf_dateparts": UDTF_DATEPARTS_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

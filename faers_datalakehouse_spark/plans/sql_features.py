@@ -137,3 +137,48 @@ SELECT doc_id, source, n_chars
 FROM documents WHERE n_chars >= 200
 ORDER BY doc_id
 """
+
+
+def pandas_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (``pyspark.pandas``): the pricing rollup
+    written as idiomatic pandas — groupby/agg/reset_index — executing
+    as the SAME distributed Catalyst plan underneath (``.to_spark()``
+    hands back the lazily-built DataFrame; nothing collects). Measures
+    are exact integer cents so the twin SQL hashes bit-for-bit.
+
+    This is migration-surface coverage: a pandas-speaking user of the
+    reference can keep their idioms and inherit the cluster execution
+    model. The default-index advice is followed (``index_col`` set) so
+    no monotonically-increasing-id stage sneaks into the plan."""
+    import pyspark.pandas as ps
+
+    li = ps.read_parquet(
+        f"{sf_dir}/lineitem.parquet", index_col="l_orderkey"
+    )
+    li["cents"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["qty"] = li["l_quantity"].round().astype("int64")
+    g = (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .agg(n=("cents", "count"), cents=("cents", "sum"), qty=("qty", "sum"))
+        .reset_index()
+    )
+    out = g.to_spark()
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("qty").cast("long").alias("qty"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+PANDAS_API_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY l_returnflag, l_linestatus
+"""

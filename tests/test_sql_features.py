@@ -39,3 +39,39 @@ def test_observation_metrics_match_result(spark, sf_dir):
     assert m["rows_seen"] == docs.count()
     assert m["rows_kept"] == len(pdf)
     assert m["chars_kept"] == int(pdf["n_chars"].sum())
+
+
+def test_pandas_api_is_lazy_distributed(spark, sf_dir):
+    from faers_datalakehouse_spark.plans.sql_features import (
+        pandas_api_query,
+    )
+
+    df = pandas_api_query(spark, sf_dir)
+    # returns a plain Spark DataFrame with a distributed plan (an
+    # aggregate over the parquet scan — no collected pandas roundtrip)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "FileScan" in plan
+    assert df.count() == 6
+
+
+def test_udtf_dateparts_polymorphic_schema(spark, sf_dir):
+    import pytest
+
+    from faers_datalakehouse_spark.functions.udtf_ops import DateParts
+
+    spark.udtf.register("date_parts_t", DateParts)
+    spark.sql("SELECT TIMESTAMP '2024-01-07 10:30:00' AS ts").createOrReplaceTempView("_one_ts")
+    two = spark.sql(
+        "SELECT p.* FROM _one_ts t, LATERAL date_parts_t(t.ts, 'year,hour') p"
+    )
+    assert two.columns == ["year", "hour"]
+    assert two.collect()[0].asDict() == {"year": 2024, "hour": 10}
+    three = spark.sql(
+        "SELECT p.* FROM _one_ts t, LATERAL date_parts_t(t.ts, 'dow,month,day') p"
+    )
+    assert three.columns == ["dow", "month", "day"]
+    assert three.collect()[0].asDict() == {"dow": 1, "month": 1, "day": 7}
+    with pytest.raises(Exception, match="unsupported parts"):
+        spark.sql(
+            "SELECT p.* FROM _one_ts t, LATERAL date_parts_t(t.ts, 'week') p"
+        ).collect()
