@@ -129,6 +129,10 @@ from faers_datalakehouse_spark.operators.sampling import (
     priority_sample_oracle_sql,
     priority_sample_query,
 )
+from faers_datalakehouse_spark.operators.seqmatch import (
+    SEQ_MATCH_SQL,
+    seq_match_query,
+)
 from faers_datalakehouse_spark.operators.source_overlap import (
     source_minhash_oracle_sql,
     source_minhash_query,
@@ -522,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_quality": SQ.observed_quality_entry,
         "pandas_api": SQ.pandas_api_query,
         "udtf_dateparts": udtf_dateparts,
+        "seq_match": seq_match_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -874,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "observed_quality": SQ.OBSERVED_QUALITY_SQL,
         "pandas_api": SQ.PANDAS_API_SQL,
         "udtf_dateparts": UDTF_DATEPARTS_SQL,
+        "seq_match": SEQ_MATCH_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

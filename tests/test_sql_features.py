@@ -75,3 +75,46 @@ def test_udtf_dateparts_polymorphic_schema(spark, sf_dir):
         spark.sql(
             "SELECT p.* FROM _one_ts t, LATERAL date_parts_t(t.ts, 'week') p"
         ).collect()
+
+
+def test_seq_match_semantics(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from faers_datalakehouse_spark.operators.seqmatch import seq_match
+
+    def ev(u, et, s):
+        return Row(
+            user_id=u, event_type=et,
+            ts=dt.datetime.fromisoformat(f"2024-01-01 {s}"),
+        )
+
+    rows = [
+        # user 1: clean match with a decoy purchase BEFORE the click
+        ev(1, "purchase", "08:00:00"),
+        ev(1, "click", "09:00:00"),
+        ev(1, "view", "10:00:00"),
+        ev(1, "purchase", "11:00:00"),
+        # user 2: out of order only -> no match
+        ev(2, "purchase", "09:00:00"),
+        ev(2, "view", "10:00:00"),
+        ev(2, "click", "11:00:00"),
+        # user 3: simultaneous view+click -> strict > rejects the view
+        ev(3, "click", "09:00:00"),
+        ev(3, "view", "09:00:00"),
+        ev(3, "purchase", "10:00:00"),
+        # user 4: greedy-earliest must not get stuck (late view works)
+        ev(4, "click", "09:00:00"),
+        ev(4, "view", "09:30:00"),
+        ev(4, "view", "11:00:00"),
+        ev(4, "purchase", "10:00:00"),
+    ]
+    got = seq_match(
+        spark.createDataFrame(rows), ("click", "view", "purchase")
+    ).toPandas()
+    assert list(got["user_id"]) == [1, 4]
+    u1 = got[got.user_id == 1].iloc[0]
+    assert u1["span_s"] == 7200  # 09:00 click -> 11:00 purchase
+    u4 = got[got.user_id == 4].iloc[0]
+    assert u4["t2"].hour == 9 and u4["t2"].minute == 30
