@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_api": SQ.pandas_api_query,
         "udtf_dateparts": udtf_dateparts,
         "seq_match": seq_match_query,
+        "streaming_dedup": S.streaming_dedup_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -880,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "pandas_api": SQ.PANDAS_API_SQL,
         "udtf_dateparts": UDTF_DATEPARTS_SQL,
         "seq_match": SEQ_MATCH_SQL,
+        "streaming_dedup": S.STREAMING_DEDUP_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

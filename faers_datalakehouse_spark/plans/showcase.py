@@ -2452,3 +2452,59 @@ SELECT doc_id, lang, source, 'source' AS pruned_by
 FROM documents WHERE source = 'src3'
 ORDER BY pruned_by, doc_id
 """
+
+
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup end-to-end: the landing directory gets
+    the SAME events file landed twice (the classic at-least-once
+    producer failure), the stream processes one file per micro-batch
+    (``maxFilesPerTrigger=1``), and ``dropDuplicatesWithinWatermark``
+    must suppress the second batch's rows via dedup STATE carried
+    across micro-batches — not intra-batch distinct. The sink equals
+    the single-copy events table (the oracle), which also proves
+    idempotent re-landing: a replayed file changes nothing."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import stream_events_from_dir, streaming_dedup
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    landing = f"{root}/landing"
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-1.parquet")
+    stream = stream_events_from_dir(spark, landing)
+    # the generous watermark keeps every key's state alive across both
+    # batches of this finite replay (they share one event-time range)
+    deduped = streaming_dedup(stream, keys=("event_id",), watermark="365 days")
+    out_dir = f"{root}/deduped"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_trunc("second", "ts").alias("ts_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type,
+       date_trunc('second', ts) AS ts_s
+FROM events
+ORDER BY event_id
+"""
