@@ -2508,3 +2508,68 @@ SELECT event_id, user_id, event_type,
 FROM events
 ORDER BY event_id
 """
+
+
+def streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join: the events stream joined to the
+    static customer dimension (user_id -> c_custkey) — the standard
+    micro-batch dimension lookup. Stream-static inner joins need no
+    watermark and keep NO join state: each micro-batch probes the
+    static side, which Spark broadcasts when small — exactly the 100 TB
+    deployment shape (fact stream x broadcast dim). Aggregated to
+    per-segment counts + exact cents to keep the sink tiny; equality to
+    the batch join is the oracle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import stream_events_from_dir
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_enrich_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    landing = f"{root}/landing"
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stream = stream_events_from_dir(spark, landing)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "c_mktsegment",
+        "event_type",
+        F.round(F.coalesce("value", F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    out_dir = f"{root}/enriched"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+STREAMING_ENRICH_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(coalesce(e.value, 0) * 100) AS BIGINT))
+            AS BIGINT) AS cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY c_mktsegment, event_type
+"""
