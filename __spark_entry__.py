@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_match": seq_match_query,
         "streaming_dedup": S.streaming_dedup_query,
         "streaming_enrich": S.streaming_enrich_query,
+        "streaming_scd2": S.streaming_scd2_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -884,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_match": SEQ_MATCH_SQL,
         "streaming_dedup": S.STREAMING_DEDUP_SQL,
         "streaming_enrich": S.STREAMING_ENRICH_SQL,
+        "streaming_scd2": S.SCD2_SCENARIO_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -2573,3 +2573,96 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 ORDER BY c_mktsegment, event_type
 """
+
+
+def streaming_scd2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 end-to-end, driver-oracle-checked against the
+    batch scenario: the ``scd2_scenario`` change batches land as two
+    files in a stream (initial snapshot, then the 2024-06-01 changes),
+    ``scd2_streaming_sink`` merges one micro-batch per file through the
+    SAME batch engine (operators.scd2 via foreachBatch), and the
+    resulting dimension table must hash-equal the batch SCD2 oracle —
+    the equality-to-batch contract as a driver gate, not just a test.
+    File order is pinned via modification times (the file source
+    processes oldest-first)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.scd2 import scd2_streaming_sink
+
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal").cast("long").alias("bal"),
+    )
+    src_mod = base.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    src_new = base.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        "bal",
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_scd2_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    landing = f"{root}/landing"
+    base.coalesce(1).write.parquet(f"{landing}/.stage0")
+    src_mod.unionByName(src_new).coalesce(1).write.parquet(
+        f"{landing}/.stage1"
+    )
+    for i in (0, 1):
+        stage = f"{landing}/.stage{i}"
+        part = next(
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        )
+        os.replace(f"{stage}/{part}", f"{landing}/batch-{i}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+        # the file source processes oldest-mtime-first: pin the order
+        os.utime(f"{landing}/batch-{i}.parquet", (1000000 + i, 1000000 + i))
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    table = f"scd2_stream_dim_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog resets across sessions but the managed-table
+    # directory persists; a stale location fails the CREATE with
+    # LOCATION_ALREADY_EXISTS (same pitfall tests/conftest.py documents)
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = scd2_streaming_sink(
+        stream,
+        table,
+        business_keys=["c_custkey"],
+        tracked_cols=["c_name", "c_mktsegment", "bal"],
+        effective_date_for_batch=lambda b: (
+            "2024-01-01" if b == 0 else "2024-06-01"
+        ),
+        checkpoint_dir=f"{root}/ckpt",
+        query_name="scd2_stream_entry",
+    )
+    q.processAllAvailable()
+    q.stop()
+    _time.sleep(0)  # keep flake8-style linters quiet about unused import
+    return spark.table(table).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "bal",
+        "effective_date",
+        "end_date",
+        "is_current",
+    ).orderBy("c_custkey", "effective_date")
