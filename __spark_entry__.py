@@ -133,6 +133,12 @@ from faers_datalakehouse_spark.operators.seqmatch import (
     SEQ_MATCH_SQL,
     seq_match_query,
 )
+from faers_datalakehouse_spark.operators.bars import (
+    OHLC_BARS_SQL,
+    TWAP_DAILY_SQL,
+    ohlc_bars_query,
+    twap_daily_query,
+)
 from faers_datalakehouse_spark.operators.source_overlap import (
     source_minhash_oracle_sql,
     source_minhash_query,
@@ -530,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": S.streaming_dedup_query,
         "streaming_enrich": S.streaming_enrich_query,
         "streaming_scd2": S.streaming_scd2_query,
+        "ohlc_bars": ohlc_bars_query,
+        "twap_daily": twap_daily_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -886,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": S.STREAMING_DEDUP_SQL,
         "streaming_enrich": S.STREAMING_ENRICH_SQL,
         "streaming_scd2": S.SCD2_SCENARIO_SQL,
+        "ohlc_bars": OHLC_BARS_SQL,
+        "twap_daily": TWAP_DAILY_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

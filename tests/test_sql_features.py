@@ -118,3 +118,37 @@ def test_seq_match_semantics(spark):
     assert u1["span_s"] == 7200  # 09:00 click -> 11:00 purchase
     u4 = got[got.user_id == 4].iloc[0]
     assert u4["t2"].hour == 9 and u4["t2"].minute == 30
+
+
+def test_twap_piecewise_constant_integral(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from faers_datalakehouse_spark.operators.bars import (
+        ohlc_bars,
+        twap_daily,
+    )
+
+    def ev(i, s, v):
+        return Row(
+            event_id=i, event_type="m", value=v,
+            ts=dt.datetime.fromisoformat(f"2024-01-01 {s}"),
+        )
+
+    # value 10.0 from 00:00 to 12:00 (43200 s), 20.0 from 12:00 to
+    # midnight (43200 s) -> TWAP = 15.00 = 1500 cents
+    rows = [ev(1, "00:00:00", 10.0), ev(2, "12:00:00", 20.0)]
+    t = twap_daily(spark.createDataFrame(rows)).toPandas()
+    assert t.iloc[0]["weighted_c"] == 1000 * 43200 + 2000 * 43200
+    assert t.iloc[0]["covered_s"] == 86400
+    assert t.iloc[0]["twap_c"] == 1500.0
+    # same-timestamp tie: the earlier event_id gets weight 0
+    rows2 = rows + [ev(0, "00:00:00", 99.0)]
+    t2 = twap_daily(spark.createDataFrame(rows2)).toPandas()
+    assert t2.iloc[0]["twap_c"] == 1500.0
+    bars = ohlc_bars(spark.createDataFrame(rows2)).toPandas()
+    assert bars.iloc[0]["open_c"] == 9900  # earliest (ts, id)
+    assert bars.iloc[0]["close_c"] == 2000
+    assert bars.iloc[0]["high_c"] == 9900
+    assert bars.iloc[0]["low_c"] == 1000
