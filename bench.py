@@ -144,6 +144,13 @@ BENCH_QUERIES = {
     "q68_group_ols": ("collect", "group_ols_trend"),
     "q69_source_overlap": ("collect", "source_overlap"),
     "q70_asof_nearest": ("count", "asof_nearest"),
+    # Round-7 batch 6: sequence funnel, sketch similarity, partition
+    # evolution (write-inclusive like q45), irregular-sample bars.
+    "q71_seq_match": ("count", "seq_match"),
+    "q72_source_minhash": ("collect", "source_minhash"),
+    "q73_versioned_evolve": ("count", "versioned_evolve"),
+    "q74_twap": ("collect", "twap_daily"),
+    "q75_ohlc": ("collect", "ohlc_bars"),
 }
 
 
