@@ -131,7 +131,9 @@ from faers_datalakehouse_spark.operators.sampling import (
 )
 from faers_datalakehouse_spark.operators.seqmatch import (
     SEQ_MATCH_SQL,
+    WINDOW_FUNNEL_SQL,
     seq_match_query,
+    window_funnel_query,
 )
 from faers_datalakehouse_spark.operators.bars import (
     OHLC_BARS_SQL,
@@ -538,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2": S.streaming_scd2_query,
         "ohlc_bars": ohlc_bars_query,
         "twap_daily": twap_daily_query,
+        "window_funnel": window_funnel_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -896,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_scd2": S.SCD2_SCENARIO_SQL,
         "ohlc_bars": OHLC_BARS_SQL,
         "twap_daily": TWAP_DAILY_SQL,
+        "window_funnel": WINDOW_FUNNEL_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

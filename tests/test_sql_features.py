@@ -152,3 +152,40 @@ def test_twap_piecewise_constant_integral(spark):
     assert bars.iloc[0]["close_c"] == 2000
     assert bars.iloc[0]["high_c"] == 9900
     assert bars.iloc[0]["low_c"] == 1000
+
+
+def test_window_funnel_anchor_choice_matters(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from faers_datalakehouse_spark.operators.seqmatch import window_funnel
+
+    def ev(u, et, s):
+        return Row(
+            user_id=u, event_type=et,
+            ts=dt.datetime.fromisoformat(f"2024-01-01 {s}"),
+        )
+
+    rows = [
+        # the EARLIEST click cannot complete within 1h, a later one can:
+        # anchoring only at the first click would under-report
+        ev(1, "click", "08:00:00"),
+        ev(1, "click", "11:30:00"),
+        ev(1, "view", "11:45:00"),
+        ev(1, "purchase", "12:15:00"),
+        # user 2: chain exists but exceeds the window -> max_steps 2
+        ev(2, "click", "08:00:00"),
+        ev(2, "view", "08:30:00"),
+        ev(2, "purchase", "10:00:00"),
+    ]
+    got = window_funnel(
+        spark.createDataFrame(rows),
+        ("click", "view", "purchase"),
+        window_seconds=3600,
+    ).toPandas()
+    u1 = got[got.user_id == 1].iloc[0]
+    assert u1["max_steps"] == 3 and u1["n_complete"] == 1
+    assert u1["n_starts"] == 2
+    u2 = got[got.user_id == 2].iloc[0]
+    assert u2["max_steps"] == 2 and u2["n_complete"] == 0
