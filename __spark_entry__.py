@@ -142,6 +142,8 @@ from faers_datalakehouse_spark.operators.bars import (
     twap_daily_query,
 )
 from faers_datalakehouse_spark.operators.source_overlap import (
+    distinctive_terms_oracle_sql,
+    distinctive_terms_query,
     source_minhash_oracle_sql,
     source_minhash_query,
     source_overlap_oracle_sql,
@@ -541,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": ohlc_bars_query,
         "twap_daily": twap_daily_query,
         "window_funnel": window_funnel_query,
+        "distinctive_terms": distinctive_terms_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -900,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_bars": OHLC_BARS_SQL,
         "twap_daily": TWAP_DAILY_SQL,
         "window_funnel": WINDOW_FUNNEL_SQL,
+        "distinctive_terms": distinctive_terms_oracle_sql(),
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

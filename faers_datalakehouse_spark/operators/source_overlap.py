@@ -272,3 +272,126 @@ SELECT a.src AS source_a, b.src AS source_b,
 FROM sig a JOIN sig b ON a.src < b.src
 ORDER BY source_a, source_b
 """
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    n: int = 3,
+    top_k: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top distinctive n-grams PER SOURCE by an integer log-odds score —
+    the "what makes this feed different" curation diagnostic (Monroe et
+    al. 2008's log-odds-ratio idea, quantized to the repo's bit-length
+    log2 so both engines compute it exactly).
+
+    ``score = ilog2((f_in+1)*(docs_out+1)) - ilog2((f_out+1)*(docs_in+1))``
+    where f_in/f_out are the n-gram's document frequencies inside/outside
+    the source — positive when the term is over-represented. Ties break
+    (score desc, f_in desc, ngram asc): fully deterministic top-k.
+
+    Scale shape: one distinct (doc, source, ngram) reduction, one
+    groupBy(ngram, source) + a groupBy(ngram) roll-up for the
+    out-counts via window over the ngram partition (|sources|-bounded
+    frames), then a per-source rank window over the vocab-sized frame —
+    bounded by vocabulary, never by corpus rows.
+    """
+    from .contamination import _distinct_ngrams
+
+    grams = docs.select(
+        F.col(id_col).alias("d"),
+        F.col(source_col).alias("src"),
+        F.explode(_distinct_ngrams(F.col(text_col), n)).alias("ng"),
+    ).distinct()
+    per_src = grams.groupBy("ng", "src").agg(
+        F.count(F.lit(1)).alias("f_in")
+    )
+    w_ng = Window.partitionBy("ng")
+    docs_per_src = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).alias("docs_in")
+    )
+    total_docs = docs.count()  # 1 scalar; scans only the source column
+    scored = (
+        per_src.withColumn(
+            "f_out", F.sum("f_in").over(w_ng) - F.col("f_in")
+        )
+        .join(F.broadcast(docs_per_src), "src")
+        .withColumn("docs_out", F.lit(total_docs) - F.col("docs_in"))
+    )
+
+    def ilog2(col):
+        return (F.length(F.bin(col)) - 1).cast("long")
+
+    score = ilog2(
+        (F.col("f_in") + 1) * (F.col("docs_out") + 1)
+    ) - ilog2((F.col("f_out") + 1) * (F.col("docs_in") + 1))
+    w_rank = Window.partitionBy("src").orderBy(
+        F.desc("score"), F.desc("f_in"), F.asc("ng")
+    )
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("src").alias("source"),
+            "rank",
+            F.col("ng").alias("ngram"),
+            "f_in",
+            "f_out",
+            "score",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+def distinctive_terms_query(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return distinctive_terms(docs)
+
+
+def distinctive_terms_oracle_sql(n: int = 3, top_k: int = 5) -> str:
+    parts = ", ".join(f"words[i+{j}]" for j in range(n))
+    return f"""
+WITH w AS (
+  SELECT doc_id AS d, source AS src,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), g AS (
+  SELECT DISTINCT d, src, unnest(
+           CASE WHEN len(words) >= {n}
+                THEN list_distinct(list_transform(
+                       range(1, len(words) - {n - 2}),
+                       i -> concat_ws(' ', {parts})))
+                ELSE [] END) AS ng
+  FROM w
+), per_src AS (
+  SELECT ng, src, CAST(count(*) AS BIGINT) AS f_in FROM g GROUP BY 1, 2
+), tot AS (
+  SELECT source AS src, CAST(count(*) AS BIGINT) AS docs_in
+  FROM documents GROUP BY source
+), alltot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+scored AS (
+  SELECT p.ng, p.src, p.f_in,
+         CAST(sum(p.f_in) OVER (PARTITION BY p.ng) - p.f_in AS BIGINT)
+           AS f_out,
+         t.docs_in,
+         a.total - t.docs_in AS docs_out
+  FROM per_src p JOIN tot t ON t.src = p.src CROSS JOIN alltot a
+), ranked AS (
+  SELECT src AS source, ng AS ngram, f_in, f_out,
+         CAST((length(bin((f_in + 1) * (docs_out + 1))) - 1)
+            - (length(bin((f_out + 1) * (docs_in + 1))) - 1) AS BIGINT)
+           AS score,
+         CAST(row_number() OVER (
+           PARTITION BY src
+           ORDER BY (length(bin((f_in + 1) * (docs_out + 1))) - 1)
+                  - (length(bin((f_out + 1) * (docs_in + 1))) - 1) DESC,
+                    f_in DESC, ng ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT source, rank, ngram, f_in, f_out, score
+FROM ranked WHERE rank <= {int(top_k)}
+ORDER BY source, rank
+"""
