@@ -88,6 +88,15 @@ OPS = [
     "priority_sample",
     "group_ols_trend",
     "asof_nearest",
+    # round-7 session-4 late: sequence funnels (keyed min-joins /
+    # forward as-of chains), irregular-sample bars, source-pair sketch,
+    # and the log-odds keyword ranking (vocab-bounded windows)
+    "seq_match",
+    "window_funnel",
+    "ohlc_bars",
+    "twap_daily",
+    "source_minhash",
+    "distinctive_terms",
 ]
 
 
