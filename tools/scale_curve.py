@@ -232,12 +232,34 @@ def generate(spark, out_dir: str, factor: int) -> None:
     vu.repartition(16).write.parquet(str(out / "events.parquet"))
 
 
+# count() lets Catalyst PRUNE output columns the count doesn't need —
+# for ops whose cost lives in pruned aggregates (source_minhash's 16
+# signature mins) the probe under-measured 8x (round-7 post-mortem in
+# PERF.md). Small-output ops measure with collect() instead; big-output
+# ops keep count() so driver transfer doesn't dominate the timing.
+COLLECT_OPS = {
+    "source_minhash",
+    "distinctive_terms",
+    "histogram_quantiles",
+    "expectations_audit",
+    "group_ols_trend",
+    "target_encode",
+    "priority_sample",
+    "twap_daily",
+    "ohlc_bars",
+}
+
+
 def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
     fn = queries[name]
     best = math.inf
     for _ in range(runs):
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        if name in COLLECT_OPS:
+            df.collect()
+        else:
+            df.count()
         best = min(best, time.time() - t0)
         spark.catalog.clearCache()
     return best
