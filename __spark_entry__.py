@@ -112,6 +112,8 @@ from faers_datalakehouse_spark.operators.linkage import (
 from faers_datalakehouse_spark.operators.rolling_distinct import (
     rolling_distinct_oracle_sql,
     rolling_distinct_query,
+    rolling_hll_oracle_sql,
+    rolling_hll_query,
 )
 from faers_datalakehouse_spark.operators.target_encoding import (
     target_encode_oof_oracle_sql,
@@ -544,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_daily": twap_daily_query,
         "window_funnel": window_funnel_query,
         "distinctive_terms": distinctive_terms_query,
+        "rolling_hll": rolling_hll_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -904,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "twap_daily": TWAP_DAILY_SQL,
         "window_funnel": WINDOW_FUNNEL_SQL,
         "distinctive_terms": distinctive_terms_oracle_sql(),
+        "rolling_hll": rolling_hll_oracle_sql(),
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

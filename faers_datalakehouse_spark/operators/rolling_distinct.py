@@ -103,3 +103,84 @@ def rolling_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import read_events
 
     return rolling_distinct_users(read_events(spark, sf_dir))
+
+
+def rolling_hll_registers(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    p: int = 8,
+) -> DataFrame:
+    """Trailing-window distinct-user SKETCHES: per-day HyperLogLog
+    registers merged across the window by register max — the 100 TB
+    production answer to rolling WAU. The exact fan-out
+    (``rolling_distinct_users``) re-aggregates raw (user, day) pairs;
+    here each day collapses ONCE to <= 2^p register rows, and any
+    trailing window is a register-wise max over day-sketches — the
+    mergeability that lets a year of daily sketches answer every
+    window retroactively without touching raw data.
+
+    Returns the merged register STATE ``(day, bucket, max_rank)`` —
+    deterministic integers the DuckDB twin reproduces bit-for-bit (the
+    repo's sketch convention: gate the state, bound the estimate in
+    tests). Scale: one sketch-sized shuffle for the daily registers, a
+    xW register fan-out (W * 2^p rows per day — KBs), one max-groupBy.
+    """
+    from .sketches import hll_sketch_grouped
+
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    daily = hll_sketch_grouped(
+        df.select(F.col(user_col), F.to_date(ts_col).alias("d")),
+        ["d"],
+        user_col,
+        p=p,
+    )
+    observed = daily.select("d").distinct()
+    targets = F.explode(
+        F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+    ).alias("day")
+    return (
+        daily.select("bucket", "max_rank", targets)
+        .join(
+            F.broadcast(observed.select(F.col("d").alias("od"))),
+            F.col("day") == F.col("od"),
+            "semi",
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .orderBy("day", "bucket")
+    )
+
+
+def rolling_hll_query(spark, sf_dir: str) -> DataFrame:
+    from ..sources.tables import read_events
+
+    return rolling_hll_registers(read_events(spark, sf_dir))
+
+
+def rolling_hll_oracle_sql(window_days: int = 7, p: int = 8) -> str:
+    w = int(window_days) - 1
+    m = 1 << p
+    return f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {m} AS bucket,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT
+           AS wbits
+  FROM events
+), regs AS (
+  SELECT d, bucket,
+         max(CASE WHEN wbits = 0 THEN 33
+                  ELSE 33 - length(bin(wbits)) END) AS max_rank
+  FROM base GROUP BY 1, 2
+), days AS (SELECT DISTINCT d FROM regs)
+SELECT days.d AS day, r.bucket,
+       CAST(max(r.max_rank) AS INT) AS max_rank
+FROM days JOIN regs r
+  ON r.d BETWEEN days.d - INTERVAL {w} DAY AND days.d
+GROUP BY 1, 2
+ORDER BY day, bucket
+"""

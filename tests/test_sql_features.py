@@ -189,3 +189,52 @@ def test_window_funnel_anchor_choice_matters(spark):
     assert u1["n_starts"] == 2
     u2 = got[got.user_id == 2].iloc[0]
     assert u2["max_steps"] == 2 and u2["n_complete"] == 0
+
+
+def test_rolling_hll_estimates_track_exact(spark, sf_dir):
+    """The merged trailing-window sketch's estimate must track the
+    exact rolling distinct within HLL's error envelope (p=8 -> ~6.5%
+    std error; allow 4 sigma), and day-1 registers must equal the
+    plain daily sketch (merge identity)."""
+    from faers_datalakehouse_spark.operators.rolling_distinct import (
+        rolling_distinct_users,
+        rolling_hll_registers,
+    )
+    from faers_datalakehouse_spark.operators.sketches import (
+        hll_estimate_grouped,
+    )
+    from faers_datalakehouse_spark.sources.tables import read_events
+
+    ev = read_events(spark, sf_dir)
+    regs = rolling_hll_registers(ev)
+    est = (
+        hll_estimate_grouped(
+            regs.withColumnRenamed("day", "d"), ["d"]
+        )
+        .orderBy("d")
+        .toPandas()
+    )
+    exact = rolling_distinct_users(ev).orderBy("day").toPandas()
+    assert len(est) == len(exact)
+    rel = (
+        (est["estimate"].values - exact["rolling_users"].values)
+        / exact["rolling_users"].values
+    )
+    assert (abs(rel) < 0.26).all()  # 4 x 1.04/sqrt(256)
+    # window_days=1 merge identity
+    one = rolling_hll_registers(ev, window_days=1).toPandas()
+    from faers_datalakehouse_spark.operators.sketches import (
+        hll_sketch_grouped,
+    )
+    from pyspark.sql import functions as F
+
+    daily = (
+        hll_sketch_grouped(
+            ev.select("user_id", F.to_date("ts").alias("day")),
+            ["day"],
+            "user_id",
+        )
+        .orderBy("day", "bucket")
+        .toPandas()
+    )
+    assert list(one["max_rank"]) == list(daily["max_rank"])
