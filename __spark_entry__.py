@@ -547,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": window_funnel_query,
         "distinctive_terms": distinctive_terms_query,
         "rolling_hll": rolling_hll_query,
+        "scd2_event_enrich": S.scd2_event_enrich_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -908,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "window_funnel": WINDOW_FUNNEL_SQL,
         "distinctive_terms": distinctive_terms_oracle_sql(),
         "rolling_hll": rolling_hll_oracle_sql(),
+        "scd2_event_enrich": S.SCD2_EVENT_ENRICH_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

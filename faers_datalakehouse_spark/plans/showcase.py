@@ -2666,3 +2666,110 @@ def streaming_scd2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_date",
         "is_current",
     ).orderBy("c_custkey", "effective_date")
+
+
+def scd2_event_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup — the query SCD2 EXISTS FOR: enrich
+    each event with the dimension attributes VALID AT ITS EVENT TIME,
+    via the bucketed point-in-interval range join (operators.ranges)
+    against the version validity windows [effective_ts, end_ts).
+
+    The dimension: customers whose segment changes on 2024-01-15
+    (custkey % 3 == 0 -> 'PROMOTED'), built through the real SCD2 merge
+    engine so validity windows come from the operator, not hand-crafted
+    rows. Events before the change enrich with the original segment,
+    later ones with the new segment — aggregated to exact-cents totals
+    per (segment, half) so the hash proves the time-variant join,
+    version by version. Half-open semantics: an event AT the change
+    instant belongs to the NEW version (end_ts is exclusive via an
+    epsilon pullback on the closed-interval range join).
+    """
+    from ..operators.ranges import range_join
+    from ..operators.scd2 import scd2_initial_load, scd2_merge
+
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim0 = scd2_initial_load(
+        base, ["c_custkey"], ["c_mktsegment"], "2024-01-01"
+    )
+    changed = base.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("PROMOTED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    dim = scd2_merge(
+        dim0, changed, ["c_custkey"], ["c_mktsegment"], "2024-01-15"
+    )
+    # validity windows as timestamps; open current versions run to a
+    # far-future sentinel; end is exclusive -> pull back 1 microsecond
+    # for the closed-interval range join
+    windows = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("effective_date").cast("timestamp").alias("valid_from"),
+        (
+            F.coalesce(
+                F.col("end_date").cast("timestamp"),
+                F.lit("2100-01-01").cast("timestamp"),
+            )
+            - F.expr("INTERVAL 1 MICROSECOND")
+        ).alias("valid_to"),
+    )
+    from ..sources.tables import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.coalesce("value", F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    joined = range_join(
+        ev,
+        windows,
+        point="ts",
+        start="valid_from",
+        end="valid_to",
+        on=["user_id"],
+        bin_width=86400 * 32,
+    )
+    return (
+        joined.groupBy(
+            "segment",
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            .cast("int")
+            .alias("after_change"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("segment", "after_change")
+    )
+
+
+SCD2_EVENT_ENRICH_SQL = """
+WITH ev AS (
+  SELECT user_id, ts,
+         CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents,
+         CAST(ts >= TIMESTAMP '2024-01-15 00:00:00' AS INT)
+           AS after_change
+  FROM events
+), dim AS (
+  SELECT c_custkey AS user_id,
+         CASE WHEN c_custkey % 3 = 0 THEN 'PROMOTED'
+              ELSE c_mktsegment END AS seg_new,
+         c_mktsegment AS seg_old
+  FROM customer
+)
+SELECT CASE WHEN e.after_change = 1 THEN d.seg_new ELSE d.seg_old END
+         AS segment,
+       e.after_change,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(e.cents) AS BIGINT) AS cents
+FROM ev e JOIN dim d USING (user_id)
+GROUP BY 1, 2
+ORDER BY segment, after_change
+"""
