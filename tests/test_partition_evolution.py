@@ -109,3 +109,24 @@ def test_evolve_validation(spark, tmp_path):
         t.write(
             _df(spark, ROWS2), partition_by=("region",), committed_at="t2"
         )
+
+
+def test_delete_where_on_mixed_generations(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(_df(spark, ROWS1), partition_by=("day",), committed_at="t1")
+    t.evolve_partition_spec(["region"], committed_at="t2")
+    t.write(_df(spark, ROWS2), committed_at="t3")
+    # the predicate hits rows in BOTH layout generations
+    t.delete_where(spark, "region = 'eu'", committed_at="t4")
+    got = _vals(t.read(spark))
+    assert got == sorted(r for r in ROWS1 + ROWS2 if r[2] != "eu")
+    # rewritten survivors land under the LIVE spec; untouched us-files
+    # of the old generation keep their old layout
+    snap = t.snapshot()
+    specs = {tuple(sorted(f.get("partition", {}))) for f in snap.files}
+    assert ("region",) in specs
+    # pruning still exact post-delete
+    got2, _ = t.read_partitions(spark, {"region": "us"})
+    assert _vals(got2) == sorted(
+        r for r in ROWS1 + ROWS2 if r[2] == "us"
+    )
