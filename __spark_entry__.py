@@ -125,7 +125,9 @@ from faers_datalakehouse_spark.operators.interval_join import (
 )
 from faers_datalakehouse_spark.operators.top_p import (
     TOP_P_SOURCES_SQL,
+    WEIGHTED_QUANTILES_SQL,
     top_p_sources_query,
+    weighted_quantiles_query,
 )
 from faers_datalakehouse_spark.operators.sampling import (
     priority_sample_oracle_sql,
@@ -548,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": distinctive_terms_query,
         "rolling_hll": rolling_hll_query,
         "scd2_event_enrich": S.scd2_event_enrich_query,
+        "weighted_quantiles": weighted_quantiles_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -910,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
         "distinctive_terms": distinctive_terms_oracle_sql(),
         "rolling_hll": rolling_hll_oracle_sql(),
         "scd2_event_enrich": S.SCD2_EVENT_ENRICH_SQL,
+        "weighted_quantiles": WEIGHTED_QUANTILES_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -158,3 +158,127 @@ FROM c
 WHERE cum_before * 2 < total
 ORDER BY source, n_chars DESC, doc_id
 """
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Exact WEIGHTED q-quantile per group without a group-sized sort —
+    the same two-phase bit-length-bucket machinery as ``top_p_filter``,
+    pointed at quantile selection: the answer is the value of the first
+    row (ordered by value asc, id asc) whose inclusive cumulative
+    weight reaches ``q_num/q_den`` of the group's total weight
+    (the weighted "lower" quantile — integer-exact, no interpolation).
+
+    Phase 1 classifies ~64 weight-magnitude buckets per group from a
+    bucket-count-sized frame; only the single crossing bucket per group
+    gets an exact running-sum window. Values and weights must be
+    non-negative / positive integers. Returns ``(group, total_w,
+    value)``."""
+    if not (0 < q_num <= q_den):
+        raise ValueError("need 0 < q_num <= q_den")
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where((F.col("w") > 0) & (F.col("v") >= 0))
+    rows = t.withColumn("bkt", F.length(F.bin("v")))
+
+    per_bucket = rows.groupBy("g", "bkt").agg(F.sum("w").alias("bw"))
+    wg = Window.partitionBy("g")
+    wrun = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    classified = per_bucket.select(
+        "g",
+        "bkt",
+        (F.sum("bw").over(wrun) - F.col("bw")).alias("cum_before"),
+        F.sum("bw").over(wrun).alias("cum_end"),
+        F.sum("bw").over(wg).alias("total_w"),
+    )
+    crossing = classified.where(
+        (F.col("cum_before") * q_den < q_num * F.col("total_w"))
+        & (F.col("cum_end") * q_den >= q_num * F.col("total_w"))
+    ).select("g", "bkt", "cum_before", "total_w")
+
+    boundary = rows.join(F.broadcast(crossing), ["g", "bkt"])
+    wexact = (
+        Window.partitionBy("g", "bkt")
+        .orderBy(F.asc("v"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        boundary.withColumn(
+            "cum_row", F.col("cum_before") + F.sum("w").over(wexact)
+        )
+        .where(F.col("cum_row") * q_den >= q_num * F.col("total_w"))
+        .groupBy("g", "total_w")
+        .agg(F.min("v").alias("value"))
+        .select(F.col("g"), "total_w", "value")
+        .orderBy("g")
+    )
+
+
+def weighted_quantiles_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry: quantity-weighted p50/p90 of lineitem price cents
+    per returnflag — volume-weighted price distribution."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.concat_ws(
+            ":", F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("rid"),
+    )
+    p50 = weighted_quantile(
+        li, "l_returnflag", "rid", "pc", "qty", 1, 2
+    ).select(
+        F.col("g").alias("l_returnflag"),
+        "total_w",
+        F.col("value").alias("p50_c"),
+    )
+    p90 = weighted_quantile(
+        li, "l_returnflag", "rid", "pc", "qty", 9, 10
+    ).select(
+        F.col("g").alias("l_returnflag"), F.col("value").alias("p90_c")
+    )
+    return p50.join(p90, "l_returnflag").orderBy("l_returnflag")
+
+
+WEIGHTED_QUANTILES_SQL = """
+WITH t AS (
+  SELECT l_returnflag AS g,
+         l_orderkey || ':' || l_linenumber AS rid,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+  WHERE round(l_quantity) > 0 AND round(l_extendedprice * 100) >= 0
+), c AS (
+  SELECT g, v, w,
+         sum(w) OVER (PARTITION BY g ORDER BY v, rid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY g) AS total_w
+  FROM t
+)
+SELECT p50.g AS l_returnflag,
+       CAST(p50.total_w AS BIGINT) AS total_w,
+       CAST(p50.value AS BIGINT) AS p50_c,
+       CAST(p90.value AS BIGINT) AS p90_c
+FROM (SELECT g, total_w, min(v) AS value FROM c
+      WHERE cum * 2 >= total_w GROUP BY g, total_w) p50
+JOIN (SELECT g, min(v) AS value FROM c
+      WHERE cum * 10 >= 9 * total_w GROUP BY g) p90
+  ON p50.g = p90.g
+ORDER BY l_returnflag
+"""

@@ -165,3 +165,45 @@ def test_group_ols_trend_matches_numpy(spark, sf_dir):
         assert row["slope"] == pytest.approx(slope, rel=1e-9)
         assert row["intercept"] == pytest.approx(intercept, rel=1e-9)
         assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_weighted_quantile_matches_naive(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.operators.top_p import weighted_quantile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.concat_ws(":", "l_orderkey", "l_linenumber").alias("rid"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    for qn, qd in ((1, 2), (9, 10), (1, 4)):
+        got = (
+            weighted_quantile(li, "l_returnflag", "rid", "pc", "qty", qn, qd)
+            .orderBy("g")
+            .toPandas()
+        )
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("pc", "rid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        naive = (
+            li.where(F.col("qty") > 0)
+            .select(
+                "l_returnflag",
+                "pc",
+                F.sum("qty").over(w).alias("cum"),
+                F.sum("qty")
+                .over(Window.partitionBy("l_returnflag"))
+                .alias("tw"),
+            )
+            .where(F.col("cum") * qd >= qn * F.col("tw"))
+            .groupBy("l_returnflag")
+            .agg(F.min("pc").alias("value"))
+            .orderBy("l_returnflag")
+            .toPandas()
+        )
+        assert list(got["value"]) == list(naive["value"]), (qn, qd)
