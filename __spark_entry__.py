@@ -551,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hll": rolling_hll_query,
         "scd2_event_enrich": S.scd2_event_enrich_query,
         "weighted_quantiles": weighted_quantiles_query,
+        "cdc_apply_seq": S.cdc_apply_seq_query,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -914,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_hll": rolling_hll_oracle_sql(),
         "scd2_event_enrich": S.SCD2_EVENT_ENRICH_SQL,
         "weighted_quantiles": WEIGHTED_QUANTILES_SQL,
+        "cdc_apply_seq": S.CDC_APPLY_SEQ_SQL,
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -2773,3 +2773,88 @@ FROM ev e JOIN dim d USING (user_id)
 GROUP BY 1, 2
 ORDER BY segment, after_change
 """
+
+
+def cdc_apply_seq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced CDC replay (DLT APPLY CHANGES ... SEQUENCE BY parity)
+    end-to-end: an out-of-order, at-least-once feed — per-key winners
+    by sequence, a stale update that must lose to the stored sequence,
+    deletes, and brand-new keys — applied onto a versioned table via
+    ``apply_cdc``, then the final state hash-checked against a plain
+    SQL reconstruction. Precedence inside the feed: the %17 delete
+    (seq 5) beats the %10 update (seq 2) for keys in both classes."""
+    import shutil
+
+    from ..sources.versioned import VersionedTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/tmp/spark_graft_cdc_apply/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write(orders.withColumn("_seq", F.lit(0).cast("long")))
+
+    k = F.col("k")
+    upd = orders.where(k % 10 == 0).select(
+        "k",
+        F.lit("RUSHED").alias("prio"),
+        (F.col("cents") + 1).alias("cents"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    decoy = orders.where(k % 10 == 0).select(
+        "k",
+        F.lit("DECOY").alias("prio"),
+        (F.col("cents") + 2).alias("cents"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = orders.where(k % 17 == 0).select(
+        "k",
+        F.lit("X").alias("prio"),
+        F.lit(0).cast("long").alias("cents"),
+        F.lit(5).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    stale = orders.where(k % 19 == 0).select(
+        "k",
+        F.lit("STALE").alias("prio"),
+        (F.col("cents") + 3).alias("cents"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    new = orders.where(k % 13 == 0).select(
+        (k + 1000000).alias("k"),
+        F.lit("NEWKEY").alias("prio"),
+        F.col("cents").alias("cents"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    feed = upd.unionByName(decoy).unionByName(dels).unionByName(
+        stale
+    ).unionByName(new)
+    vt.apply_cdc(spark, feed, ["k"], "seq")
+    return vt.read(spark).select("k", "prio", "cents", "_seq").orderBy("k")
+
+
+CDC_APPLY_SEQ_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT k,
+       CASE WHEN k % 10 = 0 THEN 'RUSHED' ELSE prio END AS prio,
+       CASE WHEN k % 10 = 0 THEN cents + 1 ELSE cents END AS cents,
+       CAST(CASE WHEN k % 10 = 0 THEN 2 ELSE 0 END AS BIGINT) AS _seq
+FROM base WHERE k % 17 <> 0
+UNION ALL
+SELECT k + 1000000 AS k, 'NEWKEY' AS prio, cents,
+       CAST(1 AS BIGINT) AS _seq
+FROM base WHERE k % 13 = 0
+ORDER BY k
+"""

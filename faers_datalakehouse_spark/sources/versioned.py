@@ -2236,6 +2236,84 @@ class VersionedTable:
         )
         return stats
 
+    def apply_cdc(
+        self,
+        spark: SparkSession,
+        feed: DataFrame,
+        key_cols: list[str],
+        seq_col: str,
+        op_col: str = "op",
+        committed_at: str = "1970-01-01T00:00:00Z",
+        commit_extra: dict | None = None,
+    ) -> dict:
+        """APPLY CHANGES with SEQUENCING (the DLT ``APPLY CHANGES INTO
+        ... SEQUENCE BY`` semantics): replay an OUT-OF-ORDER,
+        at-least-once CDC feed — rows carry a business key, a monotone
+        per-key sequence (CDC log offset / source timestamp), and an
+        op ('U' upsert / 'D' delete).
+
+        Ordering rules, all deterministic:
+        1. within the feed, the highest-sequence row per key wins (ties
+           break on a whole-row hash — a function of data, not arrival
+           order);
+        2. against the TABLE, a change applies only if its sequence is
+           STRICTLY greater than the stored row's persisted ``_seq`` —
+           a late-arriving stale update can never overwrite fresher
+           state (the at-least-once replay guarantee);
+        3. winners apply as one keyed MERGE (``merge_rows``): delete
+           winners clear their key, upsert winners replace it and
+           persist their sequence in ``_seq``.
+
+        Scale shape: the feed reduction is one window over feed keys;
+        the stale guard reads ONLY (key, _seq) from the table (column-
+        pruned scan) and joins feed-key-sized frames; the merge rewrites
+        only files containing touched keys. Returns merge_rows' stats.
+        """
+        if seq_col == "_seq" or op_col == "_seq":
+            raise ValueError("_seq is reserved for the persisted sequence")
+        from pyspark.sql import Window as W
+
+        from pyspark.sql import functions as F
+
+        win = W.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(),
+            F.md5(F.to_json(F.struct(*feed.columns))).desc(),
+        )
+        latest = (
+            feed.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cur = self.current_version()
+        if cur is not None and "_seq" in [
+            f["name"]
+            for f in json.loads(
+                self.snapshot(cur).schema_json or '{"fields": []}'
+            )["fields"]
+        ]:
+            stored = self.read(spark, cur).select(
+                *key_cols, F.col("_seq").alias("_stored_seq")
+            )
+            latest = latest.join(stored, key_cols, "left").where(
+                F.col("_stored_seq").isNull()
+                | (F.col(seq_col) > F.col("_stored_seq"))
+            ).drop("_stored_seq")
+        ups = (
+            latest.where(F.col(op_col) != "D")
+            .drop(op_col)
+            .withColumnRenamed(seq_col, "_seq")
+        )
+        touched = latest.select(*key_cols)
+        return self.merge_rows(
+            spark,
+            ups,
+            key_cols,
+            when_matched="replace",
+            committed_at=committed_at,
+            _extra_match_keys=touched,
+            commit_extra=commit_extra,
+        )
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by dropped snapshots, then
         drop those manifests. Keeps the newest ``keep_last`` snapshots.
