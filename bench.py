@@ -151,6 +151,15 @@ BENCH_QUERIES = {
     "q73_versioned_evolve": ("count", "versioned_evolve"),
     "q74_twap": ("collect", "twap_daily"),
     "q75_ohlc": ("collect", "ohlc_bars"),
+    # Round-7 batch 7: time-bounded funnel, log-odds keywords, rolling
+    # sketches, temporal SCD2 enrichment, weighted quantiles, and the
+    # sequenced CDC apply (write-inclusive like q45/q73).
+    "q76_window_funnel": ("count", "window_funnel"),
+    "q77_distinctive_terms": ("collect", "distinctive_terms"),
+    "q78_rolling_hll": ("count", "rolling_hll"),
+    "q79_scd2_event_enrich": ("collect", "scd2_event_enrich"),
+    "q80_weighted_quantiles": ("collect", "weighted_quantiles"),
+    "q81_cdc_apply_seq": ("count", "cdc_apply_seq"),
 }
 
 
