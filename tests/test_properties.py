@@ -290,3 +290,117 @@ def test_winnowing_shared_run_guarantee_random(spark, shared, pre1, pre2):
     for r in fp:
         by_doc.setdefault(r["doc_id"], set()).add(r["fhash"])
     assert by_doc.get(1, set()) & by_doc.get(2, set())
+
+
+# -- round-7 bucket machinery & interval join -------------------------------
+
+_WEIGHTED_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # group
+        st.integers(min_value=0, max_value=5000),  # value
+        st.integers(min_value=1, max_value=900),   # weight
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_WEIGHTED_ROWS, st.sampled_from([(1, 2), (1, 4), (9, 10), (1, 1)]))
+def test_top_p_filter_equals_naive_prefix(spark, rows, p):
+    """The two-phase bucket selection must equal the naive definition
+    for arbitrary weights, groups, and thresholds — including ties,
+    single-bucket groups, and p=1 (keep everything)."""
+    from faers_datalakehouse_spark.operators.top_p import top_p_filter
+
+    p_num, p_den = p
+    data = [(g, i, w) for i, (g, _v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, id bigint, w bigint")
+    got = sorted(
+        (r["g"], r["id"])
+        for r in top_p_filter(df, "g", "id", "w", p_num, p_den).collect()
+    )
+    # naive: per group ordered by (w desc, id), keep while cum_before < p*total
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, i, w in data:
+        by_g[g].append((w, i))
+    expect = []
+    for g, items in by_g.items():
+        total = sum(w for w, _ in items)
+        cum = 0
+        for w, i in sorted(items, key=lambda t: (-t[0], t[1])):
+            if cum * p_den < p_num * total:
+                expect.append((g, i))
+            cum += w
+    assert got == sorted(expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_WEIGHTED_ROWS, st.sampled_from([(1, 2), (1, 4), (9, 10), (1, 1)]))
+def test_weighted_quantile_equals_naive(spark, rows, q):
+    from faers_datalakehouse_spark.operators.top_p import weighted_quantile
+
+    q_num, q_den = q
+    data = [(g, str(i), v, w) for i, (g, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "g string, id string, v bigint, w bigint"
+    )
+    got = {
+        r["g"]: r["value"]
+        for r in weighted_quantile(
+            df, "g", "id", "v", "w", q_num, q_den
+        ).collect()
+    }
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, i, v, w in data:
+        by_g[g].append((v, i, w))
+    for g, items in by_g.items():
+        total = sum(w for _, _, w in items)
+        cum = 0
+        expect = None
+        for v, i, w in sorted(items, key=lambda t: (t[0], t[1])):
+            cum += w
+            if cum * q_den >= q_num * total:
+                expect = v
+                break
+        assert got[g] == expect, (g, q)
+
+
+_INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=-100, max_value=100),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_INTERVALS, _INTERVALS, st.sampled_from([1, 3, 7, 50]))
+def test_interval_overlap_join_equals_naive(spark, lefts, rights, cell):
+    from faers_datalakehouse_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    ldata = [(i, s, s + d) for i, (s, d) in enumerate(lefts)]
+    rdata = [(i, s, s + d) for i, (s, d) in enumerate(rights)]
+    left = spark.createDataFrame(ldata, "lid bigint, ls bigint, le bigint")
+    right = spark.createDataFrame(rdata, "rid bigint, rs bigint, re bigint")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", cell_width=cell
+        ).collect()
+    )
+    expect = sorted(
+        (li, ri)
+        for li, ls, le in ldata
+        for ri, rs, re in rdata
+        if ls <= re and rs <= le
+    )
+    assert got == expect
