@@ -32,6 +32,7 @@ from faers_datalakehouse_spark.operators.clustering import (
 from faers_datalakehouse_spark.operators.classifier import quality_oracle_sql
 from faers_datalakehouse_spark.operators.incremental import (
     incremental_dedup_oracle_sql,
+    incremental_sessionize_query as incremental_sessionize_entry,
 )
 from faers_datalakehouse_spark.operators.substring import (
     dup_spans_oracle_sql,
@@ -552,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_event_enrich": S.scd2_event_enrich_query,
         "weighted_quantiles": weighted_quantiles_query,
         "cdc_apply_seq": S.cdc_apply_seq_query,
+        "incremental_sessionize": incremental_sessionize_entry,
         "variant_extract": A.variant_extract,
         "comoment_matrix": A.comoment_matrix,
         "categorical_encode": A.categorical_encode,
@@ -916,6 +918,9 @@ def oracle_sql() -> dict[str, str]:
         "scd2_event_enrich": S.SCD2_EVENT_ENRICH_SQL,
         "weighted_quantiles": WEIGHTED_QUANTILES_SQL,
         "cdc_apply_seq": S.CDC_APPLY_SEQ_SQL,
+        "incremental_sessionize": A.SESSIONIZE_SQL.format(
+            gap_us=30 * 60 * 1_000_000
+        ),
         "bfs_distances": bfs_oracle_sql(
             PAGERANK_EDGES_SQL, BFS_SOURCES, max_hops=3
         ),

@@ -230,3 +230,154 @@ SELECT n.id AS doc_id,
 FROM sh_new n
 ORDER BY doc_id
 """
+
+
+def incremental_sessionize(
+    state: DataFrame,
+    new_events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Incrementally merge a NEW event batch into a session-state table
+    without reprocessing history — the stateful-maintenance twin of
+    ``plans.analytics.sessionize``.
+
+    State rows are closed sessions ``(user_id, session_start,
+    session_end, n_events, value_c)``; new events enter as degenerate
+    intervals ``(ts, ts, 1, cents)``. Untouched users pass through by
+    ANTI-join (their history is never rescanned); affected users'
+    items gap-merge via one window pass: sorted by (start, end), an
+    item opens a new session iff its start exceeds the running max of
+    previous ends by MORE than the gap — strictly the same rule as the
+    batch operator's consecutive-event test, and provably equal to a
+    full recompute: any new point inside a session's span is within
+    gap of one of its events (internal gaps are <= gap by
+    construction), so interval connectivity == event-chain
+    connectivity. Gap-merging is therefore associative over batch
+    splits — late-arriving or out-of-order batches converge to the
+    same state. Batches must be disjoint from history (at-least-once
+    feeds dedup upstream, e.g. ``streaming_dedup``).
+
+    Scale shape: one shuffle of (affected users' sessions + the new
+    batch), windows partitioned per user; cost tracks the BATCH's user
+    footprint, not table size. Returns the full new state with
+    ``session_seq`` renumbered per user by start order.
+    """
+    from pyspark.sql import Window
+
+    affected = new_events.select("user_id").distinct()
+    untouched = state.join(affected, "user_id", "anti")
+    old_items = state.join(F.broadcast(affected), "user_id", "semi").select(
+        "user_id",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("value_c").cast("long").alias("value_c"),
+    )
+    new_items = new_events.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        F.col("ts").alias("end"),
+        F.lit(1).cast("long").alias("n"),
+        F.round(F.coalesce("value", F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("value_c"),
+    )
+    items = old_items.unionByName(new_items)
+    by_user = Window.partitionBy("user_id").orderBy(
+        "start", "end", "value_c"
+    )
+    prev_max_end = F.max("end").over(
+        by_user.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    brk = F.when(
+        prev_max_end.isNull()
+        | (F.unix_micros("start") - F.unix_micros(prev_max_end) > gap_us),
+        1,
+    ).otherwise(0)
+    merged = (
+        items.withColumn("_brk", brk)
+        .withColumn(
+            "_sid",
+            F.sum("_brk").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("start").alias("session_start"),
+            F.max("end").alias("session_end"),
+            F.sum("n").alias("n_events"),
+            F.sum("value_c").alias("value_c"),
+        )
+        .drop("_sid")
+    )
+    out = untouched.select(
+        "user_id", "session_start", "session_end", "n_events", "value_c"
+    ).unionByName(merged)
+    seq = Window.partitionBy("user_id").orderBy("session_start")
+    return out.withColumn(
+        "session_seq", F.row_number().over(seq).cast("long")
+    ).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "session_start",
+        "session_end",
+        "value_c",
+    )
+
+
+def sessionize_state_over(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session-state builder over an events frame (the batch sessionize
+    aggregation keeping exact integer cents — the state format
+    ``incremental_sessionize`` consumes and produces)."""
+    from pyspark.sql import Window
+
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_ids = events.withColumn(
+        "_brk",
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_brk").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_ids.groupBy("user_id", "_sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(
+                F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long")
+            ).alias("value_c"),
+        )
+        .select(
+            "user_id",
+            F.col("_sid").cast("long").alias("session_seq"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "value_c",
+        )
+    )
+
+
+def incremental_sessionize_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry: sessions built from the first 20 days, then the
+    remaining days merged INCREMENTALLY — hash-equal to the batch
+    sessionize over everything (the shared oracle)."""
+    from ..sources.tables import read_events
+
+    ev = read_events(spark, sf_dir)
+    cut = F.col("ts") < F.lit("2024-01-21").cast("timestamp")
+    state = sessionize_state_over(ev.where(cut))
+    out = incremental_sessionize(state, ev.where(~cut))
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "session_start",
+        "session_end",
+        (F.col("value_c").cast("double") / 100.0).alias("session_value"),
+    ).orderBy("user_id", "session_seq")

@@ -207,3 +207,49 @@ def test_weighted_quantile_matches_naive(spark, sf_dir):
             .toPandas()
         )
         assert list(got["value"]) == list(naive["value"]), (qn, qd)
+
+
+def test_incremental_sessionize_bridges_old_sessions(spark):
+    """A new event landing between two existing sessions (within gap of
+    both) must merge them into one — the case a naive append-only
+    implementation gets wrong."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from faers_datalakehouse_spark.operators.incremental import (
+        incremental_sessionize,
+        sessionize_state_over,
+    )
+
+    def ev(i, s, v=1.0):
+        return Row(
+            event_id=i, user_id=7, event_type="x", value=v,
+            ts=dt.datetime.fromisoformat(f"2024-01-01 {s}"),
+        )
+
+    # two sessions 40 min apart (> 30 min gap)
+    old = spark.createDataFrame(
+        [ev(1, "10:00:00"), ev(2, "10:10:00"), ev(3, "10:50:00")]
+    )
+    state = sessionize_state_over(old)
+    assert state.count() == 2
+    # the bridge: 10:30 is within 30 min of 10:10 AND of 10:50
+    bridge = spark.createDataFrame([ev(4, "10:30:00")])
+    out = incremental_sessionize(state, bridge).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 4
+    assert out[0]["session_start"].minute == 0
+    assert out[0]["session_end"].minute == 50
+    # untouched users pass through: add a disjoint user's batch
+    other = spark.createDataFrame(
+        [Row(event_id=9, user_id=8, event_type="x", value=1.0,
+             ts=dt.datetime.fromisoformat("2024-01-01 09:00:00"))]
+    )
+    out2 = incremental_sessionize(
+        spark.createDataFrame(out).select(
+            "user_id", "session_start", "session_end", "n_events", "value_c"
+        ),
+        other,
+    ).toPandas()
+    assert sorted(out2["user_id"]) == [7, 8]
