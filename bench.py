@@ -160,6 +160,7 @@ BENCH_QUERIES = {
     "q79_scd2_event_enrich": ("collect", "scd2_event_enrich"),
     "q80_weighted_quantiles": ("collect", "weighted_quantiles"),
     "q81_cdc_apply_seq": ("count", "cdc_apply_seq"),
+    "q82_incr_sessionize": ("count", "incremental_sessionize"),
 }
 
 
