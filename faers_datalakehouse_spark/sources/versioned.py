@@ -2236,6 +2236,60 @@ class VersionedTable:
         )
         return stats
 
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag / Delta named-version parity):
+        a retention anchor and human-readable time-travel handle.
+        Tags live as one tiny JSON file per name under ``refs/``,
+        published with the same exclusive-link protocol as manifests —
+        re-tagging an existing name raises (delete first); ``vacuum``
+        refuses to drop tagged snapshots."""
+        import re as _re
+
+        if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.current_version() if version is None else int(version)
+        if v is None or v not in self.versions():
+            raise ValueError(f"version {v} does not exist in {self.root}")
+        refs = self.root / "refs"
+        refs.mkdir(parents=True, exist_ok=True)
+        tmp = refs / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps({"version": v}))
+        target = refs / f"{name}.json"
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (drop_tag first)"
+            )
+        finally:
+            tmp.unlink(missing_ok=True)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        p = self.root / "refs" / f"{name}.json"
+        if not p.exists():
+            raise ValueError(f"no tag {name!r} on {self.root}")
+        p.unlink()
+
+    def tags(self) -> dict[str, int]:
+        refs = self.root / "refs"
+        if not refs.exists():
+            return {}
+        return {
+            p.stem: json.loads(p.read_text())["version"]
+            for p in sorted(refs.glob("*.json"))
+            if not p.name.startswith(".")
+        }
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Time travel by NAME: read the snapshot a tag points at."""
+        t = self.tags()
+        if name not in t:
+            raise ValueError(
+                f"no tag {name!r} on {self.root}; have {sorted(t)}"
+            )
+        return self.read(spark, version=t[name])
+
     def apply_cdc(
         self,
         spark: SparkSession,
@@ -2322,6 +2376,12 @@ class VersionedTable:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         keep, drop = vs[-keep_last:], vs[:-keep_last]
+        # tags are retention anchors: a tagged snapshot (and its files)
+        # survives vacuum regardless of keep_last
+        tagged = set(self.tags().values())
+        if tagged & set(drop):
+            keep = sorted(set(keep) | (tagged & set(drop)))
+            drop = [v for v in drop if v not in tagged]
         if not drop:
             return 0
         def _owned(snap: Snapshot) -> list[dict]:
