@@ -468,32 +468,18 @@ FROM a ORDER BY c_custkey
 """
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver verifies the FIRST 50 entries in insertion order; the rest
-    # form a rotation tail. ROTATION POLICY (round-5 formalization): every
-    # round, (1) never-verified entries enter the window first, (2) every
-    # tail entry whose last driver verification is 2 rounds old rotates
-    # back in, (3) the entries rotated out are always last-round-green and
-    # keep a same-family representative in the window. No entry may go
-    # more than 2 rounds without a driver hash check, and
-    # ``tools/oracle_sweep.py`` hash-checks the FULL map (window + tail)
-    # locally each round so the window rotation never reduces actual
-    # verification coverage.
-    #
-    # Round-7 window. Round 6's driver pass recorded NOTHING (an
-    # end-of-round ImportError broke the package; CORRECTNESS_r06 is {}),
-    # so EVERY entry is overdue and the 2-round bound is infeasible this
-    # round (110 entries, 50 slots). Priority order per policy item (1):
-    # all NEVER-driver-checked entries enter first — the 15 operators
-    # built this round (levenshtein/quantile-sketch/k-anonymity/
-    # interleave, PQ family, versioned restore/zorder/partition/bloom,
-    # bucketed join, streaming attribution/ingest) plus round 6's 9 and
-    # the 4 entries whose code changed since their last green check.
-    # The remaining 22 slots hold the r4-green entries whose family has
-    # no other in-window representative; the 15 r4-green entries rotated
-    # to the tail each keep an in-window family rep (noted below) and
-    # re-enter in r8. The full local sweep hash-checks window + tail
-    # every round regardless, so rotation never reduces actual coverage.
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Full query map in build order. The driver verifies the FIRST 50
+    # entries of ``queries()``; that window is NOT this dict's order — it
+    # is the explicit ``_WINDOW`` list below, DERIVED from the
+    # CORRECTNESS_r*.json artifacts by ``tools/gen_window.py`` (rotation
+    # policy: never-driver-checked entries first, then stalest last-check
+    # round, ties by build position). tests/test_entry_contract.py asserts
+    # the checked-in window matches the derivation, so the window can
+    # never silently drift from the policy again (it did in r7: the
+    # hand-written narrative here claimed entries were in-window that sat
+    # at positions 63-88). ``tools/oracle_sweep.py`` still hash-checks the
+    # FULL map locally each round, so rotation never reduces coverage.
     return {
         # -- never driver-checked (built this round) --
         "versioned_mor_delete": S.versioned_mor_delete_query,
@@ -843,6 +829,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             S.corpus_curation_query, min_score=0.5, min_tokens=10
         ),
     }
+
+
+# Round-8 driver window (VERDICT r7 "Next round" item 1): exactly the 39
+# entries with a stale or absent driver hash check — the 37 never-checked
+# (r7 map positions 51-86 plus hll_set_algebra) and the two former-RED
+# entries (inverted_index / bpe_encode, which errored in the r5 driver run
+# and have only local-sweep green since). The remaining 11 slots hold the
+# stalest r4-green entries; new round-8 operators displace those as they
+# land (never-checked ranks ahead of r4 in the derivation).
+# Generated by: python tools/gen_window.py  (asserted in
+# tests/test_entry_contract.py — do not hand-edit without re-running it).
+_WINDOW = [
+    "distinctive_terms",  # last driver check: never
+    "rolling_hll",  # last driver check: never
+    "scd2_event_enrich",  # last driver check: never
+    "weighted_quantiles",  # last driver check: never
+    "cdc_apply_seq",  # last driver check: never
+    "incremental_sessionize",  # last driver check: never
+    "variant_extract",  # last driver check: never
+    "comoment_matrix",  # last driver check: never
+    "categorical_encode",  # last driver check: never
+    "anomaly_days",  # last driver check: never
+    "pareto_front",  # last driver check: never
+    "ewma_daily",  # last driver check: never
+    "levenshtein_pairs",  # last driver check: never
+    "histogram_quantiles",  # last driver check: never
+    "k_anonymity_audit",  # last driver check: never
+    "k_suppress",  # last driver check: never
+    "interleave_sources",  # last driver check: never
+    "bucketed_join",  # last driver check: never
+    "streaming_attribution",  # last driver check: never
+    "versioned_bloom_read",  # last driver check: never
+    "versioned_partition_ops",  # last driver check: never
+    "streaming_versioned_ingest",  # last driver check: never
+    "versioned_restore",  # last driver check: never
+    "versioned_zorder_read",  # last driver check: never
+    "pq_encode",  # last driver check: never
+    "pq_topk",  # last driver check: never
+    "pq_recall",  # last driver check: never
+    "snm_neardup",  # last driver check: never
+    "allpairs_tfidf",  # last driver check: never
+    "expectations_audit",  # last driver check: never
+    "quarantine_rows",  # last driver check: never
+    "systematic_sample",  # last driver check: never
+    "triangle_counts",  # last driver check: never
+    "streaming_sessionize",  # last driver check: never
+    "versioned_merge",  # last driver check: never
+    "grouping_sets_volume",  # last driver check: never
+    "inverted_index",  # last driver check: never (r5 driver-RED, fixed)
+    "bpe_encode",  # last driver check: never (r5 driver-RED, fixed)
+    "hll_set_algebra",  # last driver check: never
+    "customer_retention_setops",  # last driver check: r4
+    "kmeans_clusters",  # last driver check: r4
+    "semantic_neardup",  # last driver check: r4
+    "unpivot_measures",  # last driver check: r4
+    "quantiles_by_group",  # last driver check: r4
+    "salted_join",  # last driver check: r4
+    "multimodal_decode",  # last driver check: r4
+    "quality_classifier",  # last driver check: r4
+    "asof_join",  # last driver check: r4
+    "pack_sequences",  # last driver check: r4
+    "text_quality",  # last driver check: r4
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Window-first ordering of the full map (driver checks the first 50)."""
+    all_q = _all_queries()
+    missing = [k for k in _WINDOW if k not in all_q]
+    if missing:  # fail loudly at import time, not in the driver's compare
+        raise KeyError(f"_WINDOW names absent from _all_queries(): {missing}")
+    ordered = {k: all_q[k] for k in _WINDOW}
+    ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

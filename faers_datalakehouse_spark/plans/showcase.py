@@ -24,6 +24,22 @@ from ..functions.text import (
 from ..functions.transforms import guarded_double
 from ..operators.scd2 import scd2_initial_load, scd2_merge
 
+def stream_scratch_dir(prefix: str) -> str:
+    """Per-invocation scratch tree for a streaming entry (landing zone +
+    checkpoint + sink), reclaimed at interpreter exit. The entry's
+    returned DataFrame lazily reads the sink parquet, so the tree must
+    outlive the call — exit-time removal keeps repeated invocations from
+    leaking one staged events.parquet copy each (ADVICE r7 hygiene item;
+    pinned by tests/test_streaming_curation.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 # --------------------------------------------------------------------------
 # SCD Type 2 end-state scenario (M4)
 # --------------------------------------------------------------------------
@@ -1511,9 +1527,7 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof: the sink table's content hashes identically to the batch
     oracle. foreachBatch-overwrite is idempotent under micro-batch replay,
     the production guarantee for at-least-once sinks."""
-    import atexit
     import shutil
-    import tempfile
 
     from ..streaming.events import (
         finish_sessionize,
@@ -1521,11 +1535,7 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_sessionize,
     )
 
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
-    # the returned DataFrame lazily reads the sink parquet, so the tree
-    # must outlive this call — reclaim it at interpreter exit instead of
-    # leaking one copy of events.parquet per invocation
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = stream_scratch_dir("spark_graft_stream_sess_")
     # file stream sources require a DIRECTORY (landing-zone model); stage
     # the events file into one, as a producer would land it
     landing = f"{root}/landing"
@@ -1777,18 +1787,15 @@ def streaming_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hashes identically to the batch join — the strongest
     correctness statement the repo makes about stream-stream state
     management."""
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F  # noqa: F811
 
     from ..streaming.events import stream_events_from_dir
     from ..streaming.joins import attribute_purchases
 
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_attr_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = stream_scratch_dir("spark_graft_stream_attr_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
@@ -1839,10 +1846,8 @@ def streaming_versioned_ingest_query(
     oracle recomputes from ``events`` directly. This is the reference's
     Delta streaming-ingest surface (stream → ACID table → pruned reads)
     on the manifest-log format."""
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from ..sources.versioned import VersionedTable
     from ..streaming.events import stream_events_from_dir
@@ -1851,8 +1856,7 @@ def streaming_versioned_ingest_query(
         stream_to_versioned,
     )
 
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_vt_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = stream_scratch_dir("spark_graft_stream_vt_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
@@ -2249,10 +2253,8 @@ def streaming_stateful_totals_query(
     The kernel keeps integer cents in state (no float accumulation
     drift) and divides once on emit, so the doubles agree cross-engine.
     """
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql.window import Window
 
@@ -2261,8 +2263,7 @@ def streaming_stateful_totals_query(
         stream_events_from_dir,
     )
 
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_state_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = stream_scratch_dir("spark_graft_stream_state_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
@@ -2310,18 +2311,15 @@ def streaming_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. With availableNow over one landed file both sides arrive in
     the first micro-batch, so the emitted set equals the batch join —
     which is precisely what ``STREAMING_JOIN_SQL`` hash-checks."""
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from ..streaming.events import (
         stream_events_from_dir,
         streaming_click_purchase_join,
     )
 
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_join_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = stream_scratch_dir("spark_graft_stream_join_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
@@ -2463,15 +2461,12 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     across micro-batches — not intra-batch distinct. The sink equals
     the single-copy events table (the oracle), which also proves
     idempotent re-landing: a replayed file changes nothing."""
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from ..streaming.events import stream_events_from_dir, streaming_dedup
 
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = stream_scratch_dir("spark_graft_stream_dedup_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-0.parquet")
@@ -2519,15 +2514,12 @@ def streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment shape (fact stream x broadcast dim). Aggregated to
     per-segment counts + exact cents to keep the sink tiny; equality to
     the batch join is the oracle."""
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from ..streaming.events import stream_events_from_dir
 
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_enrich_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = stream_scratch_dir("spark_graft_stream_enrich_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
@@ -2585,10 +2577,8 @@ def streaming_scd2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equality-to-batch contract as a driver gate, not just a test.
     File order is pinned via modification times (the file source
     processes oldest-first)."""
-    import atexit
     import os
     import shutil
-    import tempfile
     import time as _time
 
     from ..streaming.scd2 import scd2_streaming_sink
@@ -2611,8 +2601,7 @@ def streaming_scd2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("NEWSEG").alias("c_mktsegment"),
         "bal",
     )
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_scd2_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = stream_scratch_dir("spark_graft_stream_scd2_")
     landing = f"{root}/landing"
     base.coalesce(1).write.parquet(f"{landing}/.stage0")
     src_mod.unionByName(src_new).coalesce(1).write.parquet(

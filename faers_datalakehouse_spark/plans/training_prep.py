@@ -262,11 +262,20 @@ def interleave_sources_query(
     ``vt = rank * LCM_SCALE div weight`` (ticks between consumptions of
     a weight-``w`` source are ``1/w`` long). The interleaved order is
     ``(vt, source, rank)`` — all integer, so the DuckDB twin is
-    bit-identical. The global ``pos`` materialized here is for the
-    oracle/consumer; at 100 TB the ORDER is what matters and it needs
-    no global sort — writers emit per-shard files sorted by ``vt``
+    bit-identical. At 100 TB the ORDER is what matters and it needs no
+    global sort — writers emit per-shard files sorted by ``vt``
     (range-partitioned on it), which a merge-reading dataloader
     consumes in order.
+
+    The global ``pos`` materialized here is for the oracle/consumer and
+    is computed WITHOUT a corpus-wide single-partition window:
+    ``orderBy(...).limit(limit)`` FIRST (Spark plans
+    TakeOrderedAndProject — per-partition heaps of size ``limit`` + a
+    driver merge, no full-corpus exchange), THEN ``row_number`` over the
+    limit-sized frame. (vt, source, rank) is a total order — rank is
+    unique within source — so the top-``limit`` prefix is deterministic
+    and byte-identical to numbering before limiting. Same
+    TakeOrdered-then-tiny-window shape as ``analytics.key_skew_profile``.
     """
     weights = weights or {
         "src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1
@@ -293,19 +302,20 @@ def interleave_sources_query(
         )
         .withColumn("vt", F.expr("(rank * 1000000) div weight"))
     )
-    return (
-        ranked.select(
-            F.row_number()
-            .over(Window.orderBy("vt", "source", "rank"))
-            .alias("pos"),
-            "source",
-            "doc_id",
-            "rank",
-            "vt",
-        )
+    top = (
+        ranked.select("source", "doc_id", "rank", "vt")
+        .orderBy("vt", "source", "rank")
         .limit(limit)
-        .orderBy("pos")
     )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("vt", "source", "rank"))
+        .alias("pos"),
+        "source",
+        "doc_id",
+        "rank",
+        "vt",
+    ).orderBy("pos")
 
 
 INTERLEAVE_SOURCES_SQL = """

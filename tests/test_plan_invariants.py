@@ -37,12 +37,54 @@ ALLOWED_NESTED_LOOP = {
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
+def jplans(spark, sf_dir):
     out = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = df._jdf.queryExecution().executedPlan()
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(jplans):
+    return {name: jp.toString() for name, jp in jplans.items()}
+
+
+def test_no_unbounded_single_partition_exchange(jplans, spark, sf_dir):
+    """No query may force a table-proportional frame into one task (the r7
+    blind spot: interleave_sources/pareto_front passed every other plan
+    check while single-partitioning the whole corpus). Bounded
+    SinglePartition frames (over aggregates / TakeOrdered / limits — the
+    two-phase prefix-scan idiom) are allowed; table-sized ones are not."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import SP_WHITELIST, single_partition_audit
+
+    # the detector must still catch the offending shape itself
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("pos")
+    )
+    _, unbounded = single_partition_audit(
+        bad._jdf.queryExecution().executedPlan()
+    )
+    assert unbounded == 1, "detector lost the r7 offender shape"
+
+    offenders = {}
+    for name, jp in jplans.items():
+        if name in SP_WHITELIST:
+            continue
+        _, unbounded = single_partition_audit(jp)
+        if unbounded:
+            offenders[name] = unbounded
+    assert not offenders, (
+        f"table-proportional SinglePartition exchange in: {offenders}"
+    )
 
 
 def test_no_accidental_cross_products(plans):

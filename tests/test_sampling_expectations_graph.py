@@ -150,6 +150,19 @@ def test_audit_null_counts_as_violation(spark):
     assert got == {"pos": 1}
 
 
+def test_rule_names_must_be_identifiers(spark):
+    """Rule names are interpolated into stack() pairs / aliases / oracle
+    SQL; non-identifier names must be rejected BEFORE any interpolation
+    (ADVICE r7: a quote or space in a name could break or inject into the
+    generated query)."""
+    df = spark.createDataFrame([(1,)], "v int")
+    for bad in ("has space", "quo'te", "semi;colon", "", "1leading_digit"):
+        with pytest.raises(ValueError, match="must match"):
+            audit(df, {bad: "v > 0"})
+        with pytest.raises(ValueError, match="must match"):
+            enforce(df, {bad: "v > 0"}, "drop")
+
+
 def test_enforce_policies(spark):
     df = spark.createDataFrame([(1,), (2,), (None,), (-5,)], "v int")
     rules = {"pos": "v > 0"}

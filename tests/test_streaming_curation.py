@@ -18,6 +18,28 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+def test_stream_scratch_dir_registers_exit_cleanup(monkeypatch):
+    """Every streaming entry stages its landing zone / checkpoint / sink
+    through stream_scratch_dir, which must register removal of the WHOLE
+    tree at interpreter exit (ADVICE r7: the sessionize entry leaked one
+    staged events.parquet copy per invocation)."""
+    import atexit
+    import os
+
+    from faers_datalakehouse_spark.plans.showcase import stream_scratch_dir
+
+    registered = []
+    monkeypatch.setattr(
+        atexit, "register", lambda fn, *a, **kw: registered.append((fn, a, kw))
+    )
+    root = stream_scratch_dir("spark_graft_test_scratch_")
+    assert os.path.isdir(root)
+    assert len(registered) == 1
+    fn, a, kw = registered[0]
+    fn(*a, **kw)  # the registered callable must remove the tree
+    assert not os.path.exists(root)
+
+
 BATCH_A = [
     (1, "the quick brown fox jumps over the lazy dog again and again today"),
     (2, "completely unrelated text about spark query engines and shuffles"),

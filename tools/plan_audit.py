@@ -11,7 +11,20 @@ features from the executed-plan string:
   PushedFilters, and how many scans the plan has;
 - ``cartesian`` / ``bnlj``: cross-product shapes (the invariant gate in
   ``tests/test_plan_invariants.py`` forbids unexpected ones; this artifact
-  makes the census visible round-over-round).
+  makes the census visible round-over-round);
+- ``single_partition`` / ``unbounded_single_partition``: Exchange
+  SinglePartition nodes, and the subset whose input subtree reaches a
+  parquet scan WITHOUT passing through an aggregate or limit — i.e. a
+  table-proportional frame forced into ONE task. This is the r7 blind
+  spot (VERDICT r7 "What's wrong" #3): interleave_sources/pareto_front
+  showed an innocuous "exchanges: 1" while moving the whole corpus to a
+  single partition. A bounded SinglePartition (over a groupBy result, a
+  TakeOrdered frame, or a LocalLimit'd input) is legitimate — the
+  two-phase prefix-scan idiom depends on one — and is NOT flagged.
+
+The tool exits nonzero if any query has ``unbounded_single_partition > 0``
+(no whitelist entries currently exist; add name -> documented-row-bound
+pairs to ``SP_WHITELIST`` only with a docstring-level justification).
 
 This complements the bench: the bench says how fast a plan ran HERE; the
 audit says whether the plan SHAPE is the one that survives a 1000-
@@ -33,6 +46,71 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from faers_datalakehouse_spark.session import get_spark  # noqa: E402
+
+
+# queries allowed a table-proportional SinglePartition exchange, with the
+# documented reason. Empty by design: the two r7 offenders were fixed
+# (TakeOrdered-then-window; bucketed two-phase prefix max) instead of
+# whitelisted.
+SP_WHITELIST: dict[str, str] = {}
+
+# operators that bound the row count of everything above them: an
+# Exchange SinglePartition whose input subtree contains one of these is
+# a bounded (KB-sized) frame, not the corpus
+_BOUNDING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def _iter_nodes(jnode):
+    stack = [jnode]
+    while stack:
+        node = stack.pop()
+        yield node
+        # AdaptiveSparkPlanExec is a leaf wrapper pre-execution; descend
+        # into its initial plan so the audit works with AQE on (tests)
+        # as well as off (this tool's session)
+        if node.nodeName() == "AdaptiveSparkPlan":
+            stack.append(node.initialPlan())
+            continue
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def single_partition_audit(jplan) -> tuple[int, int]:
+    """(single_partition_count, unbounded_count) for a JVM SparkPlan.
+
+    Walks the physical tree; for every shuffle Exchange whose first
+    toString line says SinglePartition, inspects the node's OWN subtree
+    string: if it reaches a file scan (``FileScan``/``Scan parquet`` —
+    LocalTableScan of tiny literal frames doesn't count) without any
+    bounding aggregate/limit operator in between, the frame being
+    single-partitioned is table-proportional — the one plan shape that
+    cannot survive a 100x scale-up.
+    """
+    total = 0
+    unbounded = 0
+    for node in _iter_nodes(jplan):
+        if node.nodeName() != "Exchange":
+            continue
+        sub = node.toString()
+        head = sub.splitlines()[0]
+        if "SinglePartition" not in head:
+            continue
+        total += 1
+        body = sub[len(head):]
+        reaches_scan = "FileScan" in body or "Scan parquet" in body
+        bounded = any(b in body for b in _BOUNDING_NODES)
+        if reaches_scan and not bounded:
+            unbounded += 1
+    return total, unbounded
 
 
 def audit_plan(plan: str) -> dict:
@@ -64,12 +142,21 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            out[name] = audit_plan(plan)
+            jplan = df._jdf.queryExecution().executedPlan()
+            out[name] = audit_plan(jplan.toString())
+            sp_total, sp_unbounded = single_partition_audit(jplan)
+            out[name]["single_partition"] = sp_total
+            out[name]["unbounded_single_partition"] = sp_unbounded
         except Exception as e:  # noqa: BLE001
             out[name] = {"error": str(e)[:300]}
         feats = out[name]
         print(f"{name:28s} {json.dumps(feats)}")
+    offenders = [
+        k
+        for k, v in out.items()
+        if v.get("unbounded_single_partition", 0) > 0
+        and k not in SP_WHITELIST
+    ]
     doc = {
         "sf_dir": sf_dir,
         "n_queries": len(out),
@@ -77,12 +164,22 @@ def main() -> None:
             "exchanges": sum(v.get("exchanges", 0) for v in out.values()),
             "broadcasts": sum(v.get("broadcasts", 0) for v in out.values()),
             "cartesian": sum(v.get("cartesian", 0) for v in out.values()),
+            "single_partition": sum(
+                v.get("single_partition", 0) for v in out.values()
+            ),
+            "unbounded_single_partition": sum(
+                v.get("unbounded_single_partition", 0) for v in out.values()
+            ),
             "errors": sum(1 for v in out.values() if "error" in v),
         },
+        "unbounded_single_partition_offenders": offenders,
         "queries": out,
     }
     Path("PLAN_AUDIT.json").write_text(json.dumps(doc, indent=1))
     print(f"-> PLAN_AUDIT.json ({doc['totals']})")
+    if offenders:
+        print(f"FAIL: table-proportional SinglePartition in: {offenders}")
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
