@@ -414,6 +414,15 @@ def _snm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs)
+
+
 def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faers_datalakehouse_spark.operators.classifier import (
         hashed_weights,
@@ -828,6 +837,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": partial(
             S.corpus_curation_query, min_score=0.5, min_tokens=10
         ),
+        # -- round 8 --
+        # Spark 4 recursive CTE surface: BFS over the aggregated (bounded)
+        # nation trade DAG, identical SQL on both engines
+        "recursive_cte_reach": SQ.recursive_cte_reach_query,
+        # Spark 4 SQL pipe syntax (|> WHERE/EXTEND/AGGREGATE/ORDER BY)
+        "pipe_syntax_trend": SQ.pipe_syntax_trend_query,
+        # bigram collocations by PMI-monotone lift (counts-only shuffles)
+        "pmi_collocations": _pmi_collocations,
+        # exact-proportion stratified split (keyed windows, no global sort)
+        "proportional_split": T.proportional_split_query,
+        # tokenizer-vocab OOV audit (TakeOrdered vocab broadcast onto stream)
+        "vocab_coverage": T.vocab_coverage_query,
+        # CUSUM changepoint via closed-form running sum/min (no recursion)
+        "cusum_changepoint": A.cusum_changepoint,
     }
 
 
@@ -880,17 +903,17 @@ _WINDOW = [
     "inverted_index",  # last driver check: never (r5 driver-RED, fixed)
     "bpe_encode",  # last driver check: never (r5 driver-RED, fixed)
     "hll_set_algebra",  # last driver check: never
+    "recursive_cte_reach",  # last driver check: never (new r8)
+    "pipe_syntax_trend",  # last driver check: never (new r8)
+    "pmi_collocations",  # last driver check: never (new r8)
+    "proportional_split",  # last driver check: never (new r8)
+    "vocab_coverage",  # last driver check: never (new r8)
+    "cusum_changepoint",  # last driver check: never (new r8)
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
     "unpivot_measures",  # last driver check: r4
     "quantiles_by_group",  # last driver check: r4
-    "salted_join",  # last driver check: r4
-    "multimodal_decode",  # last driver check: r4
-    "quality_classifier",  # last driver check: r4
-    "asof_join",  # last driver check: r4
-    "pack_sequences",  # last driver check: r4
-    "text_quality",  # last driver check: r4
 ]
 
 
@@ -906,6 +929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from faers_datalakehouse_spark.operators.collocations import (
+        pmi_oracle_sql,
+    )
     from faers_datalakehouse_spark.operators.expectations import (
         audit_oracle_sql,
     )
@@ -1172,6 +1198,13 @@ def oracle_sql() -> dict[str, str]:
         # Oracle-checked even though it's the approximate path: the integer
         # hyperplane buckets are bit-identical across engines.
         "lsh_neardup": lsh_neardup_oracle_sql(NEARDUP_COS_THRESHOLD, n_planes=8),
+        # -- round 8 --
+        "recursive_cte_reach": SQ.RECURSIVE_REACH_SQL,
+        "pipe_syntax_trend": SQ.PIPE_SYNTAX_TREND_SQL,
+        "pmi_collocations": pmi_oracle_sql(),
+        "proportional_split": T.proportional_split_oracle_sql(),
+        "vocab_coverage": T.vocab_coverage_oracle_sql(),
+        "cusum_changepoint": A.CUSUM_CHANGEPOINT_SQL,
     }
 
 

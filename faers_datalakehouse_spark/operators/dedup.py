@@ -50,12 +50,18 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def _norm_text(col: Column) -> Column:
-    """lowercase, strip non-alphanumerics to space, collapse whitespace."""
-    return F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "
-        )
-    )
+    """lowercase, strip non-alphanumerics to space, collapse whitespace.
+
+    Implemented as ONE regex pass: every maximal run of ``[^a-z0-9]`` —
+    whether junk characters, whitespace, or a mix — becomes a single
+    space. This is provably equal to the two-pass form the SQL oracles
+    use (``[^a-z0-9\\s]``->' ' then ``\\s+``->' '): after pass 1 any such
+    run is all-whitespace, and pass 2 collapses it to one space. Verified
+    byte-identical over the full sf0.1 corpus; ~2x faster (one scan of
+    the text instead of two), and this expression sits under every
+    dedup/fingerprint/shingle operator.
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
 
 
 def _let(expr: Column, fn) -> Column:

@@ -1444,6 +1444,106 @@ ORDER BY status, day
 """
 
 
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily order-value series, per
+    status: flag days where the one-sided cumulative sum of deviations
+    from the series mean exceeds a threshold.
+
+    The textbook recursion ``C_t = max(0, C_{t-1} + dev_t)`` is not a
+    window expression, but it has a closed form: with ``S_t`` the plain
+    prefix sum of deviations, ``C_t = S_t - min(0, min_{i<=t} S_i)`` —
+    a running SUM and a running MIN over the same keyed window (one
+    exchange+sort evaluates both). Everything is exact int64 (deviations
+    are scaled-cents minus the integer-div group mean minus an integer
+    slack), so the DuckDB twin hashes bit-for-bit.
+
+    Scale: windows are per status key (bounded groups of days, keyed
+    exchange); the series length per key is days-of-history — the same
+    bound every per-key time-series operator here carries.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round("o_totalprice").cast("long")).alias("x")
+        )
+    )
+    grp = Window.partitionBy("status")
+    seq = Window.partitionBy("status").orderBy("day")
+    # integer mean, slack k = mu0 div 2, threshold h = 2*mu0 — tuned to
+    # a ~1.6% alarm rate on the synthetic series (alarm-rate sweep in the
+    # r8 build log); dev_t = x - mu0 - k
+    p1 = (
+        daily.select(
+            "status",
+            "day",
+            "x",
+            F.sum("x").over(grp).alias("_tot"),
+            F.count(F.lit(1)).over(grp).alias("_cnt"),
+        )
+        .withColumn("mu0", F.expr("_tot div _cnt"))
+        .select(
+            "status",
+            "day",
+            "x",
+            (F.col("x") - F.col("mu0") - F.expr("mu0 div 2")).alias("dev"),
+            (F.col("mu0") * 2).alias("h"),
+        )
+    )
+    # windows nest one level at a time: s first, then min(s)
+    p2 = p1.select(
+        "status", "day", "x", "h", F.sum("dev").over(seq).alias("s")
+    ).select(
+        "status", "day", "x", "h", "s", F.min("s").over(seq).alias("low_water")
+    )
+    return p2.select(
+        "status",
+        "day",
+        "x",
+        (F.col("s") - F.least(F.lit(0).cast("long"), F.col("low_water")))
+        .alias("cusum"),
+        (
+            F.col("s") - F.least(F.lit(0).cast("long"), F.col("low_water"))
+            > F.col("h")
+        ).alias("is_alarm"),
+    ).orderBy("status", "day")
+
+
+CUSUM_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+), p1 AS (
+  SELECT status, day, x,
+         CAST(sum(x) OVER (PARTITION BY status)
+           // count(*) OVER (PARTITION BY status) AS BIGINT) AS mu0
+  FROM daily
+), p2 AS (
+  SELECT status, day, x,
+         x - mu0 - (mu0 // 2) AS dev,
+         mu0 * 2 AS h
+  FROM p1
+), p3a AS (
+  SELECT status, day, x, h,
+         CAST(sum(dev) OVER (PARTITION BY status ORDER BY day) AS BIGINT) AS s
+  FROM p2
+), p3 AS (
+  SELECT status, day, x, h, s,
+         min(s) OVER (PARTITION BY status ORDER BY day) AS low_water
+  FROM p3a
+)
+SELECT status, day, x,
+       CAST(s - least(0, low_water) AS BIGINT) AS cusum,
+       s - least(0, low_water) > h AS is_alarm
+FROM p3
+ORDER BY status, day
+"""
+
+
 def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier (skyline) of parts: minimize price, maximize
     size — the "best tradeoff set" operator.

@@ -98,6 +98,105 @@ FROM orders GROUP BY 1 ORDER BY n DESC, grp LIMIT 4
 """
 
 
+def recursive_cte_reach_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTE) transitive reach over the
+    nation-level trade graph: min-hop distance from nation 0 along
+    high-volume supplier-nation -> customer-nation edges.
+
+    The edge list is AGGREGATED first (<= 625 rows for 25 nations — a
+    bounded frame whatever the fact-table scale), so the recursion
+    iterates over KBs. Spark 4.1 supports only UNION ALL in recursive
+    CTEs (UNION raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the
+    walk must bound its own path count: edges are restricted to
+    ``src < dst`` (a DAG over the 25 nation keys — every path is a
+    strictly increasing key sequence, combinatorially bounded at
+    C(24,k) per length regardless of fact-table scale) plus a ``hops
+    < 5`` depth guard. The outer min() collapses the path multiset to
+    shortest-hop distances — classic BFS-via-recursion, here exercising
+    the SQL engine surface itself (the DataFrame twin is
+    ``operators.graph.bfs_distances``)."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
+            f"{t}_rec_v"
+        )
+    return spark.sql(RECURSIVE_REACH_BODY.format(suffix="_rec_v"))
+
+
+# shared body: identical SQL runs on both engines (tables differ only by
+# the view suffix; DuckDB reads the bare names)
+RECURSIVE_REACH_BODY = """
+WITH RECURSIVE all_edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         count(*) AS n_ship
+  FROM lineitem{suffix} l
+  JOIN orders{suffix} o ON l.l_orderkey = o.o_orderkey
+  JOIN customer{suffix} c ON o.o_custkey = c.c_custkey
+  JOIN supplier{suffix} s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey < c.c_nationkey
+  GROUP BY 1, 2
+),
+edges AS (
+  -- top-2 outgoing lanes per source nation (deterministic tie-break):
+  -- a sparse DAG, scale-invariant semantics, multi-hop reach matters
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY n_ship DESC, dst)
+             AS rk
+    FROM all_edges
+  ) WHERE rk <= 2
+),
+reach(nation, hops) AS (
+  SELECT CAST(0 AS BIGINT) AS nation, CAST(0 AS BIGINT) AS hops
+  UNION ALL
+  SELECT CAST(e.dst AS BIGINT), r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.nation
+  WHERE r.hops < 5
+)
+SELECT nation, CAST(min(hops) AS BIGINT) AS min_hops
+FROM reach
+GROUP BY nation
+ORDER BY nation
+"""
+
+RECURSIVE_REACH_SQL = RECURSIVE_REACH_BODY.format(suffix="")
+
+
+def pipe_syntax_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the monthly order
+    volume/revenue trend written as a linear pipeline — FROM, then WHERE,
+    EXTEND (computed column), AGGREGATE ... GROUP BY, ORDER BY — each
+    stage a pipe step. Same Catalyst plan as the nested form; this entry
+    pins the parser surface. Revenue is exact integer cents, so the
+    plain-SQL DuckDB twin hashes bit-for-bit."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_pipe_v"
+    )
+    return spark.sql(
+        """
+FROM orders_pipe_v
+|> WHERE o_orderstatus <> 'F'
+|> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          substr(CAST(o_orderdate AS STRING), 1, 7) AS month
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+   GROUP BY month
+|> ORDER BY month
+"""
+    )
+
+
+PIPE_SYNTAX_TREND_SQL = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY 1
+ORDER BY month
+"""
+
+
 def observed_quality_query(spark: SparkSession, sf_dir: str):
     """Observation-metered curation filter: keep documents above a
     length floor while a query-attached ``Observation`` records

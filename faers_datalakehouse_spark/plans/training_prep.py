@@ -340,3 +340,175 @@ FROM vts
 ORDER BY pos
 LIMIT 300
 """
+
+
+def proportional_split_query(
+    spark: SparkSession,
+    sf_dir: str,
+    strata_col: str = "lang",
+    fracs_milli: tuple[int, int] = (800, 900),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Exact-proportion stratified train/val/test assignment.
+
+    ``split_assign`` (functions/transforms) hashes each row independently
+    — proportions hold only in expectation. Real training preparation
+    wants EXACT per-stratum proportions: here each stratum is ordered by
+    a deterministic md5 shuffle key and cut at ``floor(n * frac)`` via
+    ``row_number * 1000 <= cum_frac_milli * n`` — integer-exact, no
+    float thresholds, reproducible run-over-run.
+
+    Scale shape: ONE keyed window per stratum (hash-partitioned exchange
+    on the stratum key — the same cost as any per-stratum operator; the
+    md5 order key is computed scan-side). No global window, no collect.
+    Skewed strata are AQE's standard problem, same as every groupBy.
+
+    Returns per-doc assignments (doc_id, stratum, split) — the artifact
+    a training job joins against.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy(strata_col).orderBy(
+        _md5_hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    n = Window.partitionBy(strata_col)
+    ranked = docs.select(
+        "doc_id",
+        F.col(strata_col).alias("stratum"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(n).alias("_n"),
+    )
+    lo, hi = fracs_milli
+    return (
+        ranked.select(
+            "doc_id",
+            "stratum",
+            F.when(F.col("_rn") * 1000 <= F.col("_n") * lo, names[0])
+            .when(F.col("_rn") * 1000 <= F.col("_n") * hi, names[1])
+            .otherwise(names[2])
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def proportional_split_oracle_sql(
+    strata_col: str = "lang",
+    fracs_milli: tuple[int, int] = (800, 900),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> str:
+    lo, hi = fracs_milli
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, {strata_col} AS stratum,
+         row_number() OVER (
+           PARTITION BY {strata_col}
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY {strata_col}) AS n
+  FROM documents
+)
+SELECT doc_id, stratum,
+       CASE WHEN rn * 1000 <= n * {lo} THEN '{names[0]}'
+            WHEN rn * 1000 <= n * {hi} THEN '{names[1]}'
+            ELSE '{names[2]}' END AS split
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+def vocab_coverage_query(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: how much of each language's
+    token stream falls outside the top-``vocab_size`` corpus vocabulary (the synthetic corpus has ~31 distinct words, so the 20-word default leaves a real OOV tail at every SF)
+    (the OOV mass a fixed word-level vocab would leave to byte fallback).
+
+    Scale shape: the vocabulary is a partial-agged word count +
+    TakeOrdered(vocab_size) — a bounded frame BROADCAST to the token
+    stream (never a shuffle of the corpus against it); per-doc OOV
+    counts are one (doc, lang) groupBy; the language rollup is a
+    25-group aggregate. All integer arithmetic (milli-rates via div).
+    """
+    from ..operators.collocations import _words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_oov").alias("oov_tokens"),
+            F.sum((F.col("n_oov") == 0).cast("long")).alias("fully_covered"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "oov_tokens",
+            F.expr("oov_tokens * 1000 div total_tokens").alias("oov_milli"),
+            "fully_covered",
+        )
+        .orderBy("lang")
+    )
+
+
+def vocab_coverage_oracle_sql(vocab_size: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, w
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM toks GROUP BY 1
+  ) ORDER BY c DESC, w LIMIT {vocab_size}
+),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         count(*) AS n_toks,
+         sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_oov) AS BIGINT) AS oov_tokens,
+       CAST(sum(n_oov) AS BIGINT) * 1000
+         // CAST(sum(n_toks) AS BIGINT) AS oov_milli,
+       CAST(sum(CASE WHEN n_oov = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fully_covered
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""

@@ -1,0 +1,146 @@
+"""Semantic pins for the round-8 operators: collocation lift, exact
+stratified proportions, vocabulary coverage, CUSUM closed form, and the
+Spark-4 SQL surfaces (recursive CTE, pipe syntax)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.operators.collocations import pmi_collocations
+from faers_datalakehouse_spark.plans.analytics import cusum_changepoint
+from faers_datalakehouse_spark.plans.training_prep import (
+    proportional_split_query,
+    vocab_coverage_query,
+)
+
+
+def test_pmi_known_counts(spark):
+    # "a b" occurs in every doc; "c d" in one. N=6 bigrams total.
+    rows = [
+        (1, "a b c d"),  # bigrams: ab, bc, cd
+        (2, "a b x"),    # ab, bx
+        (3, "x a b"),    # xa, ab  -> wait: xa then ab
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(df, min_count=1, top_n=100).collect()
+    }
+    ab = got[("a", "b")]
+    # c_xy=3, N=7 bigrams (ab,bc,cd,ab,bx,xa,ab), c_a=3, c_b=3
+    assert ab["c_xy"] == 3 and ab["c_x"] == 3 and ab["c_y"] == 3
+    assert ab["lift"] == pytest.approx(3 * 7 / 9)
+    # rare pair keeps exact counts too
+    cd = got[("c", "d")]
+    assert cd["c_xy"] == 1 and cd["c_x"] == 1 and cd["c_y"] == 1
+    assert cd["lift"] == pytest.approx(7.0)
+
+
+def test_pmi_min_count_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["w1"], r["w2"])
+        for r in pmi_collocations(df, min_count=2, top_n=10).collect()
+    }
+    assert pairs == {("a", "b")}
+
+
+def test_proportional_split_exact_proportions(spark, sf_dir):
+    out = proportional_split_query(spark, sf_dir)
+    counts = (
+        out.groupBy("stratum")
+        .pivot("split", ["train", "val", "test"])
+        .count()
+        .fillna(0)
+        .collect()
+    )
+    for r in counts:
+        n = r["train"] + r["val"] + r["test"]
+        # rn*1000 <= n*800 gives exactly floor(n*0.8) etc.
+        assert r["train"] == n * 800 // 1000, r
+        assert r["train"] + r["val"] == n * 900 // 1000, r
+
+
+def test_proportional_split_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, proportional_split_query(spark, sf_dir).collect()))
+    b = sorted(map(tuple, proportional_split_query(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    rows = vocab_coverage_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["oov_milli"] <= 1000
+        assert r["oov_tokens"] <= r["total_tokens"]
+        assert r["fully_covered"] <= r["n_docs"]
+    # a vocab covering every word leaves zero OOV mass
+    full = vocab_coverage_query(spark, sf_dir, vocab_size=100000).collect()
+    assert all(r["oov_tokens"] == 0 for r in full)
+
+
+def test_cusum_closed_form_matches_recursion(spark, sf_dir):
+    """C_t = S_t - min(0, min_{i<=t} S_i) must equal the textbook
+    per-key recursion max(0, C_{t-1} + dev_t)."""
+    out = cusum_changepoint(spark, sf_dir).orderBy("status", "day").collect()
+    by_status: dict[str, list] = {}
+    for r in out:
+        by_status.setdefault(r["status"], []).append(r)
+    for status, rows in by_status.items():
+        xs = [r["x"] for r in rows]
+        mu0 = sum(xs) // len(xs)
+        c = 0
+        for r in rows:
+            dev = r["x"] - mu0 - mu0 // 2
+            c = max(0, c + dev)
+            assert r["cusum"] == c, (status, r["day"])
+            assert r["is_alarm"] == (c > mu0 * 2)
+
+
+def test_recursive_cte_reach_is_bfs(spark, sf_dir):
+    """min_hops must be consistent: every nation at hops h>0 has an
+    in-window predecessor at h-1 (BFS layering property)."""
+    import faers_datalakehouse_spark.plans.sql_features as SQ
+
+    rows = sorted(
+        map(tuple, SQ.recursive_cte_reach_query(spark, sf_dir).collect())
+    )
+    hops = dict(rows)
+    assert hops.get(0) == 0
+    assert all(h >= 0 for h in hops.values())
+    # layering: some node exists at every hop level up to the max
+    levels = sorted(set(hops.values()))
+    assert levels == list(range(len(levels)))
+
+
+def test_pipe_syntax_matches_dataframe_form(spark, sf_dir):
+    import faers_datalakehouse_spark.plans.sql_features as SQ
+
+    got = sorted(
+        map(tuple, SQ.pipe_syntax_trend_query(spark, sf_dir).collect())
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = sorted(
+        map(
+            tuple,
+            orders.filter(F.col("o_orderstatus") != "F")
+            .select(
+                F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                    "month"
+                ),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
