@@ -414,6 +414,15 @@ def _snm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.substring import (
+        fingerprint_containment,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint_containment(docs)
+
+
 def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faers_datalakehouse_spark.operators.collocations import (
         pmi_collocations,
@@ -851,6 +860,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": T.vocab_coverage_query,
         # CUSUM changepoint via closed-form running sum/min (no recursion)
         "cusum_changepoint": A.cusum_changepoint,
+        # asymmetric near-containment over winnowing fingerprint sets
+        # (df-capped equi-join on fingerprint hash — no all-pairs path)
+        "fingerprint_containment": _fingerprint_containment,
+        # robust per-group stats: clamp to exact discrete [p05, p95]
+        "winsorized_stats": A.winsorized_stats,
     }
 
 
@@ -909,11 +923,11 @@ _WINDOW = [
     "proportional_split",  # last driver check: never (new r8)
     "vocab_coverage",  # last driver check: never (new r8)
     "cusum_changepoint",  # last driver check: never (new r8)
+    "fingerprint_containment",  # last driver check: never (new r8)
+    "winsorized_stats",  # last driver check: never (new r8)
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
-    "unpivot_measures",  # last driver check: r4
-    "quantiles_by_group",  # last driver check: r4
 ]
 
 
@@ -934,6 +948,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from faers_datalakehouse_spark.operators.expectations import (
         audit_oracle_sql,
+    )
+    from faers_datalakehouse_spark.operators.substring import (
+        fingerprint_containment_oracle_sql,
     )
     from faers_datalakehouse_spark.operators.dedup import snm_oracle_sql
     from faers_datalakehouse_spark.operators.graph import triangle_oracle_sql
@@ -1205,6 +1222,8 @@ def oracle_sql() -> dict[str, str]:
         "proportional_split": T.proportional_split_oracle_sql(),
         "vocab_coverage": T.vocab_coverage_oracle_sql(),
         "cusum_changepoint": A.CUSUM_CHANGEPOINT_SQL,
+        "fingerprint_containment": fingerprint_containment_oracle_sql(),
+        "winsorized_stats": A.WINSORIZED_STATS_SQL,
     }
 
 

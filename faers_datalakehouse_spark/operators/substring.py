@@ -270,3 +270,125 @@ ORDER BY doc_id, pos
 
 def winnowing_oracle_sql(k: int = 5, w: int = 4) -> str:
     return WINNOWING_SQL_TEMPLATE.format(term_re=TERM_RE, k=k, w=w)
+
+
+def fingerprint_containment(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    threshold_milli: int = 300,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-containment detection: pairs where the smaller
+    document's winnowing fingerprints are substantially shared by the
+    larger — the "tweet inside a book" duplication class that Jaccard
+    misses entirely (containment 1.0 can coexist with Jaccard ~0, so a
+    Jaccard-threshold candidate filter has no recall guarantee here).
+
+    Score: ``containment_milli = shared * 1000 div min(|fp(A)|, |fp(B)|)``
+    over the documents' DISTINCT fingerprint-hash sets (positions
+    dropped). Fingerprints with document frequency > ``max_df`` are
+    excluded from pair GENERATION and the shared count — a common-phrase
+    fingerprint seen in hundreds of documents carries no containment
+    signal but would create a quadratic hub in the self-join; the
+    denominator stays the TRUE fingerprint-set size. The oracle applies
+    the identical rule, so the cut is semantics, not approximation
+    drift.
+
+    Scale shape: winnowing keeps ~2/(w+1) of window hashes; the pair
+    generator is an equi-join on fingerprint hash whose per-key fan-out
+    is bounded by ``max_df`` BY CONSTRUCTION (<= max_df^2/2 pairs per
+    hash); shared counts are a partial-agged groupBy on (id_a, id_b);
+    sizes join back on id. No all-pairs path at any scale.
+
+    Reference scope: extends the dedup family (``operators/dedup.py``,
+    ``duplicated_window_spans``) — no counterpart in the reference.
+    """
+    fp = winnowing_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    )
+    sets_ = fp.select("doc_id", "fhash").distinct()
+    sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    fdf = sets_.groupBy("fhash").agg(F.count(F.lit(1)).alias("_fdf"))
+    keep = (
+        sets_.join(fdf, "fhash").filter(F.col("_fdf") <= max_df)
+        .select("doc_id", "fhash")
+    )
+    shared = (
+        keep.alias("a")
+        .join(
+            keep.alias("b"),
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("n_shared * 1000 div least(n_a, n_b)").alias(
+                "containment_milli"
+            ),
+        )
+    )
+    return out.filter(
+        F.col("containment_milli") >= threshold_milli
+    ).orderBy("id_a", "id_b")
+
+
+def fingerprint_containment_oracle_sql(
+    k: int = 5,
+    w: int = 4,
+    threshold_milli: int = 300,
+    max_df: int = 50,
+) -> str:
+    return f"""
+WITH fps AS ({winnowing_oracle_sql(k=k, w=w)}),
+sets AS (SELECT DISTINCT doc_id, fhash FROM fps),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM sets GROUP BY 1),
+fdf AS (SELECT fhash, count(*) AS f FROM sets GROUP BY 1),
+keep AS (
+  SELECT s.doc_id, s.fhash
+  FROM sets s JOIN fdf USING (fhash) WHERE fdf.f <= {max_df}
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM keep a JOIN keep b
+    ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n_fp AS BIGINT) AS n_a,
+       CAST(sb.n_fp AS BIGINT) AS n_b,
+       CAST(s.n_shared AS BIGINT) * 1000
+         // least(sa.n_fp, sb.n_fp) AS containment_milli
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE CAST(s.n_shared AS BIGINT) * 1000 // least(sa.n_fp, sb.n_fp)
+      >= {threshold_milli}
+ORDER BY s.id_a, s.id_b
+"""

@@ -1544,6 +1544,111 @@ ORDER BY status, day
 """
 
 
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: clamp order values to the exact
+    [p05, p95] discrete quantiles of their priority tier, then aggregate
+    — the robust-mean pattern for heavy-tailed measures.
+
+    Exactness: quantile bounds are the values at sorted positions
+    ``ceil(n * p)`` (integer milli arithmetic, so the cut position is
+    identical cross-engine; the value at a position is well-defined
+    under ties). Everything downstream is int64 cents.
+
+    Scale shape: ONE keyed window pass (row_number + count over the
+    group) feeds a 2-rows-per-group bounds frame; bounds BROADCAST back
+    onto a fresh scan for the clamp+aggregate (map-side partial agg).
+    The per-group sort is the same cost any exact per-group quantile
+    carries; nothing is single-partition and nothing collects.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        cents("o_totalprice").alias("v"),
+    )
+    w = Window.partitionBy("priority").orderBy("v")
+    grp = Window.partitionBy("priority")
+    ranked = base.select(
+        "priority",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n * 50 + 999) div 1000"))
+            | (F.col("rn") == F.expr("(n * 950 + 999) div 1000"))
+        )
+        .groupBy("priority")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    clamped = base.join(F.broadcast(bounds), "priority").select(
+        "priority",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")).alias("cv"),
+        (F.col("v") < F.col("lo")).cast("long").alias("clip_lo"),
+        (F.col("v") > F.col("hi")).cast("long").alias("clip_hi"),
+    )
+    return (
+        clamped.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("lo").alias("lo_cents"),
+            F.first("hi").alias("hi_cents"),
+            F.sum("cv").alias("winsorized_sum_cents"),
+            F.sum("clip_lo").alias("n_clipped_lo"),
+            F.sum("clip_hi").alias("n_clipped_hi"),
+        )
+        .select(
+            "priority",
+            "n",
+            "lo_cents",
+            "hi_cents",
+            "winsorized_sum_cents",
+            F.expr("winsorized_sum_cents div n").alias("winsorized_mean_cents"),
+            "n_clipped_lo",
+            "n_clipped_hi",
+        )
+        .orderBy("priority")
+    )
+
+
+WINSORIZED_STATS_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), ranked AS (
+  SELECT priority, v,
+         row_number() OVER (PARTITION BY priority ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY priority) AS n
+  FROM base
+), bounds AS (
+  SELECT priority, min(v) AS lo, max(v) AS hi
+  FROM ranked
+  WHERE rn = (n * 50 + 999) // 1000 OR rn = (n * 950 + 999) // 1000
+  GROUP BY priority
+), clamped AS (
+  SELECT b.priority, bo.lo, bo.hi,
+         least(greatest(b.v, bo.lo), bo.hi) AS cv,
+         CASE WHEN b.v < bo.lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN b.v > bo.hi THEN 1 ELSE 0 END AS clip_hi
+  FROM base b JOIN bounds bo ON b.priority = bo.priority
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(lo) AS BIGINT) AS lo_cents,
+       CAST(min(hi) AS BIGINT) AS hi_cents,
+       CAST(sum(cv) AS BIGINT) AS winsorized_sum_cents,
+       CAST(sum(cv) AS BIGINT) // count(*) AS winsorized_mean_cents,
+       CAST(sum(clip_lo) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(clip_hi) AS BIGINT) AS n_clipped_hi
+FROM clamped
+GROUP BY priority
+ORDER BY priority
+"""
+
+
 def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier (skyline) of parts: minimize price, maximize
     size — the "best tradeoff set" operator.

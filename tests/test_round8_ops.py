@@ -16,11 +16,11 @@ from faers_datalakehouse_spark.plans.training_prep import (
 
 
 def test_pmi_known_counts(spark):
-    # "a b" occurs in every doc; "c d" in one. N=6 bigrams total.
+    # bigram multiset: ab, bc, cd | ab, bx | xa, ab  -> N = 7
     rows = [
-        (1, "a b c d"),  # bigrams: ab, bc, cd
-        (2, "a b x"),    # ab, bx
-        (3, "x a b"),    # xa, ab  -> wait: xa then ab
+        (1, "a b c d"),
+        (2, "a b x"),
+        (3, "x a b"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
@@ -144,3 +144,56 @@ def test_pipe_syntax_matches_dataframe_form(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_fingerprint_containment_detects_embedded_doc(spark):
+    from faers_datalakehouse_spark.operators.substring import (
+        fingerprint_containment,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, core),  # small doc
+        (2, "prefix words here " + core + " and a long suffix tail of text"),
+        (3, "totally unrelated content about something else entirely now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_milli"]
+        for r in fingerprint_containment(
+            df, threshold_milli=500, max_df=10
+        ).collect()
+    }
+    # doc 1's fingerprints must be (near-)fully contained in doc 2
+    assert got.get((1, 2), 0) >= 500
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_winsorized_stats_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from faers_datalakehouse_spark.plans.analytics import winsorized_stats
+
+    got = {r["priority"]: r for r in winsorized_stats(spark, sf_dir).collect()}
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_p: dict[str, list[int]] = {}
+    for r in orders:
+        by_p.setdefault(r["o_orderpriority"], []).append(
+            int(round(r["o_totalprice"] * 100))
+        )
+    for p, vs in by_p.items():
+        vs.sort()
+        n = len(vs)
+        lo = vs[math.ceil(n * 0.05) - 1]
+        hi = vs[math.ceil(n * 0.95) - 1]
+        r = got[p]
+        assert (r["lo_cents"], r["hi_cents"]) == (lo, hi), p
+        assert r["winsorized_sum_cents"] == sum(
+            min(max(v, lo), hi) for v in vs
+        )
+        assert r["n_clipped_lo"] == sum(1 for v in vs if v < lo)
+        assert r["n_clipped_hi"] == sum(1 for v in vs if v > hi)

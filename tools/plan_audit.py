@@ -122,7 +122,10 @@ def audit_plan(plan: str) -> dict:
         # appear in a FINAL plan, which is why the audit session runs
         # with AQE off (static plan == final plan, no execution needed)
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", plan))),
-        "scans": plan.count("FileScan parquet") + plan.count("Scan parquet"),
+        # "Scan parquet" alone would double-count every "FileScan parquet"
+        # line (substring); the lookbehind keeps only DSv2-style scans
+        "scans": plan.count("FileScan parquet")
+        + len(re.findall(r"(?<!File)Scan parquet", plan)),
         "has_pushed_filters": "PushedFilters: [" in plan
         and bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "cartesian": plan.count("CartesianProduct"),
