@@ -154,11 +154,13 @@ from faers_datalakehouse_spark.operators.source_overlap import (
     source_overlap_oracle_sql,
     source_overlap_query,
 )
+from faers_datalakehouse_spark.operators.drift import ks_drift_oracle_sql
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
     bfs_oracle_sql,
     pagerank_lite,
     pagerank_oracle_sql,
+    sssp_oracle_sql,
 )
 from faers_datalakehouse_spark.operators.timeseries import (
     gap_fill_daily,
@@ -412,6 +414,46 @@ def _snm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         docs, "lang", window=4, prefix_len=32, max_distance=10
     )
+
+
+SSSP_SOURCES = [1, 2]
+SSSP_ROUNDS = 3
+# supplier -> customer lanes weighted by |ship lag| days (+1 so weights are
+# strictly positive); reverse edges close the bipartite cycle so multi-hop
+# relaxation is meaningful. Customer node ids are offset by 1_000_000 to
+# keep the two key spaces disjoint.
+SSSP_EDGES_INNER_SQL = """
+SELECT l.l_suppkey AS s, o.o_custkey + 1000000 AS c,
+       abs(date_diff('day', o.o_orderdate, l.l_shipdate)) + 1 AS w
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+SSSP_EDGES_SQL = (
+    f"SELECT s AS src, c AS dst, w FROM ({SSSP_EDGES_INNER_SQL}) "
+    f"UNION ALL SELECT c AS src, s AS dst, w FROM ({SSSP_EDGES_INNER_SQL})"
+)
+
+
+def _sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.graph import sssp_weighted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("o_custkey") + 1_000_000).alias("c"),
+        (F.abs(F.datediff("l_shipdate", "o_orderdate")) + 1).alias("w"),
+    )
+    edges = pairs.selectExpr("s AS src", "c AS dst", "w").unionByName(
+        pairs.selectExpr("c AS src", "s AS dst", "w")
+    )
+    return sssp_weighted(edges, SSSP_SOURCES, rounds=SSSP_ROUNDS)
+
+
+def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.drift import ks_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ks_drift(docs, "source", "n_chars")
 
 
 def _fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,6 +907,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_containment": _fingerprint_containment,
         # robust per-group stats: clamp to exact discrete [p05, p95]
         "winsorized_stats": A.winsorized_stats,
+        # bounded Bellman-Ford over the weighted supplier<->customer graph
+        "sssp_weighted": _sssp_weighted,
+        # per-source KS drift of doc length vs the corpus (micro-CDF grid)
+        "ks_drift": _ks_drift,
     }
 
 
@@ -925,9 +971,9 @@ _WINDOW = [
     "cusum_changepoint",  # last driver check: never (new r8)
     "fingerprint_containment",  # last driver check: never (new r8)
     "winsorized_stats",  # last driver check: never (new r8)
+    "sssp_weighted",  # last driver check: never (new r8)
+    "ks_drift",  # last driver check: never (new r8)
     "customer_retention_setops",  # last driver check: r4
-    "kmeans_clusters",  # last driver check: r4
-    "semantic_neardup",  # last driver check: r4
 ]
 
 
@@ -1224,6 +1270,10 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": A.CUSUM_CHANGEPOINT_SQL,
         "fingerprint_containment": fingerprint_containment_oracle_sql(),
         "winsorized_stats": A.WINSORIZED_STATS_SQL,
+        "sssp_weighted": sssp_oracle_sql(
+            SSSP_EDGES_SQL, SSSP_SOURCES, rounds=SSSP_ROUNDS
+        ),
+        "ks_drift": ks_drift_oracle_sql("documents", "source", "n_chars"),
     }
 
 

@@ -161,6 +161,20 @@ BENCH_QUERIES = {
     "q80_weighted_quantiles": ("collect", "weighted_quantiles"),
     "q81_cdc_apply_seq": ("count", "cdc_apply_seq"),
     "q82_incr_sessionize": ("count", "incremental_sessionize"),
+    # Round-8 additions: collocation mining, exact stratified split,
+    # vocab OOV audit, CUSUM changepoints, fingerprint containment,
+    # winsorized robust stats, and the two Spark-4 SQL surfaces
+    # (recursive CTE, pipe syntax). Keys q1-q82 unchanged.
+    "q83_pmi_collocations": ("collect", "pmi_collocations"),
+    "q84_proportional_split": ("count", "proportional_split"),
+    "q85_vocab_coverage": ("collect", "vocab_coverage"),
+    "q86_cusum": ("count", "cusum_changepoint"),
+    "q87_fp_containment": ("count", "fingerprint_containment"),
+    "q88_winsorized": ("collect", "winsorized_stats"),
+    "q89_recursive_reach": ("collect", "recursive_cte_reach"),
+    "q90_pipe_trend": ("collect", "pipe_syntax_trend"),
+    "q91_sssp": ("count", "sssp_weighted"),
+    "q92_ks_drift": ("collect", "ks_drift"),
 }
 
 

@@ -197,3 +197,56 @@ def test_winsorized_stats_matches_bruteforce(spark, sf_dir):
         )
         assert r["n_clipped_lo"] == sum(1 for v in vs if v < lo)
         assert r["n_clipped_hi"] == sum(1 for v in vs if v > hi)
+
+
+def test_sssp_known_graph(spark):
+    from faers_datalakehouse_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10), (1, 3, 1), (3, 2, 2),   # 1->2 direct 10, via 3: 3
+            (2, 4, 1), (5, 6, 1),               # 5,6 unreachable from 1
+        ],
+        "src long, dst long, w long",
+    )
+    got = dict(
+        (r["node"], r["dist"])
+        for r in sssp_weighted(edges, [1], rounds=3).collect()
+    )
+    assert got == {1: 0, 3: 1, 2: 3, 4: 4}
+
+
+def test_sssp_rounds_bound(spark):
+    from faers_datalakehouse_spark.operators.graph import sssp_weighted
+
+    # chain 1->2->3->4: with rounds=2 node 4 is not yet settled
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, w long"
+    )
+    got = dict(
+        (r["node"], r["dist"])
+        for r in sssp_weighted(edges, [1], rounds=2).collect()
+    )
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_ks_drift_detects_shifted_slice(spark):
+    from faers_datalakehouse_spark.operators.drift import ks_drift
+
+    rows = [("same", v) for v in range(100)]
+    rows += [("shifted", v + 90) for v in range(100)]
+    df = spark.createDataFrame(rows, "slice string, v long")
+    got = {r["slice"]: r["ks_micro"] for r in ks_drift(df, "slice", "v").collect()}
+    # each slice is half the corpus; a disjoint-support slice has KS vs
+    # corpus of ~0.5, identical for both by symmetry
+    assert got["shifted"] > 400_000
+    assert abs(got["shifted"] - got["same"]) <= 10_000
+
+
+def test_ks_drift_zero_for_identical(spark):
+    from faers_datalakehouse_spark.operators.drift import ks_drift
+
+    rows = [(s, v) for s in ("a", "b") for v in range(50)]
+    df = spark.createDataFrame(rows, "slice string, v long")
+    got = {r["slice"]: r["ks_micro"] for r in ks_drift(df, "slice", "v").collect()}
+    assert got == {"a": 0, "b": 0}
