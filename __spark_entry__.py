@@ -911,6 +911,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": _sssp_weighted,
         # per-source KS drift of doc length vs the corpus (micro-CDF grid)
         "ks_drift": _ks_drift,
+        # streaming trending-items: watermarked daily window counts ->
+        # idempotent overwrite sink -> top-k over the bounded day frame
+        "streaming_topk": S.streaming_topk_query,
     }
 
 
@@ -973,7 +976,7 @@ _WINDOW = [
     "winsorized_stats",  # last driver check: never (new r8)
     "sssp_weighted",  # last driver check: never (new r8)
     "ks_drift",  # last driver check: never (new r8)
-    "customer_retention_setops",  # last driver check: r4
+    "streaming_topk",  # last driver check: never (new r8)
 ]
 
 
@@ -1274,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
             SSSP_EDGES_SQL, SSSP_SOURCES, rounds=SSSP_ROUNDS
         ),
         "ks_drift": ks_drift_oracle_sql("documents", "source", "n_chars"),
+        "streaming_topk": S.STREAMING_TOPK_SQL,
     }
 
 

@@ -2866,3 +2866,82 @@ SELECT k + 1000000 AS k, 'NEWKEY' AS prio, cents,
 FROM base WHERE k % 13 = 0
 ORDER BY k
 """
+
+
+def streaming_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-items: tumbling daily windows of event-type
+    counts maintained by Structured Streaming state, finished with a
+    top-k pass over the (bounded) window frame — the "what's hot today"
+    dashboard feed.
+
+    events parquet -> readStream (availableNow) -> watermarked 1-day
+    ``window()`` counts per event type (``windowed_event_aggregate``) ->
+    foreachBatch overwrite sink (complete mode: the finite replay emits
+    every window's final state; overwrite keeps the sink idempotent
+    under micro-batch replay) -> read back -> row_number <= k per day
+    over the days x types frame (bounded: |days| * |event types| rows,
+    never the event stream). Oracle: the identical batch GROUP BY +
+    window rank."""
+    import os
+    import shutil
+
+    from ..streaming.events import (
+        stream_events_from_dir,
+        windowed_event_aggregate,
+    )
+
+    root = stream_scratch_dir("spark_graft_stream_topk_")
+    landing = f"{root}/landing"
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stream = stream_events_from_dir(spark, landing)
+    agg = windowed_event_aggregate(
+        stream, window="1 day", watermark="1 hour"
+    ).select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+    )
+    out_dir = f"{root}/topk"
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    sink = spark.read.parquet(out_dir)
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("day", "event_type", "n_events", "rk")
+        .orderBy("day", "rk")
+    )
+
+
+STREAMING_TOPK_SQL = """
+WITH counts AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT day, event_type, n_events,
+         CAST(row_number() OVER (
+           PARTITION BY day ORDER BY n_events DESC, event_type
+         ) AS INTEGER) AS rk
+  FROM counts
+)
+SELECT day, event_type, n_events, rk
+FROM ranked WHERE rk <= 2
+ORDER BY day, rk
+"""

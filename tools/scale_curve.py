@@ -97,6 +97,21 @@ OPS = [
     "twap_daily",
     "source_minhash",
     "distinctive_terms",
+    # round-8 operators: collocation mining (bigram/unigram count
+    # shuffles + vocab joins), fingerprint containment (df-capped
+    # fingerprint equi-join), exact stratified split (keyed windows),
+    # vocab OOV audit (bounded vocab broadcast), CUSUM (keyed windows
+    # over day series), winsorize (keyed window + bounds broadcast),
+    # KS drift (grid-bounded CDF windows). The documents generator
+    # perturbs text per copy, so fingerprint/bigram vocab grows with
+    # the corpus and the probes stress real growth.
+    "pmi_collocations",
+    "fingerprint_containment",
+    "proportional_split",
+    "vocab_coverage",
+    "cusum_changepoint",
+    "winsorized_stats",
+    "ks_drift",
 ]
 
 
@@ -247,6 +262,13 @@ COLLECT_OPS = {
     "priority_sample",
     "twap_daily",
     "ohlc_bars",
+    # small-output r8 ops: count() would let Catalyst prune the scoring
+    # columns and with them the operator's whole cost (the round-7
+    # source_minhash lesson)
+    "pmi_collocations",
+    "vocab_coverage",
+    "winsorized_stats",
+    "ks_drift",
 }
 
 
