@@ -33,6 +33,9 @@ ALLOWED_NESTED_LOOP = {
     "key_skew_profile",  # 1-row grand-total broadcast onto the top-N frame
     "basket_pairs",      # 1-row n_baskets broadcast onto the pair frame
     "source_minhash",    # |sources|-row signature frame self-pairing
+    "pmi_collocations",  # 1-row bigram-total broadcast onto the pair counts
+    "ks_drift",          # |slices| x |value domain| CDF grid expansion —
+                         # both sides aggregates, bounded by construction
 }
 
 
