@@ -926,6 +926,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # land (never-checked ranks ahead of r4 in the derivation).
 # Generated by: python tools/gen_window.py  (asserted in
 # tests/test_entry_contract.py — do not hand-edit without re-running it).
+#
+# _WINDOW_BASIS pins the CORRECTNESS artifacts this window was derived
+# from: the driver writes the CURRENT round's artifact before the judge
+# runs pytest, and an unpinned derivation would shift under the
+# checked-in list mid-round. Regenerate window + basis together each
+# session (gen_window prints both).
+_WINDOW_BASIS = [
+    "CORRECTNESS_r01.json",
+    "CORRECTNESS_r02.json",
+    "CORRECTNESS_r03.json",
+    "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
+]
 _WINDOW = [
     "distinctive_terms",  # last driver check: never
     "rolling_hll",  # last driver check: never

