@@ -114,18 +114,45 @@ def recursive_cte_reach_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 5`` depth guard. The outer min() collapses the path multiset to
     shortest-hop distances — classic BFS-via-recursion, here exercising
     the SQL engine surface itself (the DataFrame twin is
-    ``operators.graph.bfs_distances``)."""
+    ``operators.graph.bfs_distances``).
+
+    The edge list is MATERIALIZED before the recursion: Spark's
+    UnionLoop re-executes the recursive branch's whole subtree per
+    iteration, so leaving the 3-join edge derivation inside the CTE
+    re-runs the fact-table joins once per hop — a wash at sf0.1 (the
+    loop's own ~0.9 s/iteration job-scheduling fixed cost dominates
+    locally; measured: recursion over a 3-row local edge table still
+    takes ~3 s) but catastrophic at 100 TB, where each re-derivation is
+    a full fact-table join. The post-aggregation edge frame is bounded
+    by the nation-key domain (top-2 lanes per source -> <= 50 rows at
+    ANY corpus scale), so collecting it to a local relation is the
+    repo's standard bounded collect, not a data-proportional one.
+    DuckDB materializes CTEs by default, so the single-statement oracle
+    is unaffected."""
     for t in ("lineitem", "orders", "customer", "supplier"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
             f"{t}_rec_v"
         )
-    return spark.sql(RECURSIVE_REACH_BODY.format(suffix="_rec_v"))
+    edge_rows = spark.sql(
+        RECURSIVE_REACH_EDGES_BODY.format(suffix="_rec_v")
+    ).collect()
+    edges_local = spark.createDataFrame(
+        [(int(r["src"]), int(r["dst"])) for r in edge_rows] or [(-1, -1)],
+        "src long, dst long",
+    )
+    edges_local.createOrReplaceTempView("trade_edges_rec_v")
+    return spark.sql(
+        RECURSIVE_REACH_RECURSION_BODY.format(edges="trade_edges_rec_v")
+    )
 
 
 # shared body: identical SQL runs on both engines (tables differ only by
 # the view suffix; DuckDB reads the bare names)
-RECURSIVE_REACH_BODY = """
-WITH RECURSIVE all_edges AS (
+# edge derivation (shared semantics): top-2 outgoing lanes per source
+# nation (deterministic tie-break) over the src < dst trade DAG — a
+# sparse, scale-invariant graph where multi-hop reach matters
+RECURSIVE_REACH_EDGES_BODY = """
+WITH all_edges AS (
   SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
          count(*) AS n_ship
   FROM lineitem{suffix} l
@@ -134,17 +161,34 @@ WITH RECURSIVE all_edges AS (
   JOIN supplier{suffix} s ON l.l_suppkey = s.s_suppkey
   WHERE s.s_nationkey < c.c_nationkey
   GROUP BY 1, 2
-),
-edges AS (
-  -- top-2 outgoing lanes per source nation (deterministic tie-break):
-  -- a sparse DAG, scale-invariant semantics, multi-hop reach matters
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY src ORDER BY n_ship DESC, dst)
-             AS rk
-    FROM all_edges
-  ) WHERE rk <= 2
-),
+)
+SELECT src, dst FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY n_ship DESC, dst)
+           AS rk
+  FROM all_edges
+) WHERE rk <= 2
+"""
+
+# the recursion itself, over any (src, dst) edge relation
+RECURSIVE_REACH_RECURSION_BODY = """
+WITH RECURSIVE reach(nation, hops) AS (
+  SELECT CAST(0 AS BIGINT) AS nation, CAST(0 AS BIGINT) AS hops
+  UNION ALL
+  SELECT CAST(e.dst AS BIGINT), r.hops + 1
+  FROM reach r JOIN {edges} e ON e.src = r.nation
+  WHERE r.hops < 5
+)
+SELECT nation, CAST(min(hops) AS BIGINT) AS min_hops
+FROM reach
+GROUP BY nation
+ORDER BY nation
+"""
+
+# DuckDB oracle: one statement with the edge CTE inline (DuckDB
+# materializes CTEs, so its recursion does NOT re-derive the edges)
+RECURSIVE_REACH_SQL = f"""
+WITH RECURSIVE edges AS ({RECURSIVE_REACH_EDGES_BODY.format(suffix="")}),
 reach(nation, hops) AS (
   SELECT CAST(0 AS BIGINT) AS nation, CAST(0 AS BIGINT) AS hops
   UNION ALL
@@ -157,8 +201,6 @@ FROM reach
 GROUP BY nation
 ORDER BY nation
 """
-
-RECURSIVE_REACH_SQL = RECURSIVE_REACH_BODY.format(suffix="")
 
 
 def pipe_syntax_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
