@@ -154,6 +154,7 @@ from faers_datalakehouse_spark.operators.source_overlap import (
     source_overlap_oracle_sql,
     source_overlap_query,
 )
+from faers_datalakehouse_spark.operators.coreset import kcenter_oracle_sql
 from faers_datalakehouse_spark.operators.drift import ks_drift_oracle_sql
 from faers_datalakehouse_spark.operators.graph import (
     bfs_distances,
@@ -447,6 +448,13 @@ def _sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("c AS src", "s AS dst", "w")
     )
     return sssp_weighted(edges, SSSP_SOURCES, rounds=SSSP_ROUNDS)
+
+
+def _kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.coreset import kcenter_coreset
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_coreset(emb, k=6)
 
 
 def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,6 +922,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming trending-items: watermarked daily window counts ->
         # idempotent overwrite sink -> top-k over the bounded day frame
         "streaming_topk": S.streaming_topk_query,
+        # greedy k-center coreset (diversity exemplars, exact quantized L2)
+        "kcenter_coreset": _kcenter_coreset,
     }
 
 
@@ -1293,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ks_drift": ks_drift_oracle_sql("documents", "source", "n_chars"),
         "streaming_topk": S.STREAMING_TOPK_SQL,
+        "kcenter_coreset": kcenter_oracle_sql(k=6),
     }
 
 

@@ -175,6 +175,7 @@ BENCH_QUERIES = {
     "q90_pipe_trend": ("collect", "pipe_syntax_trend"),
     "q91_sssp": ("count", "sssp_weighted"),
     "q92_ks_drift": ("collect", "ks_drift"),
+    "q93_kcenter": ("collect", "kcenter_coreset"),
 }
 
 

@@ -250,3 +250,32 @@ def test_ks_drift_zero_for_identical(spark):
     df = spark.createDataFrame(rows, "slice string, v long")
     got = {r["slice"]: r["ks_micro"] for r in ks_drift(df, "slice", "v").collect()}
     assert got == {"a": 0, "b": 0}
+
+
+def test_kcenter_coreset_properties(spark, sf_dir):
+    from faers_datalakehouse_spark.operators.coreset import kcenter_coreset
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = kcenter_coreset(emb, k=5).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 5  # no exemplar picked twice
+    radii = [r["d2_prev"] for r in rows[1:]]
+    # greedy farthest-point radii are non-increasing
+    assert radii == sorted(radii, reverse=True)
+    assert all(r > 0 for r in radii)
+
+
+def test_kcenter_known_points(spark):
+    from faers_datalakehouse_spark.operators.coreset import kcenter_coreset
+
+    # 1-D line: seed at min id (x=0.0); farthest is x=1.0; then x=0.5
+    rows = [
+        (0, [0.0]), (1, [0.1]), (2, [0.5]), (3, [1.0]), (4, [0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["rank"], r["vec_id"], r["d2_prev"])
+        for r in kcenter_coreset(df, k=3).orderBy("rank").collect()
+    ]
+    assert got == [(1, 0, 0), (2, 3, 1000 * 1000), (3, 2, 500 * 500)]
