@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from faers_datalakehouse_spark.operators.dedup import (
     DEDUP_EXACT_SQL,
+    minhash_estimate_error,
+    minhash_estimate_error_oracle_sql,
     NGRAM_JACCARD_SQL_TEMPLATE,
     dedup_exact,
     minhash_lsh_oracle_sql,
@@ -924,6 +926,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": S.streaming_topk_query,
         # greedy k-center coreset (diversity exemplars, exact quantized L2)
         "kcenter_coreset": _kcenter_coreset,
+        # MinHash quality harness: estimated vs exact Jaccard per candidate
+        "minhash_est_error": _docs(minhash_estimate_error),
     }
 
 
@@ -1304,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": ks_drift_oracle_sql("documents", "source", "n_chars"),
         "streaming_topk": S.STREAMING_TOPK_SQL,
         "kcenter_coreset": kcenter_oracle_sql(k=6),
+        "minhash_est_error": minhash_estimate_error_oracle_sql(),
     }
 
 

@@ -176,6 +176,7 @@ BENCH_QUERIES = {
     "q91_sssp": ("count", "sssp_weighted"),
     "q92_ks_drift": ("collect", "ks_drift"),
     "q93_kcenter": ("collect", "kcenter_coreset"),
+    "q94_minhash_est": ("collect", "minhash_est_error"),
 }
 
 

@@ -806,3 +806,194 @@ def snm_oracle_sql(
         max_distance=max_distance,
         per_offset_selects=selects,
     )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash quality harness: estimated vs exact Jaccard on the LSH
+    candidate pairs — the ``ann_recall``/``pq_recall`` pattern applied to
+    the dedup stack, so the signature length / band tradeoff is a
+    measured number, not folklore. For each candidate pair:
+    ``est_milli`` = matching signature components * 1000 div num_hashes
+    (the unbiased MinHash estimator), ``exact_milli`` = exact Jaccard on
+    the hashed shingle sets, ``err_milli`` = |est - exact|.
+
+    Scale shape: identical to ``minhash_lsh_pairs`` (whose band join
+    generates the pairs) plus one equi-join of the bounded candidate set
+    against the signature frame per side; the component-match count is a
+    ``zip_with`` over two num_hashes-length arrays. Portable md5 hashing
+    end-to-end -> every column is bit-identical in DuckDB.
+    """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
+    rows = num_hashes // bands
+    params = _minhash_params(num_hashes, seed)
+    hashed = fan_out(df, id_col).select(
+        F.col(id_col).alias("id"),
+        word_shingle_hashes(F.col(text_col), ngram, portable=True).alias(
+            "hashes"
+        ),
+    ).persist()
+    sig_sql = "array(" + ",".join(
+        f"array_min(transform(hashes, h -> pmod({a}L * h + {b}L,"
+        f" {MERSENNE_P}L)))"
+        for a, b in params
+    ) + ")"
+    sigd = hashed.select("id", "hashes", F.expr(sig_sql).alias("sig"))
+    banded = sigd.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: _md5_hash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        "-",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = sigd.select(
+        F.col("id").alias("id_a"),
+        F.col("hashes").alias("h_a"),
+        F.col("sig").alias("s_a"),
+    )
+    b = sigd.select(
+        F.col("id").alias("id_b"),
+        F.col("hashes").alias("h_b"),
+        F.col("sig").alias("s_b"),
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size("h_a") + F.size("h_b") - inter
+    matches = F.size(
+        F.filter(F.zip_with("s_a", "s_b", lambda x, y: x == y), lambda t: t)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("long") * 1000).alias("_m1000"),
+            (inter.cast("long") * 1000).alias("_i1000"),
+            union.cast("long").alias("_u"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"_m1000 div {num_hashes}").alias("est_milli"),
+            F.expr("_i1000 div _u").alias("exact_milli"),
+        )
+        .withColumn(
+            "err_milli", F.abs(F.col("est_milli") - F.col("exact_milli"))
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_estimate_error_oracle_sql(
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``minhash_estimate_error`` — the
+    ``minhash_lsh_oracle_sql`` pipeline with the signature-component
+    match count emitted alongside exact Jaccard, all integer milli."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
+    rows = num_hashes // bands
+    params = _minhash_params(num_hashes, seed)
+    p = MERSENNE_P
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {p})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, ('0x' || substr(md5({concat}), 1, 15))::BIGINT"
+        " AS band_hash FROM sig".format(
+            b=b,
+            concat=" || '-' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+sh AS (
+  SELECT id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - {ngram - 1}, 1)),
+           i -> ('0x' || substr(md5(
+                  array_to_string(list_slice(words, i, i + {ngram - 1}), ' ')
+                ), 1, 15))::BIGINT % {p})) AS hashes
+  FROM docs
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM sh
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(({match_sum}) AS BIGINT) * 1000 // {num_hashes} AS est_milli,
+         CAST(len(list_intersect(ha.hashes, hb.hashes)) AS BIGINT) * 1000
+           // (len(ha.hashes) + len(hb.hashes)
+               - len(list_intersect(ha.hashes, hb.hashes))) AS exact_milli
+  FROM cand c
+  JOIN sig sa ON c.id_a = sa.id
+  JOIN sig sb ON c.id_b = sb.id
+  JOIN sh ha ON c.id_a = ha.id
+  JOIN sh hb ON c.id_b = hb.id
+)
+SELECT id_a, id_b, est_milli, exact_milli,
+       abs(est_milli - exact_milli) AS err_milli
+FROM scored
+ORDER BY id_a, id_b
+"""

@@ -279,3 +279,28 @@ def test_kcenter_known_points(spark):
         for r in kcenter_coreset(df, k=3).orderBy("rank").collect()
     ]
     assert got == [(1, 0, 0), (2, 3, 1000 * 1000), (3, 2, 500 * 500)]
+
+
+def test_minhash_estimator_statistics(spark, sf_dir):
+    """The MinHash estimator over 64 permutations should track exact
+    Jaccard within a few std errors on every candidate (sigma ~ 62 milli
+    at J=0.5), and identical docs must estimate exactly 1000."""
+    from faers_datalakehouse_spark.operators.dedup import (
+        minhash_estimate_error,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = minhash_estimate_error(docs).collect()
+    assert rows, "LSH candidates expected in the synthetic corpus"
+    for r in rows:
+        assert 0 <= r["est_milli"] <= 1000
+        assert r["err_milli"] == abs(r["est_milli"] - r["exact_milli"])
+        assert r["err_milli"] <= 250, dict(r.asDict())
+    dup = spark.createDataFrame(
+        [(1, "the same exact text here repeated"),
+         (2, "the same exact text here repeated")],
+        ["doc_id", "text"],
+    )
+    d = minhash_estimate_error(dup).collect()
+    assert len(d) == 1 and d[0]["est_milli"] == 1000
+    assert d[0]["exact_milli"] == 1000 and d[0]["err_milli"] == 0
