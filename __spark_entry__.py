@@ -72,7 +72,12 @@ from faers_datalakehouse_spark.operators.surprisal import (
     bigram_surprisal_oracle_sql,
     bigram_surprisal_scores,
 )
-from faers_datalakehouse_spark.operators.bpe import bpe_encode, train_bpe_merges
+from faers_datalakehouse_spark.operators.bpe import (
+    bpe_encode,
+    bpe_encode_oracle_sql,
+    bpe_merges_oracle_sql,
+    train_bpe_merges,
+)
 from faers_datalakehouse_spark.operators.basket import (
     basket_pairs,
     basket_pairs_oracle_sql,
@@ -272,6 +277,18 @@ def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).withColumn(
         "tokens", F.array_join("tokens", " ")
     )
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table itself, as a frame — gives the trainer
+    a direct hash oracle (round-unrolled DuckDB CTE twin), which in turn
+    makes bpe_encode's oracle an expansion check rather than rows-only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe_merges(docs, n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step int, a string, b string",
+    ).orderBy("step")
 
 
 def _zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,6 +945,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset": _kcenter_coreset,
         # MinHash quality harness: estimated vs exact Jaccard per candidate
         "minhash_est_error": _docs(minhash_estimate_error),
+        # -- new round 9 --
+        # the trained BPE merge table (closes the map's last no_oracle
+        # row: trainer hash-checked directly, encoder as expansion twin)
+        "bpe_merges": _bpe_merges,
     }
 
 
@@ -954,58 +975,59 @@ _WINDOW_BASIS = [
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 ]
 _WINDOW = [
-    "distinctive_terms",  # last driver check: never
-    "rolling_hll",  # last driver check: never
-    "scd2_event_enrich",  # last driver check: never
-    "weighted_quantiles",  # last driver check: never
-    "cdc_apply_seq",  # last driver check: never
-    "incremental_sessionize",  # last driver check: never
-    "variant_extract",  # last driver check: never
-    "comoment_matrix",  # last driver check: never
-    "categorical_encode",  # last driver check: never
-    "anomaly_days",  # last driver check: never
-    "pareto_front",  # last driver check: never
-    "ewma_daily",  # last driver check: never
-    "levenshtein_pairs",  # last driver check: never
-    "histogram_quantiles",  # last driver check: never
-    "k_anonymity_audit",  # last driver check: never
-    "k_suppress",  # last driver check: never
-    "interleave_sources",  # last driver check: never
-    "bucketed_join",  # last driver check: never
-    "streaming_attribution",  # last driver check: never
-    "versioned_bloom_read",  # last driver check: never
-    "versioned_partition_ops",  # last driver check: never
-    "streaming_versioned_ingest",  # last driver check: never
-    "versioned_restore",  # last driver check: never
-    "versioned_zorder_read",  # last driver check: never
-    "pq_encode",  # last driver check: never
-    "pq_topk",  # last driver check: never
-    "pq_recall",  # last driver check: never
-    "snm_neardup",  # last driver check: never
-    "allpairs_tfidf",  # last driver check: never
-    "expectations_audit",  # last driver check: never
-    "quarantine_rows",  # last driver check: never
-    "systematic_sample",  # last driver check: never
-    "triangle_counts",  # last driver check: never
-    "streaming_sessionize",  # last driver check: never
-    "versioned_merge",  # last driver check: never
-    "grouping_sets_volume",  # last driver check: never
-    "inverted_index",  # last driver check: never (r5 driver-RED, fixed)
-    "bpe_encode",  # last driver check: never (r5 driver-RED, fixed)
-    "hll_set_algebra",  # last driver check: never
-    "recursive_cte_reach",  # last driver check: never (new r8)
-    "pipe_syntax_trend",  # last driver check: never (new r8)
-    "pmi_collocations",  # last driver check: never (new r8)
-    "proportional_split",  # last driver check: never (new r8)
-    "vocab_coverage",  # last driver check: never (new r8)
-    "cusum_changepoint",  # last driver check: never (new r8)
-    "fingerprint_containment",  # last driver check: never (new r8)
-    "winsorized_stats",  # last driver check: never (new r8)
-    "sssp_weighted",  # last driver check: never (new r8)
-    "ks_drift",  # last driver check: never (new r8)
-    "streaming_topk",  # last driver check: never (new r8)
+    "bpe_encode",  # last driver check: never
+    "kcenter_coreset",  # last driver check: never
+    "minhash_est_error",  # last driver check: never
+    "bpe_merges",  # last driver check: never
+    "customer_retention_setops",  # last driver check: r4
+    "kmeans_clusters",  # last driver check: r4
+    "semantic_neardup",  # last driver check: r4
+    "unpivot_measures",  # last driver check: r4
+    "quantiles_by_group",  # last driver check: r4
+    "salted_join",  # last driver check: r4
+    "multimodal_decode",  # last driver check: r4
+    "quality_classifier",  # last driver check: r4
+    "asof_join",  # last driver check: r4
+    "pack_sequences",  # last driver check: r4
+    "text_quality",  # last driver check: r4
+    "incremental_dedup",  # last driver check: r4
+    "stratified_cap",  # last driver check: r4
+    "vocab_stats",  # last driver check: r4
+    "dup_spans",  # last driver check: r4
+    "simhash_neardup",  # last driver check: r4
+    "json_extract_agg",  # last driver check: r4
+    "segment_status_pivot",  # last driver check: r4
+    "lang_id",  # last driver check: r4
+    "shard_manifest",  # last driver check: r4
+    "contamination_check",  # last driver check: r4
+    "funnel_steps",  # last driver check: r4
+    "topk_parts",  # last driver check: r4
+    "latest_day_activity",  # last driver check: r4
+    "ann_ivf_topk_nprobe2",  # last driver check: r4
+    "ann_lsh_topk",  # last driver check: r4
+    "rollup_volume",  # last driver check: r4
+    "topk_by_group",  # last driver check: r4
+    "global_summary",  # last driver check: r4
+    "numeric_standardize",  # last driver check: r4
+    "distinct_profile",  # last driver check: r4
+    "ngram_jaccard",  # last driver check: r4
+    "sql_api_trend",  # last driver check: r4
+    "fingerprint_dedup",  # last driver check: r4
+    "surprisal_scores",  # last driver check: r4
+    "pct_of_total",  # last driver check: r4
+    "neardup_clusters_star",  # last driver check: r4
+    "chunk_documents",  # last driver check: r4
+    "mixture_weights",  # last driver check: r4
+    "bpe_pair_counts",  # last driver check: r4
+    "winnowing_fingerprints",  # last driver check: r5
+    "bloom_prefilter",  # last driver check: r5
+    "fact_sales",  # last driver check: r5
+    "pricing_summary",  # last driver check: r5
+    "scd2_merge",  # last driver check: r5
+    "versioned_read",  # last driver check: r5
 ]
 
 
@@ -1309,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_topk": S.STREAMING_TOPK_SQL,
         "kcenter_coreset": kcenter_oracle_sql(k=6),
         "minhash_est_error": minhash_estimate_error_oracle_sql(),
+        "bpe_merges": bpe_merges_oracle_sql(n_merges=10),
+        "bpe_encode": bpe_encode_oracle_sql(n_merges=10),
     }
 
 

@@ -16,9 +16,21 @@ merge list — the trained artifact — is ``n_merges`` driver tuples.
 Encoder: applying an ordered merge list to a char sequence is an
 inherently sequential per-word scan — the documented Arrow-kernel case
 (like SimHash): a ``mapInPandas`` batch kernel, no row-at-a-time UDF.
-Driver check is rows-only (no SQL twin for iterative greedy merging);
-correctness is pinned by unit tests instead: fold-vs-Python parity,
-detokenization round-trip, and monotone token-count reduction.
+
+SQL twins (round 9 — this was the map's last ``no_oracle`` entry): the
+trainer round-unrolls as chained DuckDB CTEs (the kmeans/kcenter/sssp
+pattern — one argmax CTE + one merge-application CTE per round), and
+greedy left-to-right merge application has an exact RELATIONAL form:
+encode a token list as the delimited string ``,t1,,t2,,t3,`` (tokens are
+[a-z0-9]+, so commas never collide); applying merge (a, b) -> ab is then
+``replace(s, ',a,,b,', ',ab,')``. Plain non-overlapping left-to-right
+replace IS the sequential fold: the wrapping commas force whole-token
+matches (no prefix/suffix false positives), consecutive matches still
+fire because adjacent tokens share only one of their two separator
+commas, and a fused token cannot re-match as its own left element
+because replace resumes scanning after the replacement — exactly the
+fold's ``out[-1]`` rule. Unit tests additionally pin fold-vs-Python
+parity, detokenization round-trip, and monotone token-count reduction.
 
 Reference: Sennrich et al. 2016 (arXiv:1508.07909), the standard
 subword-unit algorithm; merge tie-break here is (count desc, pair asc)
@@ -175,3 +187,123 @@ def bpe_encode(
         )
         .orderBy("doc_id")
     )
+
+
+# -- DuckDB twins ------------------------------------------------------
+# Word tokenization in the oracle's canonical two-pass form (keep in
+# sync with the other document oracles; Spark's one-pass _norm_text is
+# provably equal).
+_WORDS_CTE = """
+docs_words AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(regexp_replace(
+           lower(coalesce(text, '')),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+           w -> w != '') AS words
+  FROM documents
+)"""
+
+# a word as the delimited token string ",c1,,c2,,c3," (initial tokens =
+# single characters)
+_WRAP_CHARS = (
+    "',' || array_to_string(list_transform("
+    "generate_series(1, length(word)), i -> substr(word, i, 1)), ',,')"
+    " || ','"
+)
+
+
+def _trainer_ctes(n_merges: int) -> str:
+    """Chained CTEs w0 -> (p1, m1, w1) -> ... : wi is the word-frequency
+    table after i merges (delimited-string form), mi the i-th merge."""
+    parts = [
+        f"""wfreq AS MATERIALIZED (
+  SELECT w AS word, count(*) AS cnt
+  FROM (SELECT unnest(words) AS w FROM docs_words)
+  GROUP BY 1
+),
+w0 AS MATERIALIZED (
+  SELECT {_WRAP_CHARS} AS s, cnt FROM wfreq
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_zip(list_slice(toks, 1, len(toks) - 1),
+                           list_slice(toks, 2, len(toks)))) AS pr, cnt
+    FROM (SELECT string_split(trim(s, ','), ',,') AS toks, cnt
+          FROM w{i - 1})
+    WHERE len(toks) >= 2
+  )
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (SELECT a, b FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT replace(s,
+           ',' || (SELECT a FROM m{i}) || ',,' || (SELECT b FROM m{i}) || ',',
+           ',' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ',') AS s,
+         cnt
+  FROM w{i - 1}
+)"""
+        )
+    return "".join(parts)
+
+
+def bpe_merges_oracle_sql(n_merges: int = 10) -> str:
+    """DuckDB twin of ``train_bpe_merges``: (step, a, b) ordered."""
+    selects = [
+        f"SELECT {i} AS step, (SELECT a FROM m{i}) AS a,"
+        f" (SELECT b FROM m{i}) AS b"
+        for i in range(1, n_merges + 1)
+    ]
+    return (
+        f"WITH {_WORDS_CTE.strip()},\n{_trainer_ctes(n_merges)}\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+def bpe_encode_oracle_sql(n_merges: int = 10) -> str:
+    """DuckDB twin of ``train_bpe_merges`` + ``bpe_encode`` end-to-end:
+    trains the merge table with the chained CTEs, then encodes every
+    document by running the same delimited-string replace chain over each
+    word and flattening in document word order. Output matches the
+    ``bpe_encode`` driver entry: (doc_id, n_words, n_tokens, tokens) with
+    tokens space-joined."""
+    # one 1-row frame carrying every merge as pattern/replacement columns
+    # (scalar subqueries inside list_transform lambdas are not supported,
+    # so the lambda reads plain outer columns from this cross join)
+    mcols = ",\n         ".join(
+        f"',' || (SELECT a FROM m{i}) || ',,' || (SELECT b FROM m{i})"
+        f" || ',' AS pat{i},\n         "
+        f"',' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ','"
+        f" AS rep{i}"
+        for i in range(1, n_merges + 1)
+    )
+    chain = (
+        "',' || array_to_string(list_transform("
+        "generate_series(1, length(w)), i -> substr(w, i, 1)), ',,') || ','"
+    )
+    for i in range(1, n_merges + 1):
+        chain = f"replace({chain}, pat{i}, rep{i})"
+    return f"""WITH {_WORDS_CTE.strip()},
+{_trainer_ctes(n_merges)},
+mall AS MATERIALIZED (
+  SELECT {mcols}
+),
+enc AS (
+  SELECT doc_id,
+         words,
+         list_transform(words,
+           w -> string_split(trim({chain}, ','), ',,')) AS tw
+  FROM docs_words CROSS JOIN mall
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_words,
+       CAST(len(flatten(tw)) AS INT) AS n_tokens,
+       array_to_string(flatten(tw), ' ') AS tokens
+FROM enc
+ORDER BY doc_id
+"""

@@ -57,7 +57,10 @@ def kcenter_coreset(
     q = emb.select(
         F.col(id_col).alias("vec_id"), _quantized(F.col(emb_col)).alias("qe")
     ).cache()
-    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    seeds = q.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        raise ValueError("kcenter_coreset: empty input")
+    seed = seeds[0]
     picks = [(1, int(seed["vec_id"]), 0)]
     state = q.withColumn(
         "mind", _d2_to_literal(F.col("qe"), list(seed["qe"]))
@@ -66,6 +69,12 @@ def kcenter_coreset(
         far = (
             state.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()
         )[0]
+        if int(far["mind"]) == 0:
+            # every remaining point is a duplicate of an already-picked
+            # center (coverage radius 0) — further rounds would re-pick
+            # the minimum-id row forever; stop with < k picks. The oracle
+            # contract therefore requires >= k distinct vectors.
+            break
         picks.append((rank, int(far["vec_id"]), int(far["mind"])))
         state = state.withColumn(
             "mind",

@@ -377,6 +377,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     materialize: bool = True,
     portable_hash: bool = False,
+    max_bucket: int | None = 100,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verified.
 
@@ -399,6 +400,19 @@ def minhash_lsh_pairs(
     band buckets, making every intermediate (signatures, bands, candidates)
     bit-identical in DuckDB — see ``minhash_lsh_oracle_sql``. The whole
     pipeline is deterministic either way (seeded permutations).
+
+    ``max_bucket`` caps band-bucket size: the self-join on
+    ``(band, band_hash)`` is quadratic WITHIN a bucket, so one
+    boilerplate-flooded bucket (millions of near-identical docs sharing a
+    band hash at 100 TB) would explode the join. Buckets larger than the
+    cap are dropped entirely — mirroring ``fingerprint_containment``'s
+    document-frequency cap — because an over-cap bucket is near-certain
+    boilerplate whose members are already mutual duplicates; curation
+    pipelines handle those via exact dedup, not pairwise Jaccard. The cap
+    costs one window count over the SAME key the join shuffles on (the
+    exchange is reused). Observed max bucket on the test corpora is 4
+    (sf0.1), so the default 100 never binds there and the DuckDB oracle
+    (which applies the identical cap) is unchanged. ``None`` disables.
     """
     hashed, banded = signature_bands(
         df,
@@ -411,6 +425,13 @@ def minhash_lsh_pairs(
         materialize=materialize,
         portable_hash=portable_hash,
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     cand = (
         banded.alias("x")
         .join(
@@ -444,6 +465,7 @@ def minhash_lsh_oracle_sql(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = 100,
 ) -> str:
     """DuckDB twin of ``minhash_lsh_pairs(portable_hash=True)``.
 
@@ -498,8 +520,16 @@ sig AS (
          {mins}
   FROM sh
 ),
-banded AS (
+banded_raw AS (
 {band_rows}
+),
+banded AS (
+  -- band-bucket size cap, same as minhash_lsh_pairs(max_bucket=...)
+  SELECT id, band, band_hash FROM (
+    SELECT id, band, band_hash,
+           count(*) OVER (PARTITION BY band, band_hash) AS bsz
+    FROM banded_raw)
+  WHERE bsz <= {max_bucket if max_bucket is not None else "bsz"}
 ),
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b

@@ -43,7 +43,11 @@ def ks_drift(
     counts = vals.groupBy("slice", "v").agg(F.count(F.lit(1)).alias("c"))
     grid = counts.select("v").distinct()
     slices = counts.groupBy("slice").agg(F.sum("c").alias("n_s"))
-    total = vals.count()  # 1 scalar; the corpus row count
+    # corpus row count derived INSIDE the plan (1-row broadcast aggregate,
+    # the pmi_collocations pattern) — no eager scan at construction time,
+    # no stale literal if the input changes before execution, and an empty
+    # corpus yields an empty result instead of div-0
+    total = counts.agg(F.sum("c").alias("n_total"))
 
     # slice x grid expansion (bounded: |slices| * |value domain|), then
     # cumulative counts via one keyed window per slice
@@ -66,9 +70,11 @@ def ks_drift(
     )
     corpus_counts = counts.groupBy("v").agg(F.sum("c").alias("c"))
     wc = Window.orderBy("v")  # |grid|-row frame: bounded, never the corpus
-    corpus_cdf = corpus_counts.select(
-        "v", F.sum("c").over(wc).alias("cum")
-    ).select("v", F.expr(f"(cum * {SCALE}) div {total}").alias("f_n"))
+    corpus_cdf = (
+        corpus_counts.select("v", F.sum("c").over(wc).alias("cum"))
+        .crossJoin(F.broadcast(total))
+        .select("v", F.expr(f"(cum * {SCALE}) div n_total").alias("f_n"))
+    )
     return (
         slice_cdf.join(F.broadcast(corpus_cdf), "v")
         .groupBy("slice")

@@ -309,7 +309,16 @@ def fingerprint_containment(
     fp = winnowing_fingerprints(
         docs, k=k, w=w, id_col=id_col, text_col=text_col
     )
-    sets_ = fp.select("doc_id", "fhash").distinct()
+    # FOUR consumers read this frame (sizes, fdf, and both sides of the
+    # fhash self-join via keep) and Spark re-executes lineage per
+    # consumer boundary — unpersisted, the whole tokenize+md5+winnow
+    # chain ran 4x (the r7 source_overlap trap; driver r8 saw q87 spread
+    # 6.8-22.2 s). Persist the distinct fingerprint set so the chain
+    # runs once; the frame is ~2/(w+1) of the token windows, far smaller
+    # than the corpus text. Cache stays until LRU eviction (same policy
+    # as minhash_lsh_pairs); at cluster scale this would be an explicit
+    # checkpoint.
+    sets_ = fp.select("doc_id", "fhash").distinct().persist()
     sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     fdf = sets_.groupBy("fhash").agg(F.count(F.lit(1)).alias("_fdf"))
     keep = (

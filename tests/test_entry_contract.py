@@ -13,12 +13,10 @@ import __spark_entry__ as entrymod
 # clause). Every entry here must carry unit tests pinning its semantics
 # in lieu of an oracle; anything NOT on this list must have a full
 # value-hash oracle — rows-only may never appear by accident.
-ROWS_ONLY_ALLOWED = {
-    # ordered greedy merge application is inherently sequential per word;
-    # pinned by tests/test_bpe.py (fold-vs-Python parity, round-trip,
-    # determinism, compression)
-    "bpe_encode",
-}
+# Empty since round 9: bpe_encode — the last rows-only entry — gained a
+# full hash oracle (the delimited-string replace twin in operators/bpe.py),
+# so every queries() entry now carries a value-hash oracle.
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_oracle_keys_subset_of_queries():

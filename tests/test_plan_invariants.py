@@ -78,6 +78,19 @@ def test_no_unbounded_single_partition_exchange(jplans, spark, sf_dir):
     )
     assert unbounded == 1, "detector lost the r7 offender shape"
 
+    # r8 ADVICE false-negative class: a single-partition window over
+    # join(full scan, broadcast AGGREGATED dim) — the HashAggregate lives
+    # in the sibling broadcast branch, not on the scan path, so a
+    # substring check passes it. The structural path walk must flag it.
+    agg = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    bad2 = docs.join(F.broadcast(agg), "source").select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("pos")
+    )
+    _, unbounded2 = single_partition_audit(
+        bad2._jdf.queryExecution().executedPlan()
+    )
+    assert unbounded2 == 1, "detector misses scan joined to broadcast agg"
+
     offenders = {}
     for name, jp in jplans.items():
         if name in SP_WHITELIST:

@@ -1,0 +1,141 @@
+"""Round-9 hardening tests: the LSH band-bucket cap (VERDICT r8 "What's
+wrong" #2), the kcenter covered-corpus guard and the ks_drift laziness
+fix (ADVICE r8 #2/#3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BOILER = (
+    "terms of service apply to all users of this website please read "
+    "carefully before continuing to browse these pages thank you kindly"
+)
+DOC_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+DOC_B = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam nu"
+
+
+def _flood(spark, n_boiler: int = 40):
+    rows = [(i, BOILER) for i in range(n_boiler)]
+    rows += [(1000, DOC_A), (1001, DOC_B)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_bucket_cap_drops_boilerplate_flood(spark):
+    """An adversarial corpus where 40 identical boilerplate docs share
+    every band bucket: uncapped, the band self-join is quadratic in the
+    flood (40*39/2 pairs); with max_bucket=10 the flooded buckets are
+    dropped entirely while the genuine near-dup pair (bucket size 2)
+    survives."""
+    from faers_datalakehouse_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _flood(spark)
+    uncapped = minhash_lsh_pairs(
+        df, threshold=0.5, materialize=False, max_bucket=None
+    ).collect()
+    assert len(uncapped) == 40 * 39 // 2 + 1  # flood pairs + (1000,1001)
+
+    capped = minhash_lsh_pairs(
+        df, threshold=0.5, materialize=False, max_bucket=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert pairs == {(1000, 1001)}, pairs
+
+
+def test_lsh_bucket_cap_candidate_bound(spark):
+    """With bucket size capped at c, candidate pairs per (band, bucket)
+    are <= c*(c-1)/2, so the total is <= bands * n/c * c^2/2 — linear in
+    n for fixed c. Checked here as the per-run global bound."""
+    from faers_datalakehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        signature_bands,
+    )
+
+    df = _flood(spark, n_boiler=25)
+    cap = 30  # flood bucket (25) stays under the cap
+    got = minhash_lsh_pairs(
+        df, threshold=0.0, materialize=False, max_bucket=cap
+    ).count()
+    _, banded = signature_bands(df, materialize=False)
+    n_buckets = banded.select("band", "band_hash").distinct().count()
+    assert got <= n_buckets * cap * (cap - 1) // 2
+
+
+def test_lsh_cap_matches_duckdb_oracle_when_binding(spark):
+    """The DuckDB twin applies the identical cap, so Spark and oracle
+    agree even when the cap BINDS (not just when it's above the max)."""
+    import duckdb
+
+    from faers_datalakehouse_spark.operators.dedup import (
+        minhash_lsh_oracle_sql,
+        minhash_lsh_pairs,
+    )
+
+    df = _flood(spark)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            df,
+            threshold=0.5,
+            materialize=False,
+            portable_hash=True,
+            max_bucket=10,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents_pd", df.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            minhash_lsh_oracle_sql(threshold=0.5, max_bucket=10)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_kcenter_stops_when_corpus_covered(spark):
+    """k greater than the number of distinct vectors must not emit
+    duplicate picks with d2_prev=0 (ADVICE r8 #2): the loop stops at
+    coverage radius 0."""
+    from faers_datalakehouse_spark.operators.coreset import kcenter_coreset
+
+    vecs = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, vecs[i % 3]) for i in range(9)]  # 3 distinct, x3 dups
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kcenter_coreset(emb, k=6).collect()
+    assert len(got) == 3
+    assert len({r["vec_id"] for r in got}) == 3
+    assert all(r["d2_prev"] > 0 for r in got if r["rank"] > 1)
+
+
+def test_kcenter_empty_input_raises(spark):
+    import pytest
+
+    from faers_datalakehouse_spark.operators.coreset import kcenter_coreset
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        kcenter_coreset(emb, k=3)
+
+
+def test_ks_drift_construction_is_lazy(spark):
+    """Building the ks_drift plan must not run a job (ADVICE r8 #3: the
+    old eager .count() scanned the corpus at construction time). A UDF
+    that raises on execution proves nothing executes."""
+    from faers_datalakehouse_spark.operators.drift import ks_drift
+
+    def boom():
+        raise RuntimeError("executed at construction time")
+
+    boom_udf = F.udf(boom, "long")
+    df = spark.range(10).select(
+        F.lit("s").alias("slice"), boom_udf().alias("v")
+    )
+    ks_drift(df, "slice", "v")  # must not raise
+
+
+def test_ks_drift_empty_input_yields_empty(spark):
+    from faers_datalakehouse_spark.operators.drift import ks_drift
+
+    empty = spark.createDataFrame([], "slice string, v long")
+    assert ks_drift(empty, "slice", "v").count() == 0

@@ -84,31 +84,57 @@ def _iter_nodes(jnode):
             stack.append(children.apply(i))
 
 
+def _unbounded_scan_path(node) -> bool:
+    """True if some path from ``node`` DOWN to a file-scan leaf has no
+    bounding aggregate/limit ON THAT PATH.
+
+    Structural, not substring: a bounding node in a SIBLING branch (e.g.
+    the HashAggregate inside a broadcast dim of a join whose other side
+    is a full fact scan) must not excuse the scan branch — that was the
+    false-negative class of the r8 substring check (ADVICE r8 #1).
+    """
+    name = node.nodeName()
+    if any(name.startswith(b) for b in _BOUNDING_NODES):
+        return False
+    if name == "AdaptiveSparkPlan":
+        return _unbounded_scan_path(node.initialPlan())
+    children = node.children()
+    n = children.size()
+    if n == 0:
+        head = node.toString().splitlines()[0]
+        # LocalTableScan of tiny literal frames doesn't count
+        return (
+            "FileScan" in head
+            or "Scan parquet" in head
+            or "BatchScan" in head
+        )
+    return any(_unbounded_scan_path(children.apply(i)) for i in range(n))
+
+
 def single_partition_audit(jplan) -> tuple[int, int]:
     """(single_partition_count, unbounded_count) for a JVM SparkPlan.
 
     Walks the physical tree; for every shuffle Exchange whose first
-    toString line says SinglePartition, inspects the node's OWN subtree
-    string: if it reaches a file scan (``FileScan``/``Scan parquet`` —
-    LocalTableScan of tiny literal frames doesn't count) without any
-    bounding aggregate/limit operator in between, the frame being
-    single-partitioned is table-proportional — the one plan shape that
-    cannot survive a 100x scale-up.
+    toString line says SinglePartition, recursively checks every path
+    from the exchange to a file-scan leaf: if any such path carries no
+    bounding aggregate/limit operator, the frame being single-partitioned
+    is table-proportional — the one plan shape that cannot survive a
+    100x scale-up.
     """
     total = 0
     unbounded = 0
     for node in _iter_nodes(jplan):
         if node.nodeName() != "Exchange":
             continue
-        sub = node.toString()
-        head = sub.splitlines()[0]
+        head = node.toString().splitlines()[0]
         if "SinglePartition" not in head:
             continue
         total += 1
-        body = sub[len(head):]
-        reaches_scan = "FileScan" in body or "Scan parquet" in body
-        bounded = any(b in body for b in _BOUNDING_NODES)
-        if reaches_scan and not bounded:
+        children = node.children()
+        if any(
+            _unbounded_scan_path(children.apply(i))
+            for i in range(children.size())
+        ):
             unbounded += 1
     return total, unbounded
 

@@ -112,6 +112,18 @@ OPS = [
     "cusum_changepoint",
     "winsorized_stats",
     "ks_drift",
+    # round-9: the ITERATIVE family (VERDICT r8 item 4) — per-round cost
+    # is one keyed join/groupBy (bfs, sssp) or one corpus projection +
+    # TakeOrdered (kcenter), with a FIXED round count, so the curve
+    # should be ~linear; recursive_cte_reach's recursion runs over a
+    # nation-domain-bounded edge list (<= 50 rows at ANY corpus scale),
+    # so its exponent isolates the UnionLoop fixed cost + the linear
+    # edge-derivation join — confirming round count, not data volume,
+    # drives these ops (the PERF.md UnionLoop analysis, now measured)
+    "bfs_distances",
+    "sssp_weighted",
+    "recursive_cte_reach",
+    "kcenter_coreset",
 ]
 
 
@@ -176,9 +188,14 @@ def generate(spark, out_dir: str, factor: int) -> None:
     # `factor` DISJOINT copies (triangles x factor, per-node degrees
     # unchanged) instead of stacking multi-edges on the same node set,
     # which the distinct() would collapse into a no-growth workload
-    max_ck = orders.agg(F.max("o_custkey")).collect()[0][0] + 1
+    # stride from the CUSTOMER key domain (a superset of the custkeys
+    # orders reference), so customer copies re-keyed by the same stride
+    # stay disjoint and the orders<->customer FK holds per copy — the
+    # recursive-reach probe joins through customer AND supplier
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    max_cck = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
     max_sk = li.agg(F.max("l_suppkey")).collect()[0][0] + 1
-    stride_nodes = max(max_ck, max_sk)
+    stride_nodes = max(max_cck, max_sk)
     ou = orders
     lu = li
     for i in range(1, factor):
@@ -216,19 +233,33 @@ def generate(spark, out_dir: str, factor: int) -> None:
         )
     pu.repartition(8).write.parquet(str(out / "part.parquet"))
 
-    # customer for the k-anonymity probe: re-keyed; quasi-identifier
-    # domain (segment x nation) fixed, so class COUNT is constant and
-    # class sizes grow — the shape k-anonymity audits at scale
-    cust = spark.read.parquet(f"{BASE}/customer.parquet")
-    max_cck = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    # customer for the k-anonymity + recursive-reach probes: re-keyed by
+    # the SAME stride orders' o_custkey uses (FK-consistent copies);
+    # quasi-identifier domain (segment x nation) fixed, so class COUNT
+    # is constant and class sizes grow — the shape k-anonymity audits at
+    # scale, and nation-level edges stay a bounded domain
     cu = cust
     for i in range(1, factor):
         cu = cu.unionByName(
             cust.withColumn(
-                "c_custkey", F.col("c_custkey") + F.lit(i * max_cck)
+                "c_custkey", F.col("c_custkey") + F.lit(i * stride_nodes)
             )
         )
     cu.repartition(8).write.parquet(str(out / "customer.parquet"))
+
+    # supplier for the recursive-reach probe: re-keyed by the lineitem
+    # suppkey stride; s_nationkey unchanged (nation domain is fixed, so
+    # the aggregated nation-level edge list stays <= 625 rows at any
+    # factor — exactly the bounded-recursion property the probe records)
+    supp = spark.read.parquet(f"{BASE}/supplier.parquet")
+    su = supp
+    for i in range(1, factor):
+        su = su.unionByName(
+            supp.withColumn(
+                "s_suppkey", F.col("s_suppkey") + F.lit(i * stride_nodes)
+            )
+        )
+    su.repartition(4).write.parquet(str(out / "supplier.parquet"))
 
     # events: shift event ids AND user ids per copy (distinct-user counts
     # must grow with the corpus, not collapse into 5x traffic from the
@@ -269,6 +300,12 @@ COLLECT_OPS = {
     "vocab_coverage",
     "winsorized_stats",
     "ks_drift",
+    # iterative family: outputs are tiny (<= a few thousand rows) and a
+    # count() would prune the distance/hop aggregate expressions
+    "bfs_distances",
+    "sssp_weighted",
+    "recursive_cte_reach",
+    "kcenter_coreset",
 }
 
 
