@@ -72,11 +72,21 @@ from faers_datalakehouse_spark.operators.surprisal import (
     bigram_surprisal_oracle_sql,
     bigram_surprisal_scores,
 )
+from faers_datalakehouse_spark.operators.activity import (
+    decayed_activity_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.bpe import (
     bpe_encode,
     bpe_encode_oracle_sql,
     bpe_merges_oracle_sql,
     train_bpe_merges,
+)
+from faers_datalakehouse_spark.operators.novelty import (
+    ngram_novelty,
+    ngram_novelty_oracle_sql,
+)
+from faers_datalakehouse_spark.operators.vector_qc import (
+    embedding_qc_oracle_sql,
 )
 from faers_datalakehouse_spark.operators.basket import (
     basket_pairs,
@@ -277,6 +287,22 @@ def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).withColumn(
         "tokens", F.array_join("tokens", " ")
     )
+
+
+def _embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.vector_qc import embedding_qc
+
+    return embedding_qc(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+def _decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faers_datalakehouse_spark.operators.activity import (
+        decayed_activity,
+    )
+
+    return decayed_activity(read_events(spark, sf_dir))
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,6 +975,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the trained BPE merge table (closes the map's last no_oracle
         # row: trainer hash-checked directly, encoder as expansion twin)
         "bpe_merges": _bpe_merges,
+        # per-dimension embedding audit (vector QC: one posexplode +
+        # one |dims|-group aggregate)
+        "embedding_qc": _embedding_qc,
+        # weekly power-of-two decayed per-user activity score (in-plan
+        # 1-row anchor broadcast)
+        "decayed_activity": _decayed_activity,
+        # corpus-order n-gram novelty (first-occurrence redundancy curve)
+        "ngram_novelty": _docs(ngram_novelty),
     }
 
 
@@ -982,6 +1016,9 @@ _WINDOW = [
     "kcenter_coreset",  # last driver check: never
     "minhash_est_error",  # last driver check: never
     "bpe_merges",  # last driver check: never
+    "embedding_qc",  # last driver check: never
+    "decayed_activity",  # last driver check: never
+    "ngram_novelty",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1025,9 +1062,6 @@ _WINDOW = [
     "winnowing_fingerprints",  # last driver check: r5
     "bloom_prefilter",  # last driver check: r5
     "fact_sales",  # last driver check: r5
-    "pricing_summary",  # last driver check: r5
-    "scd2_merge",  # last driver check: r5
-    "versioned_read",  # last driver check: r5
 ]
 
 
@@ -1333,6 +1367,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_est_error": minhash_estimate_error_oracle_sql(),
         "bpe_merges": bpe_merges_oracle_sql(n_merges=10),
         "bpe_encode": bpe_encode_oracle_sql(n_merges=10),
+        "embedding_qc": embedding_qc_oracle_sql(),
+        "decayed_activity": decayed_activity_oracle_sql(),
+        "ngram_novelty": ngram_novelty_oracle_sql(),
     }
 
 

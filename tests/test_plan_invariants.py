@@ -36,6 +36,7 @@ ALLOWED_NESTED_LOOP = {
     "pmi_collocations",  # 1-row bigram-total broadcast onto the pair counts
     "ks_drift",          # |slices| x |value domain| CDF grid expansion —
                          # both sides aggregates, bounded by construction
+    "decayed_activity",  # 1-row max-day anchor broadcast onto the scan
 }
 
 

@@ -139,3 +139,65 @@ def test_ks_drift_empty_input_yields_empty(spark):
 
     empty = spark.createDataFrame([], "slice string, v long")
     assert ks_drift(empty, "slice", "v").count() == 0
+
+
+def test_embedding_qc_stats(spark):
+    from faers_datalakehouse_spark.operators.vector_qc import embedding_qc
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, -2.0]),
+            (2, [0.0, 3.0, 2.0]),
+            (3, [0.0, 2.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["dim"]: r for r in embedding_qc(emb).collect()}
+    assert set(rows) == {0, 1, 2}
+    # dim 0 is dead: all zeros
+    assert rows[0]["n_zero"] == 3 and rows[0]["min_q"] == rows[0]["max_q"] == 0
+    # dim 1: values 1000, 3000, 2000 (QUANT=1000)
+    assert (rows[1]["min_q"], rows[1]["max_q"], rows[1]["sum_q"]) == (
+        1000,
+        3000,
+        6000,
+    )
+    assert rows[1]["avg_milli"] == 6000 * 1000 // 3
+    # dim 2: negative min survives exactly
+    assert rows[2]["min_q"] == -2000 and rows[2]["n_zero"] == 1
+
+
+def test_decayed_activity_weekly_halving(spark):
+    from faers_datalakehouse_spark.operators.activity import decayed_activity
+
+    rows = [
+        (1, "2024-03-01 10:00:00"),  # anchor week: 1000 milli
+        (1, "2024-02-22 09:00:00"),  # 8 days old -> 1 week -> 500
+        (2, "2023-11-01 00:00:00"),  # ~17 weeks old -> 1000 div 2^17 = 0
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {r["user_id"]: r for r in decayed_activity(ev).collect()}
+    assert got[1]["score_milli"] == 1500 and got[1]["n_events"] == 2
+    assert got[2]["score_milli"] == 0
+    assert str(got[1]["last_day"]) == "2024-03-01"
+
+
+def test_ngram_novelty_first_occurrence_rule(spark):
+    from faers_datalakehouse_spark.operators.novelty import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # all shingles novel
+            (2, "alpha beta gamma delta"),     # exact dup -> novelty 0
+            (3, "alpha beta gamma epsilon"),   # shares 1 of 2 shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, ngram=3).collect()}
+    assert got[1]["novelty_milli"] == 1000
+    assert got[2]["n_novel"] == 0 and got[2]["novelty_milli"] == 0
+    # doc 3: shingles {alpha beta gamma, beta gamma epsilon} — second is new
+    assert (got[3]["n_shingles"], got[3]["n_novel"]) == (2, 1)
+    assert got[3]["novelty_milli"] == 500
