@@ -183,6 +183,8 @@ from faers_datalakehouse_spark.operators.graph import (
 from faers_datalakehouse_spark.operators.timeseries import (
     gap_fill_daily,
     gap_fill_oracle_sql,
+    linear_interpolate_daily,
+    linear_interpolate_oracle_sql,
 )
 from faers_datalakehouse_spark.sources.tables import read_events
 from faers_datalakehouse_spark.sources.zorder import z_value, z_value_sql
@@ -983,6 +985,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_activity": _decayed_activity,
         # corpus-order n-gram novelty (first-occurrence redundancy curve)
         "ngram_novelty": _docs(ngram_novelty),
+        # linear gap interpolation on the daily grid (deterministic
+        # outage mask so the interpolation path self-exercises)
+        "linear_interpolate": lambda spark, sf_dir: linear_interpolate_daily(
+            read_events(spark, sf_dir)
+        ),
     }
 
 
@@ -1019,6 +1026,7 @@ _WINDOW = [
     "embedding_qc",  # last driver check: never
     "decayed_activity",  # last driver check: never
     "ngram_novelty",  # last driver check: never
+    "linear_interpolate",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1061,7 +1069,6 @@ _WINDOW = [
     "bpe_pair_counts",  # last driver check: r4
     "winnowing_fingerprints",  # last driver check: r5
     "bloom_prefilter",  # last driver check: r5
-    "fact_sales",  # last driver check: r5
 ]
 
 
@@ -1370,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_qc": embedding_qc_oracle_sql(),
         "decayed_activity": decayed_activity_oracle_sql(),
         "ngram_novelty": ngram_novelty_oracle_sql(),
+        "linear_interpolate": linear_interpolate_oracle_sql(),
     }
 
 

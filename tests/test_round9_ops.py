@@ -184,6 +184,53 @@ def test_decayed_activity_weekly_halving(spark):
     assert str(got[1]["last_day"]) == "2024-03-01"
 
 
+def test_linear_interpolate_exact_line(spark):
+    from faers_datalakehouse_spark.operators.timeseries import (
+        linear_interpolate_daily,
+    )
+
+    # one series, observations on day 0 (v=1.0) and day 4 (v=5.0) of a
+    # 5-day span; days 1-3 have no events -> the interpolated line is
+    # 1000, 2000, 3000, 4000, 5000 milli
+    rows = [
+        (1, "t", "2024-01-01 01:00:00", 1.0),
+        (2, "t", "2024-01-05 01:00:00", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).selectExpr(
+        "event_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    got = linear_interpolate_daily(ev, mask_mod=0).collect()
+    assert [r["interp_milli"] for r in got] == [
+        1000,
+        2000,
+        3000,
+        4000,
+        5000,
+    ]
+    # observed endpoints pass through untouched
+    assert got[0]["obs_milli"] == 1000 and got[-1]["obs_milli"] == 5000
+
+
+def test_linear_interpolate_edges_clamp(spark):
+    from faers_datalakehouse_spark.operators.timeseries import (
+        linear_interpolate_daily,
+    )
+
+    # mask removes the FIRST observation (1970-epoch day % 2 == 0 etc. is
+    # hard to pin by date; instead use mask_mod=0 and a leading gap via
+    # the spine: single obs -> every row clamps to it)
+    ev = spark.createDataFrame(
+        [(1, "t", "2024-01-02 01:00:00", 7.0)],
+        "event_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "event_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    got = linear_interpolate_daily(ev, mask_mod=0).collect()
+    assert len(got) == 1 and got[0]["interp_milli"] == 7000
+
+
 def test_ngram_novelty_first_occurrence_rule(spark):
     from faers_datalakehouse_spark.operators.novelty import ngram_novelty
 
