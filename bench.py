@@ -177,6 +177,15 @@ BENCH_QUERIES = {
     "q92_ks_drift": ("collect", "ks_drift"),
     "q93_kcenter": ("collect", "kcenter_coreset"),
     "q94_minhash_est": ("collect", "minhash_est_error"),
+    # round-9 entries
+    "q95_bpe_merges": ("collect", "bpe_merges"),
+    "q96_embedding_qc": ("collect", "embedding_qc"),
+    # collect, not count: a count() over these groupBys lets Catalyst
+    # prune the scoring aggregates and with them the operator's cost
+    # (the round-7 source_minhash probe lesson); outputs are small
+    "q97_decayed_activity": ("collect", "decayed_activity"),
+    "q98_ngram_novelty": ("collect", "ngram_novelty"),
+    "q99_linear_interp": ("collect", "linear_interpolate"),
 }
 
 
