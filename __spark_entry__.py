@@ -180,6 +180,10 @@ from faers_datalakehouse_spark.operators.graph import (
     pagerank_oracle_sql,
     sssp_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.sharding import (
+    rendezvous_oracle_sql,
+    rendezvous_shards,
+)
 from faers_datalakehouse_spark.operators.timeseries import (
     gap_fill_daily,
     gap_fill_oracle_sql,
@@ -990,6 +994,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_interpolate": lambda spark, sf_dir: linear_interpolate_daily(
             read_events(spark, sf_dir)
         ),
+        # rendezvous (HRW) consistent sharding — scan-side only, no shuffle
+        "rendezvous_shards": _docs(rendezvous_shards),
     }
 
 
@@ -1027,6 +1033,7 @@ _WINDOW = [
     "decayed_activity",  # last driver check: never
     "ngram_novelty",  # last driver check: never
     "linear_interpolate",  # last driver check: never
+    "rendezvous_shards",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1068,7 +1075,6 @@ _WINDOW = [
     "mixture_weights",  # last driver check: r4
     "bpe_pair_counts",  # last driver check: r4
     "winnowing_fingerprints",  # last driver check: r5
-    "bloom_prefilter",  # last driver check: r5
 ]
 
 
@@ -1378,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_activity": decayed_activity_oracle_sql(),
         "ngram_novelty": ngram_novelty_oracle_sql(),
         "linear_interpolate": linear_interpolate_oracle_sql(),
+        "rendezvous_shards": rendezvous_oracle_sql(),
     }
 
 

@@ -186,6 +186,8 @@ BENCH_QUERIES = {
     "q97_decayed_activity": ("collect", "decayed_activity"),
     "q98_ngram_novelty": ("collect", "ngram_novelty"),
     "q99_linear_interp": ("collect", "linear_interpolate"),
+    # collect: count() of a pure projection prunes the struct-max entirely
+    "q100_rendezvous": ("collect", "rendezvous_shards"),
 }
 
 

@@ -231,6 +231,41 @@ def test_linear_interpolate_edges_clamp(spark):
     assert len(got) == 1 and got[0]["interp_milli"] == 7000
 
 
+def test_rendezvous_minimal_movement(spark):
+    """The HRW property: growing from N to N+1 shards only moves keys TO
+    the new shard — every key that moves lands on shard N, and no key
+    moves between old shards (the consistent-routing guarantee that
+    hash%N lacks)."""
+    from faers_datalakehouse_spark.operators.sharding import (
+        rendezvous_shards,
+    )
+
+    df = spark.range(400).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["shard"] for r in rendezvous_shards(df, 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in rendezvous_shards(df, 9).collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    assert moved, "some keys must move to the new shard"
+    assert all(b[k] == 8 for k in moved), "keys may only move TO shard 8"
+    # expected movement ~1/9 of keys; allow generous slack
+    assert len(moved) < 400 * 0.25
+
+
+def test_rendezvous_balance_and_determinism(spark):
+    from faers_datalakehouse_spark.operators.sharding import (
+        rendezvous_shards,
+    )
+
+    df = spark.range(800).selectExpr("id AS doc_id")
+    out = rendezvous_shards(df, 8).collect()
+    again = rendezvous_shards(df.repartition(7), 8).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in out)
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 3 * min(sizes.values())
+
+
 def test_ngram_novelty_first_occurrence_rule(spark):
     from faers_datalakehouse_spark.operators.novelty import ngram_novelty
 
