@@ -184,6 +184,42 @@ from faers_datalakehouse_spark.operators.sharding import (
     rendezvous_oracle_sql,
     rendezvous_shards,
 )
+from faers_datalakehouse_spark.operators.benford import (
+    benford_oracle_sql,
+    benford_query,
+)
+from faers_datalakehouse_spark.operators.gini import (
+    GINI_SEGMENT_SQL,
+    gini_segment_query,
+)
+from faers_datalakehouse_spark.operators.fusion import (
+    rrf_hybrid_oracle_sql,
+    rrf_hybrid_query,
+)
+from faers_datalakehouse_spark.operators.entropy import (
+    SOURCE_ENTROPY_SQL,
+    source_entropy_query,
+)
+from faers_datalakehouse_spark.operators.cdc import (
+    cdc_dedup_query,
+    cdc_oracle_sql,
+)
+from faers_datalakehouse_spark.operators.mixture import (
+    TEMPERATURE_MIX_SQL,
+    temperature_mix_query,
+)
+from faers_datalakehouse_spark.operators.kcore import (
+    kcore_oracle_sql,
+    kcore_peel,
+)
+from faers_datalakehouse_spark.operators.heavyhitters import (
+    heavy_hitters_oracle_sql,
+    heavy_hitters_query,
+)
+from faers_datalakehouse_spark.operators.normalize import (
+    PERCENTILE_NORMALIZE_SQL,
+    percentile_normalize_query,
+)
 from faers_datalakehouse_spark.operators.timeseries import (
     gap_fill_daily,
     gap_fill_oracle_sql,
@@ -410,6 +446,27 @@ def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BFS_SOURCES = [1, 2, 3]
+
+# k-core over the bipartite supplier-customer graph (customer ids offset
+# to avoid colliding with supplier ids, the SSSP convention). k=35 peels
+# ~half the customer shell at sf0.01 (725 of 1600 nodes survive) —
+# non-trivial but non-empty at the driver's gate scale.
+KCORE_EDGES_SQL = (
+    "SELECT l_suppkey AS src, o_custkey + 1000000 AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)
+KCORE_K = 35
+KCORE_ROUNDS = 4
+
+
+def _kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + 1_000_000).alias("dst"),
+    )
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
 
 # Two simulated snapshots of orders: A drops key%7==0, B drops key%5==0
 # and rewrites o_orderpriority on key%3==0 — populates all four diff
@@ -996,6 +1053,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # rendezvous (HRW) consistent sharding — scan-side only, no shuffle
         "rendezvous_shards": _docs(rendezvous_shards),
+        # Benford leading-digit audit (hardcoded log10 ppm constants,
+        # 9-row map-side-combinable aggregate)
+        "benford_audit": benford_query,
+        # per-segment Gini spend concentration — bucketed two-phase
+        # prefix scan, never a 5-partition per-group window
+        "gini_segment": gini_segment_query,
+        # reciprocal-rank fusion of BM25 + length-prior top-N lists
+        # (hybrid-retrieval combiner; fusion runs over bounded frames)
+        "rrf_fusion": _docs(
+            lambda df: rrf_hybrid_query(df, BM25_QUERY_TERMS)
+        ),
+        # per-source unigram entropy + type-token ratio (bit-length
+        # idiom; two map-side-combinable aggregates)
+        "source_entropy": source_entropy_query,
+        # content-defined chunking dedup audit (rolling trigram-hash
+        # cuts; chunk-level boilerplate signal)
+        "cdc_dedup": cdc_dedup_query,
+        # alpha=0.5 temperature source-mixing table (floor(sqrt) weights
+        # — IEEE sqrt is correctly rounded, so cross-engine exact)
+        "temperature_mix": temperature_mix_query,
+        # within-source percentile-rank normalization via the bucketed
+        # two-phase rank (never a per-group global window)
+        "percentile_normalize": percentile_normalize_query,
+        # bounded-round k-core peel over the supplier-customer graph
+        # (per round: one degree groupBy + two keyed semi-joins)
+        "kcore_nodes": _kcore_nodes,
+        # exact heavy hitters: per-partition Misra-Gries candidates
+        # (stateful Arrow kernel, no shuffle) + broadcast exact verify
+        "heavy_hitters": heavy_hitters_query,
     }
 
 
@@ -1034,6 +1120,15 @@ _WINDOW = [
     "ngram_novelty",  # last driver check: never
     "linear_interpolate",  # last driver check: never
     "rendezvous_shards",  # last driver check: never
+    "benford_audit",  # last driver check: never
+    "gini_segment",  # last driver check: never
+    "rrf_fusion",  # last driver check: never
+    "source_entropy",  # last driver check: never
+    "cdc_dedup",  # last driver check: never
+    "temperature_mix",  # last driver check: never
+    "percentile_normalize",  # last driver check: never
+    "kcore_nodes",  # last driver check: never
+    "heavy_hitters",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1066,15 +1161,6 @@ _WINDOW = [
     "numeric_standardize",  # last driver check: r4
     "distinct_profile",  # last driver check: r4
     "ngram_jaccard",  # last driver check: r4
-    "sql_api_trend",  # last driver check: r4
-    "fingerprint_dedup",  # last driver check: r4
-    "surprisal_scores",  # last driver check: r4
-    "pct_of_total",  # last driver check: r4
-    "neardup_clusters_star",  # last driver check: r4
-    "chunk_documents",  # last driver check: r4
-    "mixture_weights",  # last driver check: r4
-    "bpe_pair_counts",  # last driver check: r4
-    "winnowing_fingerprints",  # last driver check: r5
 ]
 
 
@@ -1385,6 +1471,17 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": ngram_novelty_oracle_sql(),
         "linear_interpolate": linear_interpolate_oracle_sql(),
         "rendezvous_shards": rendezvous_oracle_sql(),
+        "benford_audit": benford_oracle_sql(),
+        "gini_segment": GINI_SEGMENT_SQL,
+        "rrf_fusion": rrf_hybrid_oracle_sql(BM25_QUERY_TERMS),
+        "source_entropy": SOURCE_ENTROPY_SQL,
+        "cdc_dedup": cdc_oracle_sql(),
+        "temperature_mix": TEMPERATURE_MIX_SQL,
+        "percentile_normalize": PERCENTILE_NORMALIZE_SQL,
+        "kcore_nodes": kcore_oracle_sql(
+            KCORE_EDGES_SQL, k=KCORE_K, rounds=KCORE_ROUNDS
+        ),
+        "heavy_hitters": heavy_hitters_oracle_sql(k=50),
     }
 
 

@@ -188,6 +188,15 @@ BENCH_QUERIES = {
     "q99_linear_interp": ("collect", "linear_interpolate"),
     # collect: count() of a pure projection prunes the struct-max entirely
     "q100_rendezvous": ("collect", "rendezvous_shards"),
+    "q101_benford": ("collect", "benford_audit"),
+    "q102_gini": ("collect", "gini_segment"),
+    "q103_rrf_fusion": ("collect", "rrf_fusion"),
+    "q104_source_entropy": ("collect", "source_entropy"),
+    "q105_cdc_dedup": ("count", "cdc_dedup"),
+    "q106_temperature_mix": ("collect", "temperature_mix"),
+    "q107_pct_normalize": ("count", "percentile_normalize"),
+    "q108_kcore": ("collect", "kcore_nodes"),
+    "q109_heavy_hitters": ("collect", "heavy_hitters"),
 }
 
 

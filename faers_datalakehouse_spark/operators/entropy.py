@@ -1,0 +1,120 @@
+"""Per-source lexical-diversity audit — Shannon unigram entropy plus
+type-token ratio for every corpus source.
+
+Low unigram entropy flags template/boilerplate-heavy sources (the same
+tokens over and over); a low type-token ratio flags small effective
+vocabularies. Both are standard corpus-mixing diagnostics when
+balancing a multi-source training set (complements ``ngram_novelty``'s
+*order*-sensitive redundancy curve and ``source_overlap``'s cross-source
+containment).
+
+Integer-exact cross-engine: true entropy needs float ``log``; this is
+the repo's bit-length idiom (see ``operators/surprisal.py``) —
+
+    H_bits(source) = SUM over words w of
+        c_w * (floor(log2(N_s)) - floor(log2(c_w)))   /   N_s
+
+with ``floor(log2(x)) = length(bin(x)) - 1``, exact integers in both
+engines. The per-source numerator (``entropy_bits_num``) and token
+count are emitted exactly; ``entropy_milli_bits`` is one integer
+division. Within 1 bit/token of true Shannon entropy — ample for a
+keep/flag curation signal.
+
+Scale shape (100 TB): tokenize map-side (explode, no shuffle), then two
+map-side-combinable aggregates — ``groupBy(source, word)`` (output is
+vocabulary-sized per source) and ``groupBy(source)`` (output is
+|sources| rows). N_s rides the second aggregate; no driver round-trip,
+no window over the token stream.
+
+No counterpart in the reference repo (text-curation extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ranking import corpus_tokens
+
+
+def _bits(col):
+    """floor(log2(x)) for x >= 1, exact: bit length minus one."""
+    return (F.length(F.bin(col)) - F.lit(1)).cast("long")
+
+
+def source_entropy(docs: DataFrame) -> DataFrame:
+    """``(source, n_tokens, n_types, entropy_bits_num,
+    entropy_milli_bits, ttr_micro)`` per source, ordered by source.
+
+    ``entropy_milli_bits = 1000 * entropy_bits_num div n_tokens``;
+    ``ttr_micro = 1e6 * n_types div n_tokens``.
+    """
+    # tokenize keyed directly by source (corpus_tokens is generic over
+    # the id column) — no join back to the doc table needed
+    toks = corpus_tokens(docs, "source", "text").select(
+        F.col("id").alias("source"), "word"
+    )
+    counts = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * _bits(F.col("c"))).alias("_sum_c_bits"),
+    )
+    return (
+        per_source.select(
+            "source",
+            "n_tokens",
+            "n_types",
+            (
+                F.col("n_tokens") * _bits(F.col("n_tokens"))
+                - F.col("_sum_c_bits")
+            ).alias("entropy_bits_num"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "entropy_bits_num",
+            F.expr("(1000 * entropy_bits_num) div n_tokens").alias(
+                "entropy_milli_bits"
+            ),
+            F.expr("(1000000 * n_types) div n_tokens").alias("ttr_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_entropy(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+SOURCE_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE word <> ''),
+counts AS (
+  SELECT source, word, count(*) AS c
+  FROM toks2 GROUP BY source, word
+),
+per_source AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS sum_c_bits
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       n_tokens * (length(bin(n_tokens)) - 1) - sum_c_bits
+         AS entropy_bits_num,
+       (1000 * (n_tokens * (length(bin(n_tokens)) - 1) - sum_c_bits))
+         // n_tokens AS entropy_milli_bits,
+       (1000000 * n_types) // n_tokens AS ttr_micro
+FROM per_source
+ORDER BY source
+"""

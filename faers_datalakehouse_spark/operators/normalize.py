@@ -1,0 +1,120 @@
+"""Per-group percentile-rank normalization — map each row's value to its
+within-group percentile, the standard way to make a heterogeneous signal
+comparable across groups (per-source quality scores, per-language doc
+lengths) before global thresholding or mixing.
+
+``pct_micro = (rank - 1) * 1e6 div (n_group - 1)`` (the percent_rank
+formula over exact integer ranks; single-row groups pin to 0) —
+bit-identical in DuckDB.
+
+Scale shape (100 TB): the textbook ``percent_rank() OVER (PARTITION BY
+group ORDER BY value)`` puts each group in ONE task — with few groups
+(20 sources, 5 segments) that is the bounded-cardinality-partition
+failure the repo's plan audit flags. ``bucketed_global_rank`` composes
+the same rank as a two-phase scan (the ``pareto_front`` /
+``operators/gini.py`` shape):
+
+1. per (group, value-bucket) window — thousands of balanced partitions;
+2. exclusive prefix count over per-bucket summaries (a window over
+   n_buckets rows, never the table) gives each bucket's rank offset and
+   each group's total;
+3. one broadcast-friendly join recombines: global rank = local rank +
+   bucket offset.
+
+No counterpart in the reference repo (analytics extension surface,
+alongside ``quantile_binning`` / ``numeric_standardize``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_size: int = 64,
+) -> DataFrame:
+    """Input columns plus ``rnk`` (1-based global row_number within
+    ``group_col`` ordered by (value, tiebreak)) and ``n_group`` — without
+    ever forming a per-group global window."""
+    base = df.withColumn(
+        "_bkt", F.expr(f"{value_col} div {int(bucket_size)}")
+    )
+    w_local = Window.partitionBy(group_col, "_bkt").orderBy(
+        value_col, tiebreak_col
+    )
+    local = base.withColumn("_li", F.row_number().over(w_local))
+    per_bucket = local.groupBy(group_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_prev = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(group_col)
+    offsets = per_bucket.select(
+        group_col,
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_grp).alias("n_group"),
+    )
+    return (
+        local.join(offsets, [group_col, "_bkt"])
+        .withColumn("rnk", (F.col("_li") + F.col("_off")).cast("long"))
+        .drop("_bkt", "_li", "_off")
+    )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_size: int = 64,
+) -> DataFrame:
+    ranked = bucketed_global_rank(
+        df, group_col, value_col, tiebreak_col, bucket_size
+    )
+    return ranked.withColumn(
+        "pct_micro",
+        F.when(F.col("n_group") > 1, F.expr("((rnk - 1) * 1000000) div (n_group - 1)"))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def percentile_normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' length percentile within their source: the
+    cross-source-comparable length signal."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return percentile_normalize(
+        docs, "source", "n_chars", "doc_id"
+    ).select("doc_id", "source", "n_chars", "rnk", "n_group", "pct_micro").orderBy(
+        "doc_id"
+    )
+
+
+PERCENTILE_NORMALIZE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_group
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(n_group AS BIGINT) AS n_group,
+       CAST(CASE WHEN n_group > 1
+                 THEN ((rnk - 1) * 1000000) // (n_group - 1)
+                 ELSE 0 END AS BIGINT) AS pct_micro
+FROM ranked
+ORDER BY doc_id
+"""

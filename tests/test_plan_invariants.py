@@ -37,6 +37,9 @@ ALLOWED_NESTED_LOOP = {
     "ks_drift",          # |slices| x |value domain| CDF grid expansion —
                          # both sides aggregates, bounded by construction
     "decayed_activity",  # 1-row max-day anchor broadcast onto the scan
+    "heavy_hitters",     # 1-row n_tokens total broadcast onto candidates
+    "rrf_fusion",        # full-outer fuse of two LIMIT-bounded top-N rank
+                         # lists (<= 2N rows total) — BNLJ is the right plan
 }
 
 

@@ -124,6 +124,24 @@ OPS = [
     "sssp_weighted",
     "recursive_cte_reach",
     "kcenter_coreset",
+    # round-9 session-2 operators: the two-phase prefix-rank pair (gini,
+    # percentile-normalize — the probe checks the bucketed rank stays
+    # linear where a per-group global window would serialize), CDC
+    # chunking (per-doc windows + chunk-table groupBys), source entropy
+    # and the temperature mix (tokenize + vocab-keyed aggregates), and
+    # the CDC-adjacent RRF fusion is excluded (top-N bounded by
+    # construction — nothing to scale)
+    "gini_segment",
+    "percentile_normalize",
+    "cdc_dedup",
+    "source_entropy",
+    "temperature_mix",
+    # k-core joins the iterative family: fixed rounds, per-round one
+    # degree groupBy + two keyed joins — linear by shape
+    "kcore_nodes",
+    # heavy hitters: pass 1 is a map-side Arrow MG fold (no shuffle),
+    # pass 2 shuffles only candidate-matching tokens — linear by shape
+    "heavy_hitters",
 ]
 
 
@@ -306,6 +324,16 @@ COLLECT_OPS = {
     "sssp_weighted",
     "recursive_cte_reach",
     "kcenter_coreset",
+    # r9 session-2 small-output ops: gini's rank-weighted sums, the
+    # entropy/mix aggregates, and the percentile window would all be
+    # pruned under count() (percentile_normalize's output is corpus-
+    # sized but the rows are 6 narrow ints — collect stays cheap)
+    "gini_segment",
+    "source_entropy",
+    "temperature_mix",
+    "percentile_normalize",
+    "kcore_nodes",
+    "heavy_hitters",
 }
 
 
