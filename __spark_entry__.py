@@ -220,6 +220,12 @@ from faers_datalakehouse_spark.operators.normalize import (
     PERCENTILE_NORMALIZE_SQL,
     percentile_normalize_query,
 )
+from faers_datalakehouse_spark.operators.linkpred import (
+    clustering_coefficient,
+    lcc_oracle_sql,
+    ra_oracle_sql,
+    resource_allocation_pairs,
+)
 from faers_datalakehouse_spark.operators.timeseries import (
     gap_fill_daily,
     gap_fill_oracle_sql,
@@ -467,6 +473,37 @@ def _kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") + 1_000_000).alias("dst"),
     )
     return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same mixed graph as triangle_counts (S.TRIANGLE_EDGES_SQL)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return clustering_coefficient(edges)
+
+
+# supplier pairs linked through shared parts — the bipartite RA shape;
+# deg(part) = distinct suppliers shipping it, naturally bounded, with
+# the hub cap as the hard guarantee.
+RA_BIPARTITE_SQL = (
+    "SELECT l_suppkey AS a, l_partkey AS z FROM lineitem"
+)
+RA_MAX_HUB_DEG = 100
+RA_MIN_SCORE_MICRO = 200_000
+
+
+def _ra_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return resource_allocation_pairs(
+        li.select(F.col("l_suppkey").alias("a"), F.col("l_partkey").alias("z")),
+        "a",
+        "z",
+        max_hub_deg=RA_MAX_HUB_DEG,
+        min_score_micro=RA_MIN_SCORE_MICRO,
+    )
 
 # Two simulated snapshots of orders: A drops key%7==0, B drops key%5==0
 # and rewrites o_orderpriority on key%3==0 — populates all four diff
@@ -1082,6 +1119,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact heavy hitters: per-partition Misra-Gries candidates
         # (stateful Arrow kernel, no shuffle) + broadcast exact verify
         "heavy_hitters": heavy_hitters_query,
+        # per-node local clustering coefficient (degree-oriented
+        # triangle counter + node-sized degree agg, integer micro)
+        "clustering_coeff": _clustering_coeff,
+        # Resource Allocation link prediction on the supplier-part
+        # bipartite graph (hub-capped wedge enumeration ≤ cap·|E|)
+        "ra_linkpred": _ra_linkpred,
     }
 
 
@@ -1482,6 +1525,12 @@ def oracle_sql() -> dict[str, str]:
             KCORE_EDGES_SQL, k=KCORE_K, rounds=KCORE_ROUNDS
         ),
         "heavy_hitters": heavy_hitters_oracle_sql(k=50),
+        "clustering_coeff": lcc_oracle_sql(S.TRIANGLE_EDGES_SQL),
+        "ra_linkpred": ra_oracle_sql(
+            RA_BIPARTITE_SQL,
+            max_hub_deg=RA_MAX_HUB_DEG,
+            min_score_micro=RA_MIN_SCORE_MICRO,
+        ),
     }
 
 

@@ -197,6 +197,8 @@ BENCH_QUERIES = {
     "q107_pct_normalize": ("count", "percentile_normalize"),
     "q108_kcore": ("collect", "kcore_nodes"),
     "q109_heavy_hitters": ("collect", "heavy_hitters"),
+    "q110_clustering_coeff": ("collect", "clustering_coeff"),
+    "q111_ra_linkpred": ("count", "ra_linkpred"),
 }
 
 
