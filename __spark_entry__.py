@@ -220,6 +220,10 @@ from faers_datalakehouse_spark.operators.normalize import (
     PERCENTILE_NORMALIZE_SQL,
     percentile_normalize_query,
 )
+from faers_datalakehouse_spark.operators.spearman import (
+    SPEARMAN_SQL,
+    spearman_query,
+)
 from faers_datalakehouse_spark.operators.linkpred import (
     clustering_coefficient,
     lcc_oracle_sql,
@@ -261,6 +265,8 @@ from faers_datalakehouse_spark.operators.privacy import (
     k_anonymity_audit,
     k_anonymity_audit_oracle_sql,
     k_suppress,
+    l_diversity_audit,
+    l_diversity_oracle_sql,
 )
 from faers_datalakehouse_spark.operators.quantile_sketch import (
     histogram_quantiles,
@@ -665,6 +671,20 @@ def _k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return k_suppress(cust, list(KANON_QUASI), k=KANON_K).orderBy("c_custkey")
+
+
+LDIV_QUASI = ("c_nationkey", "c_mktsegment")
+LDIV_SENSITIVE = "o_orderpriority"
+LDIV_L = 5
+
+
+def _l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        *LDIV_QUASI, LDIV_SENSITIVE
+    )
+    return l_diversity_audit(j, list(LDIV_QUASI), LDIV_SENSITIVE, l=LDIV_L)
 
 
 K_SUPPRESS_SQL = f"""
@@ -1125,6 +1145,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Resource Allocation link prediction on the supplier-part
         # bipartite graph (hub-capped wedge enumeration ≤ cap·|E|)
         "ra_linkpred": _ra_linkpred,
+        # distinct l-diversity census (homogeneity-attack audit): two
+        # stacked map-side-combinable groupBys, cell-sized shuffle
+        "l_diversity": _l_diversity_audit,
+        # per-nation Spearman rho between acctbal and total spend —
+        # tie-averaged doubled ranks via the bucketed two-phase scan,
+        # exact BIGINT moments, IEEE-deterministic milli rho
+        "spearman_corr": spearman_query,
     }
 
 
@@ -1525,6 +1552,13 @@ def oracle_sql() -> dict[str, str]:
             KCORE_EDGES_SQL, k=KCORE_K, rounds=KCORE_ROUNDS
         ),
         "heavy_hitters": heavy_hitters_oracle_sql(k=50),
+        "l_diversity": l_diversity_oracle_sql(
+            "orders JOIN customer ON o_custkey = c_custkey",
+            list(LDIV_QUASI),
+            LDIV_SENSITIVE,
+            l=LDIV_L,
+        ),
+        "spearman_corr": SPEARMAN_SQL,
         "clustering_coeff": lcc_oracle_sql(S.TRIANGLE_EDGES_SQL),
         "ra_linkpred": ra_oracle_sql(
             RA_BIPARTITE_SQL,

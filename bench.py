@@ -199,6 +199,8 @@ BENCH_QUERIES = {
     "q109_heavy_hitters": ("collect", "heavy_hitters"),
     "q110_clustering_coeff": ("collect", "clustering_coeff"),
     "q111_ra_linkpred": ("count", "ra_linkpred"),
+    "q112_l_diversity": ("collect", "l_diversity"),
+    "q113_spearman": ("collect", "spearman_corr"),
 }
 
 

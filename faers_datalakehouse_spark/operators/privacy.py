@@ -84,6 +84,74 @@ def k_suppress(
     return joined.select(*out_cols)
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity census (Machanavajjhala et al., "l-diversity:
+    privacy beyond k-anonymity", TKDD 2007): k-anonymity leaves a class
+    re-identifiable when every row in it shares the same SENSITIVE value
+    (the homogeneity attack). Per equivalence class this emits
+    ``(quasi..., n, l_distinct, top_ppm, diverse)`` — row count, distinct
+    sensitive values, the modal sensitive value's share in ppm (integer
+    division, the skewness signal behind entropy/recursive l-diversity),
+    and ``diverse = l_distinct >= l``.
+
+    Scale shape: two stacked map-side-combinable groupBys — first on
+    (quasi..., sensitive) then on (quasi...) — so the shuffle carries
+    cell-count-sized data, never rows; output is class-count-sized.
+    """
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    if not quasi_cols:
+        raise ValueError("l_diversity_audit needs at least one quasi column")
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        cells.groupBy(*quasi_cols)
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.max("_c").alias("_top"),
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "l_distinct",
+            F.expr("(_top * 1000000) div n").alias("top_ppm"),
+            (F.col("l_distinct") >= F.lit(l)).alias("diverse"),
+        )
+        .orderBy(*quasi_cols)
+    )
+
+
+def l_diversity_oracle_sql(
+    table_expr: str,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> str:
+    gl = ", ".join(quasi_cols)
+    return f"""
+WITH cells AS (
+  SELECT {gl}, {sensitive_col} AS s, count(*) AS c
+  FROM {table_expr}
+  GROUP BY {gl}, {sensitive_col}
+)
+SELECT {gl},
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_ppm,
+       count(*) >= {l} AS diverse
+FROM cells
+GROUP BY {gl}
+ORDER BY {gl}
+"""
+
+
 def k_anonymity_audit_oracle_sql(
     table_expr: str, quasi_cols: Sequence[str], k: int = 5
 ) -> str:

@@ -1,0 +1,173 @@
+"""Per-group Spearman rank correlation — the robust (outlier- and
+monotone-transform-invariant) association measure between two measures,
+computed with tie-averaged ranks (Spearman 1904; the Pearson-on-ranks
+formulation, which is the correct one under ties).
+
+Integer-exact core, deterministic tail: ranks are kept as DOUBLED
+average ranks (``2*min_rank + tie_count - 1`` — always an integer, no
+halves), and the Pearson numerator/denominators on those doubled ranks
+are exact BIGINT moment sums (the shared factor 4 cancels in the
+ratio). The final ``rho_milli`` is ``floor(sxy * 1000 / sqrt(sxx *
+syy))`` over those exact integers — ``*``, ``/`` and ``sqrt`` are
+IEEE-754 correctly-rounded operations (identical bit results in Spark's
+JVM and DuckDB), unlike libm transcendentals, so the milli value is
+cross-engine exact. Moment sums are n³-scaled: int64-safe to ~2M rows
+per group; beyond that, promote the three sums to decimal(38,0).
+
+Scale shape (100 TB): ranks come from ``bucketed_global_rank``
+(``operators/normalize.py``) — the two-phase bucketed scan — so no
+per-group global window ever forms; tie stats are one (group, value)
+aggregate + an equi-join back; the moments are a single
+map-side-combinable groupBy whose output is group-count-sized.
+
+No counterpart in the reference repo (statistics extension surface,
+alongside ``ab_test`` / ``crosstab_chi2`` / ``group_ols_trend``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.operators.normalize import bucketed_global_rank
+
+
+def _tie_avg_rank2(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Input plus ``out_col`` = doubled tie-averaged rank of ``value_col``
+    within ``group_col``: ``2*min_rank + tie_count - 1``."""
+    ranked = bucketed_global_rank(df, group_col, value_col, tiebreak_col)
+    ties = ranked.groupBy(group_col, value_col).agg(
+        F.min("rnk").alias("_minr"), F.count(F.lit(1)).alias("_tc")
+    )
+    return (
+        ranked.join(ties, [group_col, value_col])
+        .withColumn(
+            out_col,
+            (2 * F.col("_minr") + F.col("_tc") - 1).cast("long"),
+        )
+        .drop("_minr", "_tc", "rnk", "n_group")
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """``(group_col, n, sxy, sxx, syy, rho_milli)`` per group, ordered by
+    group — exact BIGINT moments over doubled tie-averaged ranks plus the
+    IEEE-deterministic milli correlation (NULL when either variance is
+    zero or ``n < 2``)."""
+    rx = _tie_avg_rank2(df, group_col, x_col, tiebreak_col, "rx2")
+    rxy = _tie_avg_rank2(rx, group_col, y_col, tiebreak_col, "ry2")
+    m = rxy.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("rx2 * ry2")).alias("_sxy"),
+        F.sum("rx2").alias("_sx"),
+        F.sum("ry2").alias("_sy"),
+        F.sum(F.expr("rx2 * rx2")).alias("_sxx"),
+        F.sum(F.expr("ry2 * ry2")).alias("_syy"),
+    )
+    return (
+        m.select(
+            group_col,
+            "n",
+            (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            .cast("long")
+            .alias("sxy"),
+            (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+            .cast("long")
+            .alias("sxx"),
+            (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+            .cast("long")
+            .alias("syy"),
+        )
+        .withColumn(
+            "rho_milli",
+            F.when(
+                (F.col("sxx") > 0) & (F.col("syy") > 0),
+                F.floor(
+                    (F.col("sxy") * F.lit(1000.0))
+                    / F.sqrt(
+                        F.col("sxx").cast("double")
+                        * F.col("syy").cast("double")
+                    )
+                ).cast("long"),
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def spearman_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation rank correlation between a customer's account balance
+    and their total order spend (customers with >= 1 order)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "spend_c"
+        )
+    )
+    j = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+        F.col("spend_c").alias("y"),
+        F.col("c_custkey").alias("tb"),
+    )
+    return spearman_by_group(j, "nationkey", "x", "y", "tb")
+
+
+SPEARMAN_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c_nationkey AS nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+         spend_c AS y
+  FROM customer JOIN spend ON c_custkey = o_custkey
+),
+r AS (
+  SELECT nationkey,
+         2 * rank() OVER (PARTITION BY nationkey ORDER BY x)
+           + count(*) OVER (PARTITION BY nationkey, x) - 1 AS rx2,
+         2 * rank() OVER (PARTITION BY nationkey ORDER BY y)
+           + count(*) OVER (PARTITION BY nationkey, y) - 1 AS ry2
+  FROM j
+),
+m AS (
+  SELECT nationkey, count(*) AS n,
+         CAST(sum(rx2 * ry2) AS BIGINT) AS sxy_,
+         CAST(sum(rx2) AS BIGINT) AS sx,
+         CAST(sum(ry2) AS BIGINT) AS sy,
+         CAST(sum(rx2 * rx2) AS BIGINT) AS sxx_,
+         CAST(sum(ry2 * ry2) AS BIGINT) AS syy_
+  FROM r GROUP BY nationkey
+)
+SELECT nationkey,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy_ - sx * sy AS BIGINT) AS sxy,
+       CAST(n * sxx_ - sx * sx AS BIGINT) AS sxx,
+       CAST(n * syy_ - sy * sy AS BIGINT) AS syy,
+       CASE WHEN n * sxx_ - sx * sx > 0 AND n * syy_ - sy * sy > 0
+            THEN CAST(floor(
+                   (CAST(n * sxy_ - sx * sy AS BIGINT) * 1000.0)
+                   / sqrt(CAST(n * sxx_ - sx * sx AS DOUBLE)
+                          * CAST(n * syy_ - sy * sy AS DOUBLE))
+                 ) AS BIGINT)
+       END AS rho_milli
+FROM m
+ORDER BY nationkey
+"""

@@ -84,3 +84,71 @@ def test_ra_min_score_filter(spark):
         bip, "a", "z", min_score_micro=400_000
     ).collect()
     assert [(r["a"], r["b"]) for r in got] == [(1, 2)]
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    """One class has a single sensitive value (l=1, top=100%), the other
+    two distinct values."""
+    from faers_datalakehouse_spark.operators.privacy import l_diversity_audit
+
+    rows = [("a", "s1"), ("a", "s1"), ("a", "s1"), ("b", "s1"), ("b", "s2")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r["q"]: r for r in l_diversity_audit(df, ["q"], "s", l=2).collect()}
+    assert got["a"]["l_distinct"] == 1
+    assert got["a"]["top_ppm"] == 1_000_000
+    assert got["a"]["diverse"] is False
+    assert got["b"]["l_distinct"] == 2
+    assert got["b"]["top_ppm"] == 500_000
+    assert got["b"]["diverse"] is True
+
+
+def test_l_diversity_counts(spark):
+    from faers_datalakehouse_spark.operators.privacy import l_diversity_audit
+
+    rows = [("a", "x")] * 7 + [("a", "y")] * 2 + [("a", "z")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = l_diversity_audit(df, ["q"], "s", l=3).collect()[0]
+    assert got["n"] == 10
+    assert got["l_distinct"] == 3
+    assert got["top_ppm"] == 700_000
+    assert got["diverse"] is True
+
+
+def test_spearman_perfect_monotone(spark):
+    """y strictly increasing with x: rho = +1 exactly (1000 milli)."""
+    from faers_datalakehouse_spark.operators.spearman import spearman_by_group
+
+    rows = [("g", i, i * i, i) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long, tb long")
+    got = spearman_by_group(df, "g", "x", "y", "tb").collect()[0]
+    assert got["rho_milli"] == 1000
+    assert got["sxy"] == got["sxx"] == got["syy"]
+
+
+def test_spearman_perfect_inverse(spark):
+    from faers_datalakehouse_spark.operators.spearman import spearman_by_group
+
+    rows = [("g", i, 100 - i, i) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long, tb long")
+    got = spearman_by_group(df, "g", "x", "y", "tb").collect()[0]
+    assert got["rho_milli"] == -1000
+
+
+def test_spearman_ties_average_ranks(spark):
+    """x = (1,1,2) with tie-averaged ranks (1.5,1.5,3): doubled ranks
+    (3,3,6). y = (5,5,9) identical pattern -> rho = 1."""
+    from faers_datalakehouse_spark.operators.spearman import spearman_by_group
+
+    rows = [("g", 1, 5, 1), ("g", 1, 5, 2), ("g", 2, 9, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long, tb long")
+    got = spearman_by_group(df, "g", "x", "y", "tb").collect()[0]
+    assert got["rho_milli"] == 1000
+
+
+def test_spearman_zero_variance_is_null(spark):
+    from faers_datalakehouse_spark.operators.spearman import spearman_by_group
+
+    rows = [("g", 7, i, i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "g string, x long, y long, tb long")
+    got = spearman_by_group(df, "g", "x", "y", "tb").collect()[0]
+    assert got["rho_milli"] is None
