@@ -224,6 +224,14 @@ from faers_datalakehouse_spark.operators.spearman import (
     SPEARMAN_SQL,
     spearman_query,
 )
+from faers_datalakehouse_spark.operators.kmv import (
+    kmv_oracle_sql,
+    kmv_query,
+)
+from faers_datalakehouse_spark.operators.feathash import (
+    feature_hash_oracle_sql,
+    feature_hash_query,
+)
 from faers_datalakehouse_spark.operators.linkpred import (
     clustering_coefficient,
     lcc_oracle_sql,
@@ -1152,6 +1160,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie-averaged doubled ranks via the bucketed two-phase scan,
         # exact BIGINT moments, IEEE-deterministic milli rho
         "spearman_corr": spearman_query,
+        # KMV bottom-k distinct sketch per priority + 'ALL' union row
+        # (map-side Arrow bottom-k partials, lossless candidate merge)
+        "kmv_distinct": kmv_query,
+        # hashing-trick featurization collision audit (64 signed
+        # buckets; pure map-side projection + one bounded groupBy)
+        "feature_hash": feature_hash_query,
     }
 
 
@@ -1559,6 +1573,8 @@ def oracle_sql() -> dict[str, str]:
             l=LDIV_L,
         ),
         "spearman_corr": SPEARMAN_SQL,
+        "kmv_distinct": kmv_oracle_sql(k=64),
+        "feature_hash": feature_hash_oracle_sql(n_buckets=64),
         "clustering_coeff": lcc_oracle_sql(S.TRIANGLE_EDGES_SQL),
         "ra_linkpred": ra_oracle_sql(
             RA_BIPARTITE_SQL,

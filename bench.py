@@ -201,6 +201,8 @@ BENCH_QUERIES = {
     "q111_ra_linkpred": ("count", "ra_linkpred"),
     "q112_l_diversity": ("collect", "l_diversity"),
     "q113_spearman": ("collect", "spearman_corr"),
+    "q114_kmv_distinct": ("collect", "kmv_distinct"),
+    "q115_feature_hash": ("collect", "feature_hash"),
 }
 
 

@@ -152,3 +152,78 @@ def test_spearman_zero_variance_is_null(spark):
     df = spark.createDataFrame(rows, "g string, x long, y long, tb long")
     got = spearman_by_group(df, "g", "x", "y", "tb").collect()[0]
     assert got["rho_milli"] is None
+
+
+def test_kmv_small_group_is_exact(spark):
+    """Fewer distinct values than k: the sketch IS the distinct set and
+    the estimate equals the exact count (err 0)."""
+    from faers_datalakehouse_spark.operators.kmv import kmv_distinct
+
+    rows = [("g", v % 10) for v in range(100)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {r["grp"]: r for r in kmv_distinct(df, "grp", "v", k=64).collect()}
+    assert got["g"]["exact_distinct"] == 10
+    assert got["g"]["est_distinct"] == 10
+    assert got["g"]["err_ppm"] == 0
+    assert got["ALL"]["est_distinct"] == 10
+
+
+def test_kmv_partition_invariant(spark):
+    """The bottom-k merge is lossless: any partition layout yields the
+    identical sketch row."""
+    from faers_datalakehouse_spark.operators.kmv import kmv_distinct
+
+    rows = [("g", v) for v in range(500)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    a = kmv_distinct(df.coalesce(1), "grp", "v", k=32).collect()
+    b = kmv_distinct(df.repartition(13), "grp", "v", k=32).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_kmv_estimate_matches_reference_order_statistic(spark):
+    """The estimate equals the pure-Python (k-1)*2^32 // kth-smallest-
+    md5-prefix computation — for md5("0".."499") at k=32 that is 858
+    (an unlucky draw, ~1.7x: the k-th order statistic landed low; the
+    point of the assert is bit-exactness, not estimator luck)."""
+    from faers_datalakehouse_spark.operators.kmv import kmv_distinct
+
+    rows = [("g", v) for v in range(500)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = kmv_distinct(df, "grp", "v", k=32).collect()
+    g = {r["grp"]: r for r in got}["g"]
+    import hashlib
+
+    hs = sorted(
+        int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        for v in range(500)
+    )
+    assert g["kth_min"] == hs[31]
+    assert g["est_distinct"] == 31 * (1 << 32) // hs[31] == 858
+
+
+def test_hash_features_shape_and_domain(spark):
+    from faers_datalakehouse_spark.operators.feathash import hash_features
+
+    df = spark.createDataFrame(
+        [(1, "A", 5), (2, "B", None)], "id long, seg string, nk int"
+    )
+    got = hash_features(df, "id", ["seg", "nk"], n_buckets=16).collect()
+    assert len(got) == 4
+    assert all(0 <= r["bucket"] < 16 for r in got)
+    assert all(r["sign"] in (-1, 1) for r in got)
+    feats = {r["feat"] for r in got}
+    assert "seg=A" in feats and "nk=" in feats  # NULL hashes as absence
+
+
+def test_feature_hash_profile_mass_conserved(spark):
+    from faers_datalakehouse_spark.operators.feathash import (
+        feature_hash_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i % 7) for i in range(50)],
+        "id long, seg string, nk long",
+    )
+    got = feature_hash_profile(df, "id", ["seg", "nk"], n_buckets=8).collect()
+    assert sum(r["n"] for r in got) == 100  # 50 rows x 2 features
+    assert sum(r["n_feats"] for r in got) == 10  # 3 segs + 7 nks
