@@ -232,6 +232,10 @@ from faers_datalakehouse_spark.operators.feathash import (
     feature_hash_oracle_sql,
     feature_hash_query,
 )
+from faers_datalakehouse_spark.operators.holt import (
+    holt_oracle_sql,
+    holt_query,
+)
 from faers_datalakehouse_spark.operators.linkpred import (
     clustering_coefficient,
     lcc_oracle_sql,
@@ -1166,6 +1170,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hashing-trick featurization collision audit (64 signed
         # buckets; pure map-side projection + one bounded groupBy)
         "feature_hash": feature_hash_query,
+        # Holt level+trend smoothing per priority (1024-denominated
+        # coefficients, arithmetic-shift floor division, one
+        # F.aggregate fold per series — parallel across series)
+        "holt_smooth": holt_query,
+        # correlated LATERAL subquery join (per-nation top-3 by
+        # balance; Catalyst rewrites to a partitioned window top-k)
+        "lateral_topk": SQ.lateral_topk_query,
     }
 
 
@@ -1575,6 +1586,8 @@ def oracle_sql() -> dict[str, str]:
         "spearman_corr": SPEARMAN_SQL,
         "kmv_distinct": kmv_oracle_sql(k=64),
         "feature_hash": feature_hash_oracle_sql(n_buckets=64),
+        "holt_smooth": holt_oracle_sql(),
+        "lateral_topk": SQ.LATERAL_TOPK_SQL,
         "clustering_coeff": lcc_oracle_sql(S.TRIANGLE_EDGES_SQL),
         "ra_linkpred": ra_oracle_sql(
             RA_BIPARTITE_SQL,

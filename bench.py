@@ -203,6 +203,8 @@ BENCH_QUERIES = {
     "q113_spearman": ("collect", "spearman_corr"),
     "q114_kmv_distinct": ("collect", "kmv_distinct"),
     "q115_feature_hash": ("collect", "feature_hash"),
+    "q116_holt_smooth": ("collect", "holt_smooth"),
+    "q117_lateral_topk": ("collect", "lateral_topk"),
 }
 
 

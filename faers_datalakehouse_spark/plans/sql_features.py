@@ -323,3 +323,46 @@ FROM lineitem
 GROUP BY 1, 2
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def lateral_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (Spark >= 3.2 SQL surface):
+    per-nation top-3 customers by account balance, written as
+    ``nation JOIN LATERAL (... WHERE c_nationkey = n.n_nationkey ORDER
+    BY ... LIMIT 3)``. Catalyst rewrites the correlated limit into a
+    partitioned window top-k (DomainJoin -> rank filter), so the
+    physical plan is the scalable shape — this entry pins the PARSER
+    surface, not a per-nation re-scan. Balance kept as exact cents so
+    the DuckDB LATERAL twin hashes bit-for-bit."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation_lat_v"
+    )
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer_lat_v"
+    )
+    return spark.sql(
+        """
+SELECT n.n_name, t.c_name, t.bal_c
+FROM nation_lat_v n JOIN LATERAL (
+  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer_lat_v
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 3
+) t
+ORDER BY n.n_name, t.bal_c DESC, t.c_name
+"""
+    )
+
+
+LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.bal_c
+FROM nation n JOIN LATERAL (
+  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 3
+) t ON true
+ORDER BY n.n_name, t.bal_c DESC, t.c_name
+"""

@@ -227,3 +227,48 @@ def test_feature_hash_profile_mass_conserved(spark):
     got = feature_hash_profile(df, "id", ["seg", "nk"], n_buckets=8).collect()
     assert sum(r["n"] for r in got) == 100  # 50 rows x 2 features
     assert sum(r["n_feats"] for r in got) == 10  # 3 segs + 7 nks
+
+
+def _holt_ref(xs, a=307, b=205):
+    l, t = xs[0] * 1000, 0
+    for x in xs[1:]:
+        lp = (a * x * 1000 + (1024 - a) * (l + t)) >> 10
+        t = (b * (lp - l) + (1024 - b) * t) >> 10
+        l = lp
+    return l, t
+
+
+def test_holt_matches_pure_python_fold(spark):
+    from faers_datalakehouse_spark.operators.holt import holt_smooth
+
+    xs = [100, 120, 90, 150, 200, 180, 30]
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "grp string, day long, x long")
+    got = holt_smooth(df, "grp", "day", "x").collect()[0]
+    l, t = _holt_ref(xs)
+    assert (got["level_milli"], got["trend_milli"]) == (l, t)
+    assert got["forecast_milli"] == l + t
+    assert got["n_days"] == 7
+
+
+def test_holt_single_point(spark):
+    from faers_datalakehouse_spark.operators.holt import holt_smooth
+
+    df = spark.createDataFrame([("g", 1, 42)], "grp string, day long, x long")
+    got = holt_smooth(df, "grp", "day", "x").collect()[0]
+    assert got["level_milli"] == 42_000
+    assert got["trend_milli"] == 0
+
+
+def test_holt_negative_trend_floor_division(spark):
+    """A collapsing series drives the trend negative: the arithmetic-
+    shift recursion must still match the pure-Python floor fold."""
+    from faers_datalakehouse_spark.operators.holt import holt_smooth
+
+    xs = [1000, 500, 100, 50, 10, 1]
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "grp string, day long, x long")
+    got = holt_smooth(df, "grp", "day", "x").collect()[0]
+    l, t = _holt_ref(xs)
+    assert t < 0
+    assert (got["level_milli"], got["trend_milli"]) == (l, t)
