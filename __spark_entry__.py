@@ -236,6 +236,14 @@ from faers_datalakehouse_spark.operators.holt import (
     holt_oracle_sql,
     holt_query,
 )
+from faers_datalakehouse_spark.operators.keywords import (
+    doc_keywords_oracle_sql,
+    doc_keywords_query,
+)
+from faers_datalakehouse_spark.operators.mmr import (
+    mmr_diversify,
+    mmr_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.linkpred import (
     clustering_coefficient,
     lcc_oracle_sql,
@@ -330,6 +338,16 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return topk_neighbors_bruteforce(
         emb, emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0), k=ANN_K
+    )
+
+
+def _mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_diversify(
+        emb,
+        emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0),
+        pool_n=16,
+        k_sel=5,
     )
 
 
@@ -1177,6 +1195,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # correlated LATERAL subquery join (per-nation top-3 by
         # balance; Catalyst rewrites to a partitioned window top-k)
         "lateral_topk": SQ.lateral_topk_query,
+        # per-document top-3 tf-idf keywords (bit-length idf, df-pct
+        # stopword cap, per-doc window — the GOOD window shape)
+        "doc_keywords": doc_keywords_query,
+        # MMR diversified retrieval over the ANN pool (integer 7/3
+        # lambda, per-query Arrow greedy; unrolled-CTE oracle)
+        "mmr_diversify": _mmr_diversify,
     }
 
 
@@ -1588,6 +1612,10 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": feature_hash_oracle_sql(n_buckets=64),
         "holt_smooth": holt_oracle_sql(),
         "lateral_topk": SQ.LATERAL_TOPK_SQL,
+        "doc_keywords": doc_keywords_oracle_sql(k=3, max_df_pct=80),
+        "mmr_diversify": mmr_oracle_sql(
+            query_mod=ANN_QUERY_MOD, pool_n=16, k_sel=5
+        ),
         "clustering_coeff": lcc_oracle_sql(S.TRIANGLE_EDGES_SQL),
         "ra_linkpred": ra_oracle_sql(
             RA_BIPARTITE_SQL,

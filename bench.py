@@ -205,6 +205,8 @@ BENCH_QUERIES = {
     "q115_feature_hash": ("collect", "feature_hash"),
     "q116_holt_smooth": ("collect", "holt_smooth"),
     "q117_lateral_topk": ("collect", "lateral_topk"),
+    "q118_doc_keywords": ("count", "doc_keywords"),
+    "q119_mmr_diversify": ("collect", "mmr_diversify"),
 }
 
 

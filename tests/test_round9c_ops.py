@@ -272,3 +272,76 @@ def test_holt_negative_trend_floor_division(spark):
     l, t = _holt_ref(xs)
     assert t < 0
     assert (got["level_milli"], got["trend_milli"]) == (l, t)
+
+
+def test_doc_keywords_ranks_rare_terms_first(spark):
+    """'zebra' appears once in one doc of four (idf_bits high); 'the'
+    appears everywhere and is dropped by the df cap."""
+    from faers_datalakehouse_spark.operators.keywords import doc_keywords
+
+    rows = [
+        (1, "the zebra runs fast"),
+        (2, "the dog runs"),
+        (3, "the dog sleeps"),
+        (4, "the cat sleeps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = doc_keywords(df, k=2, max_df_pct=60).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1's top keyword is one of its unique terms (df=1 of 4 -> idf 3)
+    assert by_doc[1][0]["word"] in {"zebra", "fast"}
+    assert by_doc[1][0]["idf_bits"] == 3
+    assert all(r["word"] != "the" for r in got)  # df cap drops it
+    assert all(r["rk"] <= 2 for r in got)
+
+
+def test_doc_keywords_tf_breaks_idf_ties(spark):
+    from faers_datalakehouse_spark.operators.keywords import doc_keywords
+
+    rows = [(1, "apple apple banana"), (2, "cherry")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in doc_keywords(df, k=1, max_df_pct=100).collect()}
+    assert got[1]["word"] == "apple"  # tf=2 beats banana tf=1 at equal idf
+    assert got[1]["score"] == 2 * got[1]["idf_bits"]
+
+
+def test_mmr_first_pick_is_most_relevant_then_diversifies(spark):
+    """Query q=[10,0,0]. a (rel .90) is picked first. b (rel .85) is
+    nearly parallel to a (sim ~.995): score_b = 7*.85 - 3*.995 ~ 2.97M.
+    c (rel .80) is partly orthogonal (sim(c,a) = .72): score_c =
+    7*.80 - 3*.72 = 3.44M — diversity flips the relevance order."""
+    from faers_datalakehouse_spark.operators.mmr import mmr_diversify
+
+    rows = [
+        (0, [10.0, 0.0, 0.0]),  # the query
+        (1, [9.0, 4.36, 0.0]),  # a: top relevance
+        (2, [8.5, 5.27, 0.0]),  # b: slightly less relevant, near-dup of a
+        (3, [8.0, 0.0, 6.0]),  # c: least relevant, diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    got = mmr_diversify(
+        emb, emb.filter(F.col("vec_id") == 0), pool_n=3, k_sel=3
+    ).collect()
+    picks = [r["vec_id"] for r in got]
+    assert picks == [1, 3, 2]
+    assert [r["pick"] for r in got] == [1, 2, 3]
+    # plain relevance order would have been [1, 2, 3]
+    rels = {r["vec_id"]: r["rel_micro"] for r in got}
+    assert rels[2] > rels[3]
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.operators.mmr import mmr_diversify
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 1.0]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mmr_diversify(
+        emb, emb.filter(F.col("vec_id") == 0), pool_n=10, k_sel=5
+    ).collect()
+    assert len(got) == 2  # only 2 non-self candidates exist
