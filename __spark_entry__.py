@@ -1248,6 +1248,16 @@ _WINDOW = [
     "percentile_normalize",  # last driver check: never
     "kcore_nodes",  # last driver check: never
     "heavy_hitters",  # last driver check: never
+    "clustering_coeff",  # last driver check: never
+    "ra_linkpred",  # last driver check: never
+    "l_diversity",  # last driver check: never
+    "spearman_corr",  # last driver check: never
+    "kmv_distinct",  # last driver check: never
+    "feature_hash",  # last driver check: never
+    "holt_smooth",  # last driver check: never
+    "lateral_topk",  # last driver check: never
+    "doc_keywords",  # last driver check: never
+    "mmr_diversify",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1270,16 +1280,6 @@ _WINDOW = [
     "shard_manifest",  # last driver check: r4
     "contamination_check",  # last driver check: r4
     "funnel_steps",  # last driver check: r4
-    "topk_parts",  # last driver check: r4
-    "latest_day_activity",  # last driver check: r4
-    "ann_ivf_topk_nprobe2",  # last driver check: r4
-    "ann_lsh_topk",  # last driver check: r4
-    "rollup_volume",  # last driver check: r4
-    "topk_by_group",  # last driver check: r4
-    "global_summary",  # last driver check: r4
-    "numeric_standardize",  # last driver check: r4
-    "distinct_profile",  # last driver check: r4
-    "ngram_jaccard",  # last driver check: r4
 ]
 
 
