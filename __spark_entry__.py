@@ -244,6 +244,12 @@ from faers_datalakehouse_spark.operators.mmr import (
     mmr_diversify,
     mmr_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.stattests import (
+    MANN_WHITNEY_SQL,
+    WELCH_TTEST_SQL,
+    mann_whitney_query,
+    welch_ttest_query,
+)
 from faers_datalakehouse_spark.operators.linkpred import (
     clustering_coefficient,
     lcc_oracle_sql,
@@ -1201,6 +1207,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MMR diversified retrieval over the ANN pool (integer 7/3
         # lambda, per-query Arrow greedy; unrolled-CTE oracle)
         "mmr_diversify": _mmr_diversify,
+        # Mann-Whitney U rank-sum per event type (doubled tie-averaged
+        # ranks from per-value counts — never a per-row rank)
+        "mann_whitney": mann_whitney_query,
+        # Welch unequal-variance t per market segment (exact decimal
+        # moments, one IEEE expression tail)
+        "welch_ttest": welch_ttest_query,
     }
 
 
@@ -1622,6 +1634,8 @@ def oracle_sql() -> dict[str, str]:
             max_hub_deg=RA_MAX_HUB_DEG,
             min_score_micro=RA_MIN_SCORE_MICRO,
         ),
+        "mann_whitney": MANN_WHITNEY_SQL,
+        "welch_ttest": WELCH_TTEST_SQL,
     }
 
 

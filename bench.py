@@ -207,6 +207,8 @@ BENCH_QUERIES = {
     "q117_lateral_topk": ("collect", "lateral_topk"),
     "q118_doc_keywords": ("count", "doc_keywords"),
     "q119_mmr_diversify": ("collect", "mmr_diversify"),
+    "q120_mann_whitney": ("collect", "mann_whitney"),
+    "q121_welch_ttest": ("collect", "welch_ttest"),
 }
 
 

@@ -1,0 +1,322 @@
+"""Two-sample hypothesis tests over grouped data — Mann-Whitney U
+(rank-sum) and Welch's unequal-variance t-test, the two workhorse
+A/B-style comparisons a curation pipeline runs per segment (does cohort
+A's engagement/value distribution differ from cohort B's?).
+
+Complements ``ab_test`` (two-proportion z) and ``crosstab_chi2``
+(categorical independence): Mann-Whitney is the distribution-free test
+on a numeric measure (robust to outliers and any monotone transform),
+Welch is the parametric mean-difference test that does not assume equal
+variances (Welch 1947; the recommended default over Student's t).
+
+Integer-exact core, IEEE-deterministic tail (the ``spearman.py``
+discipline): rank sums are derived from per-(group, value) counts and
+an exclusive prefix sum — never a per-row rank — using DOUBLED
+tie-averaged ranks so everything stays integral; the tie-correction
+term ``T = sum(t^3 - t)`` and the doubled U statistic are exact BIGINTs.
+Welch's moment sums are exact (DECIMAL(38,0) for the squared sums — the
+cents^2 scale overflows int64 at realistic row counts). The final
+``z_milli`` / ``t_milli`` are single fixed expression trees of
+correctly-rounded IEEE ops (``*``, ``/``, ``sqrt``) over those exact
+integers, so they hash identically in the DuckDB twin.
+
+Scale shape (100 TB): both tests are two map-side-combinable aggregates.
+Mann-Whitney: ``groupBy(group, value)`` (output is distinct-value-sized),
+one prefix-sum window PARTITIONED BY group over those aggregated rows
+(never the base table), then a per-group rollup. Welch: a single
+``groupBy(group, cohort)`` then a self-pivot — output is 2x|groups|
+rows. No joins against the fact table, no driver round-trips.
+
+No counterpart in the reference repo (statistics extension surface,
+alongside ``ab_test`` / ``crosstab_chi2`` / ``spearman_corr``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def mann_whitney_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cohort_col: str,
+) -> DataFrame:
+    """``(group_col, n1, n2, u2, t_corr, z_milli)`` per group.
+
+    ``cohort_col`` must be 0/1 (1 = treatment). ``u2`` is the DOUBLED
+    Mann-Whitney U of cohort 1 (exact under ties: ``2*U = R1_2 -
+    n1*(n1+1)`` with doubled tie-averaged ranks); ``t_corr`` is the tie
+    correction ``sum(t^3 - t)``; ``z_milli`` is the normal-approximation
+    z-score in exact milli units (NULL when a cohort is empty or the
+    tie-corrected variance is zero).
+    """
+    per_value = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.col(cohort_col)).alias("c1"),
+    )
+    w_lt = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_value.withColumn(
+        "cum_lt", F.coalesce(F.sum("c_all").over(w_lt), F.lit(0))
+    )
+    per_group = ranked.groupBy(group_col).agg(
+        F.sum("c1").cast("long").alias("n1"),
+        (F.sum("c_all") - F.sum("c1")).cast("long").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cum_lt") + F.col("c_all") + 1)
+        )
+        .cast("long")
+        .alias("r1_2"),
+        F.sum(
+            F.col("c_all") * F.col("c_all") * F.col("c_all")
+            - F.col("c_all")
+        )
+        .cast("long")
+        .alias("t_corr"),
+    )
+    # z = (U - n1*n2/2) / sqrt(n1*n2*((n+1) - T/(n*(n-1)))/12); with
+    # doubled U the mean doubles and the denominator gains a factor 2.
+    # One fixed expression tree, mirrored verbatim in the SQL twin.
+    return (
+        per_group.withColumn(
+            "u2", (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1))
+        )
+        .withColumn("n", F.col("n1") + F.col("n2"))
+        .withColumn(
+            "z_milli",
+            F.expr(
+                "CASE WHEN n1 > 0 AND n2 > 0 AND "
+                "  (n + 1.0) * n * (n - 1.0) - t_corr > 0 THEN "
+                "CAST(floor((u2 - CAST(n1 * n2 AS DOUBLE)) * 1000.0 / "
+                " (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 * "
+                "  ((n + 1.0) * n * (n - 1.0) - t_corr)) / "
+                "  (12.0 * n * (n - 1.0))))) AS BIGINT) END"
+            ),
+        )
+        .select(group_col, "n1", "n2", "u2", "t_corr", "z_milli")
+        .orderBy(group_col)
+    )
+
+
+def mann_whitney_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: does the value distribution of even-id users
+    differ from odd-id users? (Deterministic cohort split — the stand-in
+    for an experiment assignment column.)"""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("is_even"),
+    )
+    return mann_whitney_by_group(base, "event_type", "v_cents", "is_even")
+
+
+MANN_WHITNEY_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_even
+  FROM events
+),
+per_value AS (
+  SELECT event_type, v_cents,
+         count(*) AS c_all, sum(is_even) AS c1
+  FROM base GROUP BY event_type, v_cents
+),
+ranked AS (
+  SELECT *,
+         COALESCE(sum(c_all) OVER (PARTITION BY event_type
+             ORDER BY v_cents ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS cum_lt
+  FROM per_value
+),
+per_group AS (
+  SELECT event_type,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c_all) - sum(c1) AS BIGINT) AS n2,
+         CAST(sum(c1 * (2 * cum_lt + c_all + 1)) AS BIGINT) AS r1_2,
+         CAST(sum(c_all * c_all * c_all - c_all) AS BIGINT) AS t_corr
+  FROM ranked GROUP BY event_type
+),
+u AS (
+  SELECT *, r1_2 - n1 * (n1 + 1) AS u2, n1 + n2 AS n FROM per_group
+)
+SELECT event_type, n1, n2, u2, t_corr,
+       CASE WHEN n1 > 0 AND n2 > 0 AND
+                 (n + 1.0) * n * (n - 1.0) - t_corr > 0 THEN
+         CAST(floor((u2 - CAST(n1 * n2 AS DOUBLE)) * 1000.0 /
+           (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 *
+            ((n + 1.0) * n * (n - 1.0) - t_corr)) /
+            (12.0 * n * (n - 1.0))))) AS BIGINT) END AS z_milli
+FROM u
+ORDER BY event_type
+"""
+
+
+def welch_ttest_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cohort_col: str,
+) -> DataFrame:
+    """``(group_col, n1, n2, mean1_milli, mean2_milli, t_milli)`` per
+    group — Welch's unequal-variance t statistic in exact milli units.
+
+    ``cohort_col`` must be 0/1. Moment sums are exact (``sum(x)`` BIGINT,
+    ``sum(x^2)`` DECIMAL(38,0)); means are integer milli divisions; the
+    t statistic is one fixed IEEE expression over the exact moments.
+    NULL ``t_milli`` when either cohort has < 2 rows or both variance
+    numerators are zero.
+    """
+    x = F.col(value_col)
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.col(cohort_col)).cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum(F.col(cohort_col)))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.col(cohort_col) * x).cast("long").alias("sx1"),
+        (F.sum(x) - F.sum(F.col(cohort_col) * x))
+        .cast("long")
+        .alias("sx2"),
+        F.sum(F.col(cohort_col) * x.cast("decimal(38,0)") * x)
+        .cast("decimal(38,0)")
+        .alias("sxx1"),
+        (
+            F.sum(x.cast("decimal(38,0)") * x)
+            - F.sum(F.col(cohort_col) * x.cast("decimal(38,0)") * x)
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx2"),
+    )
+    # variance numerators n_i*sxx_i - sx_i^2 stay exact in decimal; the
+    # t ratio is a single fixed double expression mirrored in the twin.
+    return (
+        agg.withColumn(
+            "v1",
+            (
+                F.col("n1") * F.col("sxx1")
+                - F.col("sx1").cast("decimal(38,0)") * F.col("sx1")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "v2",
+            (
+                F.col("n2") * F.col("sxx2")
+                - F.col("sx2").cast("decimal(38,0)") * F.col("sx2")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "mean1_milli",
+            F.expr(
+                "CASE WHEN n1 > 0 THEN "
+                "CAST(sx1 * 1000 div n1 AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "mean2_milli",
+            F.expr(
+                "CASE WHEN n2 > 0 THEN "
+                "CAST(sx2 * 1000 div n2 AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "t_milli",
+            F.expr(
+                "CASE WHEN n1 >= 2 AND n2 >= 2 AND "
+                "  CAST(v1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+                "  + CAST(v2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))"
+                "  > 0 THEN "
+                "CAST(floor((CAST(sx1 AS DOUBLE) / n1 "
+                "            - CAST(sx2 AS DOUBLE) / n2) * 1000.0 / "
+                " sqrt(CAST(v1 AS DOUBLE) / "
+                "       (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) "
+                "      + CAST(v2 AS DOUBLE) / "
+                "       (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))) AS BIGINT) "
+                "END"
+            ),
+        )
+        .select(
+            group_col,
+            "n1",
+            "n2",
+            "mean1_milli",
+            "mean2_milli",
+            "t_milli",
+        )
+        .orderBy(group_col)
+    )
+
+
+def welch_ttest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: do urgent-priority orders (1-URGENT/2-HIGH)
+    carry a different mean order value than routine ones?"""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice")).cast("long").alias("v_usd"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("is_urgent"),
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "v_usd", "is_urgent")
+    return welch_ttest_by_group(j, "c_mktsegment", "v_usd", "is_urgent")
+
+
+WELCH_TTEST_SQL = """
+WITH j AS (
+  SELECT c_mktsegment,
+         CAST(round(o_totalprice) AS BIGINT) AS v_usd,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS is_urgent
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+agg AS (
+  SELECT c_mktsegment,
+         CAST(sum(is_urgent) AS BIGINT) AS n1,
+         CAST(count(*) - sum(is_urgent) AS BIGINT) AS n2,
+         CAST(sum(is_urgent * v_usd) AS BIGINT) AS sx1,
+         CAST(sum(v_usd) - sum(is_urgent * v_usd) AS BIGINT) AS sx2,
+         CAST(sum(is_urgent * CAST(v_usd AS DECIMAL(38,0)) * v_usd)
+              AS DECIMAL(38,0)) AS sxx1,
+         CAST(sum(CAST(v_usd AS DECIMAL(38,0)) * v_usd)
+              - sum(is_urgent * CAST(v_usd AS DECIMAL(38,0)) * v_usd)
+              AS DECIMAL(38,0)) AS sxx2
+  FROM j GROUP BY c_mktsegment
+),
+v AS (
+  SELECT *,
+         CAST(n1 * sxx1 - CAST(sx1 AS DECIMAL(38,0)) * sx1
+              AS DECIMAL(38,0)) AS v1,
+         CAST(n2 * sxx2 - CAST(sx2 AS DECIMAL(38,0)) * sx2
+              AS DECIMAL(38,0)) AS v2
+  FROM agg
+)
+SELECT c_mktsegment, n1, n2,
+       CASE WHEN n1 > 0
+            THEN CAST(sx1 * 1000 // n1 AS BIGINT) END AS mean1_milli,
+       CASE WHEN n2 > 0
+            THEN CAST(sx2 * 1000 // n2 AS BIGINT) END AS mean2_milli,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND
+              CAST(v1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+              + CAST(v2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))
+              > 0 THEN
+         CAST(floor((CAST(sx1 AS DOUBLE) / n1
+                     - CAST(sx2 AS DOUBLE) / n2) * 1000.0 /
+           sqrt(CAST(v1 AS DOUBLE) /
+                 (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                + CAST(v2 AS DOUBLE) /
+                 (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))) AS BIGINT)
+       END AS t_milli
+FROM v
+ORDER BY c_mktsegment
+"""
