@@ -244,6 +244,14 @@ from faers_datalakehouse_spark.operators.mmr import (
     mmr_diversify,
     mmr_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.drawdown import (
+    MAX_DRAWDOWN_SQL,
+    max_drawdown_query,
+)
+from faers_datalakehouse_spark.operators.seasonal import (
+    SEASONAL_DECOMPOSE_SQL,
+    seasonal_decompose_query,
+)
 from faers_datalakehouse_spark.operators.stattests import (
     MANN_WHITNEY_SQL,
     WELCH_TTEST_SQL,
@@ -1213,6 +1221,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Welch unequal-variance t per market segment (exact decimal
         # moments, one IEEE expression tail)
         "welch_ttest": welch_ttest_query,
+        # top-25 users by peak-to-trough drawdown of the cumulative
+        # balance (two stacked per-series windows, exact cents)
+        "max_drawdown": max_drawdown_query,
+        # additive trend/weekly-seasonal/residual split of the daily
+        # count series (centered 7-day MA over the day-grain frame)
+        "seasonal_decompose": seasonal_decompose_query,
     }
 
 
@@ -1270,6 +1284,10 @@ _WINDOW = [
     "lateral_topk",  # last driver check: never
     "doc_keywords",  # last driver check: never
     "mmr_diversify",  # last driver check: never
+    "mann_whitney",  # last driver check: never
+    "welch_ttest",  # last driver check: never
+    "max_drawdown",  # last driver check: never
+    "seasonal_decompose",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1288,10 +1306,6 @@ _WINDOW = [
     "simhash_neardup",  # last driver check: r4
     "json_extract_agg",  # last driver check: r4
     "segment_status_pivot",  # last driver check: r4
-    "lang_id",  # last driver check: r4
-    "shard_manifest",  # last driver check: r4
-    "contamination_check",  # last driver check: r4
-    "funnel_steps",  # last driver check: r4
 ]
 
 
@@ -1636,6 +1650,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mann_whitney": MANN_WHITNEY_SQL,
         "welch_ttest": WELCH_TTEST_SQL,
+        "max_drawdown": MAX_DRAWDOWN_SQL,
+        "seasonal_decompose": SEASONAL_DECOMPOSE_SQL,
     }
 
 

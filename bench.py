@@ -209,6 +209,8 @@ BENCH_QUERIES = {
     "q119_mmr_diversify": ("collect", "mmr_diversify"),
     "q120_mann_whitney": ("collect", "mann_whitney"),
     "q121_welch_ttest": ("collect", "welch_ttest"),
+    "q122_max_drawdown": ("collect", "max_drawdown"),
+    "q123_seasonal": ("collect", "seasonal_decompose"),
 }
 
 

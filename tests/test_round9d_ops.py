@@ -95,3 +95,101 @@ def test_welch_single_row_cohort_is_null(spark):
     )
     got = welch_ttest_by_group(df, "grp", "v", "c").collect()[0]
     assert got["t_milli"] is None and got["mean1_milli"] == 5_000
+
+
+def test_max_drawdown_known_series(spark):
+    """Balance path 10, 30, 5, 20: peak 30, trough 5 -> drawdown 25."""
+    from faers_datalakehouse_spark.operators.drawdown import (
+        max_drawdown_by_series,
+    )
+
+    rows = [(1, t, t, v) for t, v in enumerate([10, 20, -25, 15])]
+    df = spark.createDataFrame(
+        rows, "uid long, ts long, eid long, v long"
+    )
+    got = max_drawdown_by_series(df, "uid", "ts", "eid", "v").collect()[0]
+    assert got["final_balance_c"] == 20
+    assert got["peak_balance_c"] == 30
+    assert got["max_drawdown_c"] == 25
+
+
+def test_max_drawdown_monotone_rise_is_zero(spark):
+    from faers_datalakehouse_spark.operators.drawdown import (
+        max_drawdown_by_series,
+    )
+
+    rows = [(1, t, t, 5) for t in range(4)]
+    df = spark.createDataFrame(
+        rows, "uid long, ts long, eid long, v long"
+    )
+    got = max_drawdown_by_series(df, "uid", "ts", "eid", "v").collect()[0]
+    assert got["max_drawdown_c"] == 0 and got["peak_balance_c"] == 20
+
+
+def test_max_drawdown_topk_tiebreak(spark):
+    """Equal drawdowns break ties by series key ascending."""
+    from faers_datalakehouse_spark.operators.drawdown import (
+        max_drawdown_by_series,
+    )
+
+    rows = []
+    for uid in (3, 1, 2):
+        rows += [(uid, 0, 0, 10), (uid, 1, 1, -10)]
+    df = spark.createDataFrame(
+        rows, "uid long, ts long, eid long, v long"
+    )
+    got = max_drawdown_by_series(
+        df, "uid", "ts", "eid", "v", top_k=2
+    ).collect()
+    assert [r["uid"] for r in got] == [1, 2]
+
+
+def test_seasonal_decompose_flat_plus_weekly(spark):
+    """A pure weekly pattern over 21 consecutive days: residuals are 0
+    wherever trend is defined, and seasonal means reproduce the DOW
+    offsets (trend = weekly mean = 100 everywhere)."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.seasonal import (
+        seasonal_decompose_daily,
+    )
+
+    offsets = [21, -7, 0, 14, -14, -7, -7]  # sums to 0 over a week
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), 100 + offsets[i % 7])
+        for i in range(21)
+    ]
+    daily = spark.createDataFrame(rows, "day date, cnt long")
+    got = seasonal_decompose_daily(daily).collect()
+    by_day = {r["day"].isoformat(): r for r in got}
+    assert by_day["2024-01-01"]["trend_milli"] is None  # edge
+    mid = by_day["2024-01-10"]
+    assert mid["trend_milli"] == 100_000
+    # 2024-01-10 is a Wednesday -> dow 2 -> offset 0
+    assert mid["dow"] == 2 and mid["seasonal_milli"] == 0
+    assert all(
+        r["resid_milli"] == 0
+        for r in got
+        if r["trend_milli"] is not None
+    )
+
+
+def test_seasonal_decompose_gap_voids_trend(spark):
+    """A missing day voids the trend for every window that spans it."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.seasonal import (
+        seasonal_decompose_daily,
+    )
+
+    days = [i for i in range(15) if i != 7]
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), 10) for i in days
+    ]
+    daily = spark.createDataFrame(rows, "day date, cnt long")
+    got = {
+        r["day"].isoformat(): r["trend_milli"]
+        for r in seasonal_decompose_daily(daily).collect()
+    }
+    assert got["2024-01-05"] is None  # window spans the Jan-8 gap
+    assert got["2024-01-12"] == 10_000  # fully inside the second run
