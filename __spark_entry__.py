@@ -244,6 +244,14 @@ from faers_datalakehouse_spark.operators.mmr import (
     mmr_diversify,
     mmr_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.entropy import (
+    MUTUAL_INFORMATION_SQL,
+    mutual_information_query,
+)
+from faers_datalakehouse_spark.operators.tcloseness import (
+    T_CLOSENESS_SQL,
+    t_closeness_query,
+)
 from faers_datalakehouse_spark.operators.drawdown import (
     MAX_DRAWDOWN_SQL,
     max_drawdown_query,
@@ -1227,6 +1235,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additive trend/weekly-seasonal/residual split of the daily
         # count series (centered 7-day MA over the day-grain frame)
         "seasonal_decompose": seasonal_decompose_query,
+        # ordered-attribute EMD per equivalence class vs the global
+        # distribution (cross-multiplied cumulative counts, exact ppm)
+        "t_closeness": t_closeness_query,
+        # segment x priority mutual information in the bit-length-lift
+        # idiom (one contingency groupBy, domain-sized marginals)
+        "mutual_information": mutual_information_query,
     }
 
 
@@ -1288,6 +1302,8 @@ _WINDOW = [
     "welch_ttest",  # last driver check: never
     "max_drawdown",  # last driver check: never
     "seasonal_decompose",  # last driver check: never
+    "t_closeness",  # last driver check: never
+    "mutual_information",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1304,8 +1320,6 @@ _WINDOW = [
     "vocab_stats",  # last driver check: r4
     "dup_spans",  # last driver check: r4
     "simhash_neardup",  # last driver check: r4
-    "json_extract_agg",  # last driver check: r4
-    "segment_status_pivot",  # last driver check: r4
 ]
 
 
@@ -1652,6 +1666,8 @@ def oracle_sql() -> dict[str, str]:
         "welch_ttest": WELCH_TTEST_SQL,
         "max_drawdown": MAX_DRAWDOWN_SQL,
         "seasonal_decompose": SEASONAL_DECOMPOSE_SQL,
+        "t_closeness": T_CLOSENESS_SQL,
+        "mutual_information": MUTUAL_INFORMATION_SQL,
     }
 
 

@@ -211,6 +211,8 @@ BENCH_QUERIES = {
     "q121_welch_ttest": ("collect", "welch_ttest"),
     "q122_max_drawdown": ("collect", "max_drawdown"),
     "q123_seasonal": ("collect", "seasonal_decompose"),
+    "q124_t_closeness": ("collect", "t_closeness"),
+    "q125_mutual_info": ("collect", "mutual_information"),
 }
 
 

@@ -118,3 +118,115 @@ SELECT source, n_tokens, n_types,
 FROM per_source
 ORDER BY source
 """
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information between two categorical columns in the
+    bit-length approximation — the feature-relevance / redundancy
+    measure (Cover & Thomas ch.2): ``MI = sum p(x,y) *
+    log2(N*c_xy / (c_x*c_y))``.
+
+    One summary row: ``(n, n_x, n_y, mi_bits_num, mi_milli_bits)``
+    where each cell contributes ``c_xy * (floor(log2(c_xy * N)) -
+    floor(log2(c_x * c_y)))`` — the ``pmi_collocations`` integer-lift
+    idiom, exact in both engines, within 1 bit/row of true MI (signal
+    enough to rank feature pairs). ``mi_milli_bits = 1000 *
+    mi_bits_num div n``.
+
+    Scale shape: one map-side-combinable ``groupBy(x, y)`` collapses the
+    table to the contingency cells; marginals and the total are
+    aggregates OF that cell frame (domain-sized) joined back by x and by
+    y — never a second scan of the base table.
+    """
+    cells = df.groupBy(x_col, y_col).agg(
+        F.count(F.lit(1)).alias("_cxy")
+    )
+    mx = cells.groupBy(x_col).agg(F.sum("_cxy").alias("_cx"))
+    my = cells.groupBy(y_col).agg(F.sum("_cxy").alias("_cy"))
+    tot = cells.agg(
+        F.sum("_cxy").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_ncells"),
+    )
+    j = (
+        cells.join(F.broadcast(mx), x_col)
+        .join(F.broadcast(my), y_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = j.select(
+        "_n",
+        x_col,
+        y_col,
+        (
+            F.col("_cxy")
+            * (
+                _bits(F.col("_cxy") * F.col("_n"))
+                - _bits(F.col("_cx") * F.col("_cy"))
+            )
+        ).alias("_term"),
+    )
+    return (
+        contrib.groupBy()
+        .agg(
+            F.max("_n").alias("n"),
+            F.count_distinct(x_col).cast("long").alias("n_x"),
+            F.count_distinct(y_col).cast("long").alias("n_y"),
+            F.sum("_term").cast("long").alias("mi_bits_num"),
+        )
+        .select(
+            "n",
+            "n_x",
+            "n_y",
+            "mi_bits_num",
+            F.expr("(1000 * mi_bits_num) div n").alias(
+                "mi_milli_bits"
+            ),
+        )
+    )
+
+
+def mutual_information_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MI between a customer's market segment and the priority of their
+    orders — "does knowing the segment tell you anything about urgency?"
+    (near-zero on independent TPC-H draws; the oracle checks the exact
+    integer decomposition, not just the headline)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderpriority"
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderpriority")
+    return mutual_information(j, "c_mktsegment", "o_orderpriority")
+
+
+MUTUAL_INFORMATION_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS x, o_orderpriority AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cells AS (
+  SELECT x, y, count(*) AS cxy FROM j GROUP BY x, y
+),
+mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM cells GROUP BY x),
+my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM cells GROUP BY y),
+tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cells),
+contrib AS (
+  SELECT n, x, y,
+         cxy * ((length(bin(cxy * n)) - 1)
+                - (length(bin(cx * cy)) - 1)) AS term
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+       CAST(count(DISTINCT y) AS BIGINT) AS n_y,
+       CAST(sum(term) AS BIGINT) AS mi_bits_num,
+       (1000 * CAST(sum(term) AS BIGINT)) // CAST(max(n) AS BIGINT)
+         AS mi_milli_bits
+FROM contrib
+"""

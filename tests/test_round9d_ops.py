@@ -193,3 +193,74 @@ def test_seasonal_decompose_gap_voids_trend(spark):
     }
     assert got["2024-01-05"] is None  # window spans the Jan-8 gap
     assert got["2024-01-12"] == 10_000  # fully inside the second run
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    """Every class mirrors the global mix -> EMD 0, close."""
+    from faers_datalakehouse_spark.operators.tcloseness import (
+        t_closeness_audit,
+    )
+
+    rows = [
+        (q, s) for q in ("a", "b") for s in (1, 1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "q string, s long")
+    got = t_closeness_audit(df, ["q"], "s").collect()
+    assert all(r["emd_ppm"] == 0 and r["close"] for r in got)
+    assert all(r["m"] == 3 for r in got)
+
+
+def test_t_closeness_concentrated_class(spark):
+    """Class a = all 1s, class b = all 3s, global = half/half over an
+    ordered domain {1,3}: EMD = (1/(2-1)) * |1 - 0.5| = 0.5 for both."""
+    from faers_datalakehouse_spark.operators.tcloseness import (
+        t_closeness_audit,
+    )
+
+    rows = [("a", 1)] * 4 + [("b", 3)] * 4
+    df = spark.createDataFrame(rows, "q string, s long")
+    got = {r["q"]: r for r in t_closeness_audit(df, ["q"], "s").collect()}
+    assert got["a"]["emd_ppm"] == 500_000 and not got["a"]["close"]
+    assert got["b"]["emd_ppm"] == 500_000
+    # a's cum at value 1 is 1.0 vs global 0.5; b's is 0.0 vs 0.5
+
+
+def test_t_closeness_ordered_distance_matters(spark):
+    """Mass moved two steps costs twice one step: class a = all 1s vs
+    uniform{1,2,3} global baseline built from b,c."""
+    from faers_datalakehouse_spark.operators.tcloseness import (
+        t_closeness_audit,
+    )
+
+    # classes: a = {1,1,1}, b = {2,2,2}, c = {3,3,3} -> global uniform
+    rows = [("a", 1)] * 3 + [("b", 2)] * 3 + [("c", 3)] * 3
+    df = spark.createDataFrame(rows, "q string, s long")
+    got = {r["q"]: r["emd_ppm"] for r in
+           t_closeness_audit(df, ["q"], "s").collect()}
+    # a: cum diffs |1-1/3| + |1-2/3| = 1 -> /(m-1)=2 -> 0.5
+    # b: |0-1/3| + |1-2/3| = 2/3 -> /2 = 1/3
+    assert got["a"] == 500_000
+    assert got["b"] == 333_333
+    assert got["c"] == 500_000
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    from faers_datalakehouse_spark.operators.entropy import (
+        mutual_information,
+    )
+
+    # perfectly dependent: y == x over 2 symbols, 8 rows
+    dep = spark.createDataFrame(
+        [("a", "a")] * 4 + [("b", "b")] * 4, "x string, y string"
+    )
+    got = mutual_information(dep, "x", "y").collect()[0]
+    # each cell: c=4, n=8, cx=cy=4 -> bits(32) - bits(16) = 5-4 = 1
+    assert got["mi_bits_num"] == 8 and got["mi_milli_bits"] == 1000
+    assert (got["n_x"], got["n_y"]) == (2, 2)
+
+    # independent uniform: every cell c=2, cx=cy=4, n=8
+    ind_rows = [(x, y) for x in "ab" for y in "cd" for _ in range(2)]
+    ind = spark.createDataFrame(ind_rows, "x string, y string")
+    got2 = mutual_information(ind, "x", "y").collect()[0]
+    # bits(2*8)=4, bits(4*4)=4 -> every term 0
+    assert got2["mi_bits_num"] == 0 and got2["mi_milli_bits"] == 0
