@@ -244,6 +244,10 @@ from faers_datalakehouse_spark.operators.mmr import (
     mmr_diversify,
     mmr_oracle_sql,
 )
+from faers_datalakehouse_spark.operators.ams import (
+    ams_f2_oracle_sql,
+    ams_f2_query,
+)
 from faers_datalakehouse_spark.operators.entropy import (
     MUTUAL_INFORMATION_SQL,
     mutual_information_query,
@@ -1241,6 +1245,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # segment x priority mutual information in the bit-length-lift
         # idiom (one contingency groupBy, domain-sized marginals)
         "mutual_information": mutual_information_query,
+        # tug-of-war F2 (self-join size) sketch: 16 signed sums in one
+        # map-side pass, lower-median-of-group-sums estimate vs exact
+        "ams_f2": ams_f2_query,
     }
 
 
@@ -1304,6 +1311,7 @@ _WINDOW = [
     "seasonal_decompose",  # last driver check: never
     "t_closeness",  # last driver check: never
     "mutual_information",  # last driver check: never
+    "ams_f2",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1319,7 +1327,6 @@ _WINDOW = [
     "stratified_cap",  # last driver check: r4
     "vocab_stats",  # last driver check: r4
     "dup_spans",  # last driver check: r4
-    "simhash_neardup",  # last driver check: r4
 ]
 
 
@@ -1668,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decompose": SEASONAL_DECOMPOSE_SQL,
         "t_closeness": T_CLOSENESS_SQL,
         "mutual_information": MUTUAL_INFORMATION_SQL,
+        "ams_f2": ams_f2_oracle_sql(),
     }
 
 

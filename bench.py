@@ -213,6 +213,7 @@ BENCH_QUERIES = {
     "q123_seasonal": ("collect", "seasonal_decompose"),
     "q124_t_closeness": ("collect", "t_closeness"),
     "q125_mutual_info": ("collect", "mutual_information"),
+    "q126_ams_f2": ("collect", "ams_f2"),
 }
 
 

@@ -264,3 +264,32 @@ def test_mutual_information_independent_vs_dependent(spark):
     got2 = mutual_information(ind, "x", "y").collect()[0]
     # bits(2*8)=4, bits(4*4)=4 -> every term 0
     assert got2["mi_bits_num"] == 0 and got2["mi_milli_bits"] == 0
+
+
+def test_ams_f2_exact_on_distinct_rows(spark):
+    """All-distinct values: F2 = n; the estimator is unbiased and on a
+    tiny input we just assert the exact side + estimator sanity."""
+    from faers_datalakehouse_spark.operators.ams import ams_f2
+
+    df = spark.createDataFrame([(i,) for i in range(64)], "v long")
+    got = ams_f2(df, "v").collect()[0]
+    assert got["n_rows"] == 64 and got["f2_exact"] == 64
+    assert got["f2_est"] >= 0  # squared sums are nonnegative
+
+
+def test_ams_f2_heavy_key_dominates(spark):
+    """One key with frequency 100 + 10 singletons: exact F2 = 10010 and
+    the median-of-means estimate lands within a factor ~3 (tug-of-war
+    variance bound 2*F2^2/k on group means; generous deterministic
+    envelope for the fixed hash family)."""
+    from faers_datalakehouse_spark.operators.ams import ams_f2
+
+    rows = [(0,)] * 100 + [(i,) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "v long")
+    got = ams_f2(df, "v").collect()[0]
+    assert got["f2_exact"] == 100 * 100 + 10
+    assert got["f2_est"] > got["f2_exact"] // 3
+    assert got["f2_est"] < got["f2_exact"] * 3
+    # Spark `div` truncates toward zero (NOT Python's floor //)
+    diff = (got["f2_est"] - got["f2_exact"]) * 1_000_000
+    assert got["err_ppm"] == int(diff / got["f2_exact"])
