@@ -252,6 +252,10 @@ from faers_datalakehouse_spark.operators.entropy import (
     MUTUAL_INFORMATION_SQL,
     mutual_information_query,
 )
+from faers_datalakehouse_spark.operators.theilsen import (
+    THEIL_SEN_SQL,
+    theil_sen_query,
+)
 from faers_datalakehouse_spark.operators.tcloseness import (
     T_CLOSENESS_SQL,
     t_closeness_query,
@@ -1248,6 +1252,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tug-of-war F2 (self-join size) sketch: 16 signed sums in one
         # map-side pass, lower-median-of-group-sums estimate vs exact
         "ams_f2": ams_f2_query,
+        # Theil-Sen robust slope per series: median pairwise slope over
+        # the day-grain frame (calendar-bounded pairs, exact milli)
+        "theil_sen": theil_sen_query,
     }
 
 
@@ -1312,6 +1319,7 @@ _WINDOW = [
     "t_closeness",  # last driver check: never
     "mutual_information",  # last driver check: never
     "ams_f2",  # last driver check: never
+    "theil_sen",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1326,7 +1334,6 @@ _WINDOW = [
     "incremental_dedup",  # last driver check: r4
     "stratified_cap",  # last driver check: r4
     "vocab_stats",  # last driver check: r4
-    "dup_spans",  # last driver check: r4
 ]
 
 
@@ -1676,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "t_closeness": T_CLOSENESS_SQL,
         "mutual_information": MUTUAL_INFORMATION_SQL,
         "ams_f2": ams_f2_oracle_sql(),
+        "theil_sen": THEIL_SEN_SQL,
     }
 
 

@@ -214,6 +214,7 @@ BENCH_QUERIES = {
     "q124_t_closeness": ("collect", "t_closeness"),
     "q125_mutual_info": ("collect", "mutual_information"),
     "q126_ams_f2": ("collect", "ams_f2"),
+    "q127_theil_sen": ("collect", "theil_sen"),
 }
 
 

@@ -293,3 +293,42 @@ def test_ams_f2_heavy_key_dominates(spark):
     # Spark `div` truncates toward zero (NOT Python's floor //)
     diff = (got["f2_est"] - got["f2_exact"]) * 1_000_000
     assert got["err_ppm"] == int(diff / got["f2_exact"])
+
+
+def test_theil_sen_exact_line(spark):
+    """y = 3x + noise-free: every pairwise slope is 3000 milli."""
+    from faers_datalakehouse_spark.operators.theilsen import (
+        theil_sen_trend,
+    )
+
+    rows = [("a", x, 3 * x) for x in range(6)]
+    df = spark.createDataFrame(rows, "series string, x long, y long")
+    got = theil_sen_trend(df).collect()[0]
+    assert got["slope_milli"] == 3000
+    assert got["n_points"] == 6 and got["n_pairs"] == 15
+
+
+def test_theil_sen_resists_outlier(spark):
+    """One wild point barely moves the median slope (OLS would swing)."""
+    from faers_datalakehouse_spark.operators.theilsen import (
+        theil_sen_trend,
+    )
+
+    rows = [("a", x, 2 * x) for x in range(9)] + [("a", 9, 1000)]
+    df = spark.createDataFrame(rows, "series string, x long, y long")
+    got = theil_sen_trend(df).collect()[0]
+    assert got["slope_milli"] == 2000  # median unaffected
+
+
+def test_theil_sen_single_point_null(spark):
+    from faers_datalakehouse_spark.operators.theilsen import (
+        theil_sen_trend,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("b", 1, 1), ("b", 2, 4)],
+        "series string, x long, y long",
+    )
+    got = {r["series"]: r for r in theil_sen_trend(df).collect()}
+    assert got["a"]["slope_milli"] is None and got["a"]["n_pairs"] == 0
+    assert got["b"]["slope_milli"] == 3000
