@@ -252,6 +252,10 @@ from faers_datalakehouse_spark.operators.entropy import (
     MUTUAL_INFORMATION_SQL,
     mutual_information_query,
 )
+from faers_datalakehouse_spark.operators.rfm import (
+    RFM_SEGMENTS_SQL,
+    rfm_segments_query,
+)
 from faers_datalakehouse_spark.operators.theilsen import (
     THEIL_SEN_SQL,
     theil_sen_query,
@@ -1255,6 +1259,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Theil-Sen robust slope per series: median pairwise slope over
         # the day-grain frame (calendar-bounded pairs, exact milli)
         "theil_sen": theil_sen_query,
+        # RFM quintile census (positional integer quintiles via the
+        # bucketed two-phase rank — no ntile, no global window)
+        "rfm_segments": rfm_segments_query,
     }
 
 
@@ -1320,6 +1327,7 @@ _WINDOW = [
     "mutual_information",  # last driver check: never
     "ams_f2",  # last driver check: never
     "theil_sen",  # last driver check: never
+    "rfm_segments",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1333,7 +1341,6 @@ _WINDOW = [
     "text_quality",  # last driver check: r4
     "incremental_dedup",  # last driver check: r4
     "stratified_cap",  # last driver check: r4
-    "vocab_stats",  # last driver check: r4
 ]
 
 
@@ -1684,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_information": MUTUAL_INFORMATION_SQL,
         "ams_f2": ams_f2_oracle_sql(),
         "theil_sen": THEIL_SEN_SQL,
+        "rfm_segments": RFM_SEGMENTS_SQL,
     }
 
 

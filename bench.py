@@ -215,6 +215,7 @@ BENCH_QUERIES = {
     "q125_mutual_info": ("collect", "mutual_information"),
     "q126_ams_f2": ("collect", "ams_f2"),
     "q127_theil_sen": ("collect", "theil_sen"),
+    "q128_rfm": ("collect", "rfm_segments"),
 }
 
 

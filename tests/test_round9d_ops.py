@@ -332,3 +332,54 @@ def test_theil_sen_single_point_null(spark):
     got = {r["series"]: r for r in theil_sen_trend(df).collect()}
     assert got["a"]["slope_milli"] is None and got["a"]["n_pairs"] == 0
     assert got["b"]["slope_milli"] == 3000
+
+
+def test_rfm_scores_quintile_bounds_and_inversion(spark):
+    """10 customers with monotone everything: most recent/most valuable
+    customer scores 555, the stalest/cheapest scores 1 on each axis."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.rfm import rfm_scores
+
+    rows = []
+    for c in range(10):
+        # customer c ordered (c+1) times, last order c days ago,
+        # each order worth (c+1)*10
+        for k in range(c + 1):
+            rows.append(
+                (
+                    c,
+                    dt.date(2024, 3, 1) - dt.timedelta(days=c + k),
+                    (c + 1) * 10.0,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    got = {r["custkey"]: r for r in rfm_scores(df).collect()}
+    assert got[0]["recency_days"] == 0 and got[0]["r_score"] == 5
+    assert got[9]["recency_days"] == 9 and got[9]["r_score"] == 1
+    assert got[9]["f_score"] == 5 and got[9]["m_score"] == 5
+    assert got[0]["f_score"] == 1 and got[0]["m_score"] == 1
+    for r in got.values():
+        for k in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[k] <= 5
+
+
+def test_rfm_quintiles_are_balanced(spark):
+    """n divisible by 5 -> exactly n/5 customers per quintile."""
+    import datetime as dt
+    from collections import Counter
+
+    from faers_datalakehouse_spark.operators.rfm import rfm_scores
+
+    rows = [
+        (c, dt.date(2024, 1, 1) + dt.timedelta(days=c), float(c + 1))
+        for c in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    got = rfm_scores(df).collect()
+    counts = Counter(r["m_score"] for r in got)
+    assert counts == {s: 5 for s in (1, 2, 3, 4, 5)}
