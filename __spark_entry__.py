@@ -252,6 +252,10 @@ from faers_datalakehouse_spark.operators.entropy import (
     MUTUAL_INFORMATION_SQL,
     mutual_information_query,
 )
+from faers_datalakehouse_spark.operators.subsample import (
+    subsample_ci_oracle_sql,
+    subsample_ci_query,
+)
 from faers_datalakehouse_spark.operators.rfm import (
     RFM_SEGMENTS_SQL,
     rfm_segments_query,
@@ -1262,6 +1266,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFM quintile census (positional integer quintiles via the
         # bucketed two-phase rank — no ntile, no global window)
         "rfm_segments": rfm_segments_query,
+        # 32 deterministic half-sample means per group in ONE aggregate
+        # (no row explosion); decile band = mean-trust diagnostic
+        "subsample_ci": subsample_ci_query,
     }
 
 
@@ -1328,6 +1335,7 @@ _WINDOW = [
     "ams_f2",  # last driver check: never
     "theil_sen",  # last driver check: never
     "rfm_segments",  # last driver check: never
+    "subsample_ci",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1340,7 +1348,6 @@ _WINDOW = [
     "pack_sequences",  # last driver check: r4
     "text_quality",  # last driver check: r4
     "incremental_dedup",  # last driver check: r4
-    "stratified_cap",  # last driver check: r4
 ]
 
 
@@ -1692,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2": ams_f2_oracle_sql(),
         "theil_sen": THEIL_SEN_SQL,
         "rfm_segments": RFM_SEGMENTS_SQL,
+        "subsample_ci": subsample_ci_oracle_sql(),
     }
 
 

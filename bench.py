@@ -216,6 +216,7 @@ BENCH_QUERIES = {
     "q126_ams_f2": ("collect", "ams_f2"),
     "q127_theil_sen": ("collect", "theil_sen"),
     "q128_rfm": ("collect", "rfm_segments"),
+    "q129_subsample_ci": ("collect", "subsample_ci"),
 }
 
 

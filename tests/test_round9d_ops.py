@@ -383,3 +383,49 @@ def test_rfm_quintiles_are_balanced(spark):
     got = rfm_scores(df).collect()
     counts = Counter(r["m_score"] for r in got)
     assert counts == {s: 5 for s in (1, 2, 3, 4, 5)}
+
+
+def test_subsample_band_constant_values_is_zero(spark):
+    """Constant values: every half-sample mean equals the value, band 0."""
+    from faers_datalakehouse_spark.operators.subsample import (
+        subsample_mean_band,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, 7) for i in range(200)], "grp string, id long, v long"
+    )
+    got = subsample_mean_band(df, "grp", "id", "v").collect()[0]
+    assert got["mean_milli"] == 7000
+    assert got["lo_milli"] == 7000 and got["hi_milli"] == 7000
+    assert got["band_milli"] == 0
+
+
+def test_subsample_band_orders_and_brackets_mean(spark):
+    """Mixed values: lo <= mean <= hi and the band is positive."""
+    from faers_datalakehouse_spark.operators.subsample import (
+        subsample_mean_band,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, (i * 37) % 100) for i in range(500)],
+        "grp string, id long, v long",
+    )
+    got = subsample_mean_band(df, "grp", "id", "v").collect()[0]
+    assert got["lo_milli"] <= got["mean_milli"] <= got["hi_milli"]
+    assert got["band_milli"] == got["hi_milli"] - got["lo_milli"]
+    assert got["band_milli"] > 0
+
+
+def test_subsample_band_tiny_group_null_band(spark):
+    """A 1-row group leaves ~half the subsamples empty -> NULL band,
+    but the full mean still reports."""
+    from faers_datalakehouse_spark.operators.subsample import (
+        subsample_mean_band,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 42)], "grp string, id long, v long"
+    )
+    got = subsample_mean_band(df, "grp", "id", "v").collect()[0]
+    assert got["mean_milli"] == 42_000
+    assert got["band_milli"] is None
