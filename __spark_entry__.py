@@ -252,6 +252,10 @@ from faers_datalakehouse_spark.operators.entropy import (
     MUTUAL_INFORMATION_SQL,
     mutual_information_query,
 )
+from faers_datalakehouse_spark.operators.allocation import (
+    NEYMAN_ALLOCATION_SQL,
+    neyman_allocation_query,
+)
 from faers_datalakehouse_spark.operators.subsample import (
     subsample_ci_oracle_sql,
     subsample_ci_query,
@@ -1269,6 +1273,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 32 deterministic half-sample means per group in ONE aggregate
         # (no row explosion); decile band = mean-trust diagnostic
         "subsample_ci": subsample_ci_query,
+        # Neyman audit-budget allocation with exact Hamilton
+        # largest-remainder rounding over the strata frame
+        "neyman_allocation": neyman_allocation_query,
     }
 
 
@@ -1336,6 +1343,7 @@ _WINDOW = [
     "theil_sen",  # last driver check: never
     "rfm_segments",  # last driver check: never
     "subsample_ci",  # last driver check: never
+    "neyman_allocation",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1347,7 +1355,6 @@ _WINDOW = [
     "asof_join",  # last driver check: r4
     "pack_sequences",  # last driver check: r4
     "text_quality",  # last driver check: r4
-    "incremental_dedup",  # last driver check: r4
 ]
 
 
@@ -1700,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": THEIL_SEN_SQL,
         "rfm_segments": RFM_SEGMENTS_SQL,
         "subsample_ci": subsample_ci_oracle_sql(),
+        "neyman_allocation": NEYMAN_ALLOCATION_SQL,
     }
 
 

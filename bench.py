@@ -217,6 +217,7 @@ BENCH_QUERIES = {
     "q127_theil_sen": ("collect", "theil_sen"),
     "q128_rfm": ("collect", "rfm_segments"),
     "q129_subsample_ci": ("collect", "subsample_ci"),
+    "q130_neyman": ("collect", "neyman_allocation"),
 }
 
 

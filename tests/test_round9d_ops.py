@@ -429,3 +429,51 @@ def test_subsample_band_tiny_group_null_band(spark):
     got = subsample_mean_band(df, "grp", "id", "v").collect()[0]
     assert got["mean_milli"] == 42_000
     assert got["band_milli"] is None
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    from faers_datalakehouse_spark.operators.allocation import (
+        neyman_allocation,
+    )
+
+    # strata: a spread, b wider spread, c constant
+    rows = (
+        [("a", i % 50) for i in range(300)]
+        + [("b", (i * 7) % 200) for i in range(100)]
+        + [("c", 5) for _ in range(50)]
+    )
+    df = spark.createDataFrame(rows, "s string, v long")
+    got = neyman_allocation(df, "s", "v", 100).collect()
+    assert sum(r["alloc"] for r in got) == 100
+    by = {r["s"]: r for r in got}
+    assert by["c"]["sd_milli"] == 0 and by["c"]["alloc"] == 0
+    # b has 4x the spread of a but 1/3 the rows; both get real mass
+    assert by["a"]["alloc"] > 0 and by["b"]["alloc"] > 0
+
+
+def test_neyman_proportional_when_equal_sd(spark):
+    """Equal spreads -> allocation proportional to stratum size."""
+    from faers_datalakehouse_spark.operators.allocation import (
+        neyman_allocation,
+    )
+
+    rows = [("big", i % 10) for i in range(400)] + [
+        ("small", i % 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "s string, v long")
+    got = {r["s"]: r["alloc"] for r in
+           neyman_allocation(df, "s", "v", 100).collect()}
+    assert got["big"] == 80 and got["small"] == 20
+
+
+def test_neyman_single_row_stratum_gets_zero_weight(spark):
+    from faers_datalakehouse_spark.operators.allocation import (
+        neyman_allocation,
+    )
+
+    rows = [("a", i) for i in range(100)] + [("lone", 999)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    got = {r["s"]: r for r in
+           neyman_allocation(df, "s", "v", 10).collect()}
+    assert got["lone"]["sd_milli"] == 0 and got["lone"]["weight"] == 0
+    assert got["a"]["alloc"] == 10
