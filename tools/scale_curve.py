@@ -142,6 +142,26 @@ OPS = [
     # heavy hitters: pass 1 is a map-side Arrow MG fold (no shuffle),
     # pass 2 shuffles only candidate-matching tokens — linear by shape
     "heavy_hitters",
+    # round-9 session-3 operators: all single-aggregate or
+    # aggregate-then-bounded-frame shapes, so each should sit at ~1.0 —
+    # mann_whitney's prefix window runs over per-(group,value) rows
+    # (value domain is bounded, so the window frame stays ~constant as
+    # rows grow); max_drawdown's two windows partition by user (users
+    # grow 5x, per-user series constant); rfm's bucketed ranks are the
+    # two-phase scan; ams/subsample/welch/t_closeness/MI/neyman are one
+    # map-side aggregate each; theil_sen/seasonal run on the day grain
+    # (constant frame, linear collapse)
+    "mann_whitney",
+    "welch_ttest",
+    "max_drawdown",
+    "seasonal_decompose",
+    "t_closeness",
+    "mutual_information",
+    "ams_f2",
+    "theil_sen",
+    "rfm_segments",
+    "subsample_ci",
+    "neyman_allocation",
 ]
 
 
@@ -334,6 +354,19 @@ COLLECT_OPS = {
     "percentile_normalize",
     "kcore_nodes",
     "heavy_hitters",
+    # r9 session-3: every op below emits <= a few hundred rows and its
+    # cost lives in aggregate expressions count() would prune
+    "mann_whitney",
+    "welch_ttest",
+    "max_drawdown",
+    "seasonal_decompose",
+    "t_closeness",
+    "mutual_information",
+    "ams_f2",
+    "theil_sen",
+    "rfm_segments",
+    "subsample_ci",
+    "neyman_allocation",
 }
 
 
