@@ -252,6 +252,12 @@ from faers_datalakehouse_spark.operators.entropy import (
     MUTUAL_INFORMATION_SQL,
     mutual_information_query,
 )
+from faers_datalakehouse_spark.operators.temporal_stats import (
+    BURSTINESS_SQL,
+    INTERARRIVAL_SQL,
+    burstiness_query,
+    interarrival_query,
+)
 from faers_datalakehouse_spark.operators.allocation import (
     NEYMAN_ALLOCATION_SQL,
     neyman_allocation_query,
@@ -1276,6 +1282,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Neyman audit-budget allocation with exact Hamilton
         # largest-remainder rounding over the strata frame
         "neyman_allocation": neyman_allocation_query,
+        # daily-count Fano factor (overdispersion) per stream — exact
+        # cross-multiplied integer ratio, two stacked aggregates
+        "burstiness": burstiness_query,
+        # positional p50/p90 per-user inter-arrival gaps per stream
+        # (bucketed two-phase rank — no per-stream global window)
+        "interarrival": interarrival_query,
     }
 
 
@@ -1344,6 +1356,8 @@ _WINDOW = [
     "rfm_segments",  # last driver check: never
     "subsample_ci",  # last driver check: never
     "neyman_allocation",  # last driver check: never
+    "burstiness",  # last driver check: never
+    "interarrival",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1353,8 +1367,6 @@ _WINDOW = [
     "multimodal_decode",  # last driver check: r4
     "quality_classifier",  # last driver check: r4
     "asof_join",  # last driver check: r4
-    "pack_sequences",  # last driver check: r4
-    "text_quality",  # last driver check: r4
 ]
 
 
@@ -1708,6 +1720,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": RFM_SEGMENTS_SQL,
         "subsample_ci": subsample_ci_oracle_sql(),
         "neyman_allocation": NEYMAN_ALLOCATION_SQL,
+        "burstiness": BURSTINESS_SQL,
+        "interarrival": INTERARRIVAL_SQL,
     }
 
 

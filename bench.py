@@ -218,6 +218,8 @@ BENCH_QUERIES = {
     "q128_rfm": ("collect", "rfm_segments"),
     "q129_subsample_ci": ("collect", "subsample_ci"),
     "q130_neyman": ("collect", "neyman_allocation"),
+    "q131_burstiness": ("collect", "burstiness"),
+    "q132_interarrival": ("collect", "interarrival"),
 }
 
 

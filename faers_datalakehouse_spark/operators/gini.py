@@ -74,10 +74,16 @@ def gini_by_group(
         "x",
         F.row_number().over(w_local).alias("_li"),
     )
+    # rank-weighted sums are n*x-scaled: they overflow int64 well below
+    # real corpus sizes (the 5x scale probe caught exactly this), so the
+    # moment chain runs in DECIMAL(38,0) — exact, and the twin mirrors
+    # it with HUGEINT
     per_bucket = local.groupBy("grp", "_bkt").agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum("x").alias("_sx"),
-        F.sum(F.col("_li") * F.col("x")).alias("_slix"),
+        F.sum(F.col("_li").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("_slix"),
     )
     # exclusive prefix sum of counts across buckets WITHIN each group:
     # a window over the per-(group,bucket) summary rows (n_buckets per
@@ -100,7 +106,12 @@ def gini_by_group(
         .agg(
             F.sum("_cnt").alias("n"),
             F.sum("_sx").alias("total_cents"),
-            F.sum(F.col("_slix") + F.col("_off") * F.col("_sx")).alias("_six"),
+            F.sum(
+                F.col("_slix")
+                + F.col("_off").cast("decimal(38,0)") * F.col("_sx")
+            )
+            .cast("decimal(38,0)")
+            .alias("_six"),
         )
         .where(F.col("total_cents") > 0)
         .select(
@@ -108,8 +119,10 @@ def gini_by_group(
             "n",
             "total_cents",
             F.expr(
-                "(1000000 * (2 * _six - (n + 1) * total_cents))"
-                " div (n * total_cents)"
+                "CAST((1000000 * (2 * _six"
+                " - (n + 1) * CAST(total_cents AS DECIMAL(38,0))))"
+                " div (CAST(n AS DECIMAL(38,0)) * total_cents)"
+                " AS BIGINT)"
             ).alias("gini_micro"),
         )
         .orderBy(group_col)
@@ -160,8 +173,10 @@ WITH spend AS (
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(x) AS BIGINT) AS total_cents,
-       CAST((1000000 * (2 * sum(i * x) - (count(*) + 1) * sum(x)))
-         // (count(*) * sum(x)) AS BIGINT) AS gini_micro
+       CAST((1000000 * (2 * sum(CAST(i AS HUGEINT) * x)
+             - (count(*) + 1) * CAST(sum(x) AS HUGEINT)))
+         // (CAST(count(*) AS HUGEINT) * sum(x)) AS BIGINT)
+         AS gini_micro
 FROM ranked
 GROUP BY c_mktsegment
 HAVING sum(x) > 0

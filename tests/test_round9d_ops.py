@@ -477,3 +477,76 @@ def test_neyman_single_row_stratum_gets_zero_weight(spark):
            neyman_allocation(df, "s", "v", 10).collect()}
     assert got["lone"]["sd_milli"] == 0 and got["lone"]["weight"] == 0
     assert got["a"]["alloc"] == 10
+
+
+def test_fano_poissonish_constant_series(spark):
+    """Constant daily counts: variance 0 -> Fano 0; a 2x-alternating
+    series has Var=mean for mean 2 -> check the exact ratio."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.temporal_stats import (
+        fano_factor_daily,
+    )
+
+    rows = []
+    for d in range(4):
+        day = dt.datetime(2024, 1, 1 + d)
+        rows += [("flat", day)] * 3  # 3 events every day
+        # bursty: 1,3,1,3 -> mean 2, sample var 4/3 -> fano 2/3
+        rows += [("burst", day)] * (1 if d % 2 == 0 else 3)
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in
+           fano_factor_daily(df, "event_type").collect()}
+    assert got["flat"]["fano_milli"] == 0
+    assert got["burst"]["n_days"] == 4 and got["burst"]["n_events"] == 8
+    # 1000 * (4*20 - 64) / (8*3) = 1000*16/24 = 666
+    assert got["burst"]["fano_milli"] == 666
+
+
+def test_interarrival_positional_quantiles(spark):
+    """One user, gaps 10,20,...,100 seconds: lower p50 = 50, p90 = 90."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.temporal_stats import (
+        interarrival_quantiles,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    rows, cur = [], t
+    rows.append(("e", 1, cur, 0))
+    for i, gap in enumerate([10 * (k + 1) for k in range(10)]):
+        cur = cur + dt.timedelta(seconds=gap)
+        rows.append(("e", 1, cur, i + 1))
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts timestamp, event_id long"
+    )
+    got = interarrival_quantiles(
+        df, "event_type", "user_id", "ts", "event_id"
+    ).collect()[0]
+    assert got["n_gaps"] == 10
+    assert got["p50_gap_s"] == 50 and got["p90_gap_s"] == 90
+
+
+def test_interarrival_gaps_are_per_actor(spark):
+    """Two users interleaved in time: gaps never cross users."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.temporal_stats import (
+        interarrival_quantiles,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in range(5):
+        rows.append(("e", 1, t + dt.timedelta(seconds=100 * k), 2 * k))
+        rows.append(
+            ("e", 2, t + dt.timedelta(seconds=100 * k + 50), 2 * k + 1)
+        )
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts timestamp, event_id long"
+    )
+    got = interarrival_quantiles(
+        df, "event_type", "user_id", "ts", "event_id"
+    ).collect()[0]
+    assert got["n_gaps"] == 8  # 4 per user, never the 50s cross-gaps
+    assert got["p50_gap_s"] == 100 and got["p90_gap_s"] == 100
