@@ -61,8 +61,17 @@ def temperature_mix(docs: DataFrame) -> DataFrame:
             "source",
             "n_tokens",
             "weight",
-            F.expr("(weight * 1000000) div _wsum").alias("p_ppm"),
-            F.expr("(n_tokens * 1000000) div _nsum").alias("natural_ppm"),
+            # ppm numerators are token-count x 1e6 — a ~10T-token
+            # source overflows int64, so the numerator runs in decimal
+            # (HUGEINT in the twin); the ppm result is BIGINT by range
+            F.expr(
+                "CAST((CAST(weight AS DECIMAL(38,0)) * 1000000)"
+                " div _wsum AS BIGINT)"
+            ).alias("p_ppm"),
+            F.expr(
+                "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000)"
+                " div _nsum AS BIGINT)"
+            ).alias("natural_ppm"),
         )
         .withColumn(
             "boost_milli", F.expr("(p_ppm * 1000) div natural_ppm")
@@ -100,10 +109,14 @@ scored AS (
   FROM weighted
 )
 SELECT source, n_tokens, weight,
-       (weight * 1000000) // wsum AS p_ppm,
-       (n_tokens * 1000000) // nsum AS natural_ppm,
-       (((weight * 1000000) // wsum) * 1000)
-         // ((n_tokens * 1000000) // nsum) AS boost_milli
+       CAST((CAST(weight AS HUGEINT) * 1000000) // wsum AS BIGINT)
+         AS p_ppm,
+       CAST((CAST(n_tokens AS HUGEINT) * 1000000) // nsum AS BIGINT)
+         AS natural_ppm,
+       (CAST((CAST(weight AS HUGEINT) * 1000000) // wsum AS BIGINT)
+          * 1000)
+         // CAST((CAST(n_tokens AS HUGEINT) * 1000000) // nsum
+                 AS BIGINT) AS boost_milli
 FROM scored
 ORDER BY source
 """

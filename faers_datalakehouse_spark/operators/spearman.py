@@ -11,8 +11,11 @@ ratio). The final ``rho_milli`` is ``floor(sxy * 1000 / sqrt(sxx *
 syy))`` over those exact integers — ``*``, ``/`` and ``sqrt`` are
 IEEE-754 correctly-rounded operations (identical bit results in Spark's
 JVM and DuckDB), unlike libm transcendentals, so the milli value is
-cross-engine exact. Moment sums are n³-scaled: int64-safe to ~2M rows
-per group; beyond that, promote the three sums to decimal(38,0).
+cross-engine exact. Moment sums are n³-scaled and therefore run in
+DECIMAL(38,0) internally (HUGEINT in the twin) — int64 would overflow
+past ~2M rows per group, a realistic group size at corpus scale (the
+r9 overflow audit); rho derives from the decimals, and only the
+diagnostic moment OUTPUT columns narrow to BIGINT.
 
 Scale shape (100 TB): ranks come from ``bucketed_global_rank``
 (``operators/normalize.py``) — the two-phase bucketed scan — so no
@@ -68,40 +71,52 @@ def spearman_by_group(
     zero or ``n < 2``)."""
     rx = _tie_avg_rank2(df, group_col, x_col, tiebreak_col, "rx2")
     rxy = _tie_avg_rank2(rx, group_col, y_col, tiebreak_col, "ry2")
+    # n^3-scaled moments overflow int64 past ~2M rows/group (the r9
+    # overflow audit after the gini 5x-probe failure): sums and cross
+    # products run in DECIMAL(38,0) (HUGEINT in the twin)
     m = rxy.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr("rx2 * ry2")).alias("_sxy"),
-        F.sum("rx2").alias("_sx"),
-        F.sum("ry2").alias("_sy"),
-        F.sum(F.expr("rx2 * rx2")).alias("_sxx"),
-        F.sum(F.expr("ry2 * ry2")).alias("_syy"),
+        F.sum(F.expr("CAST(rx2 AS DECIMAL(38,0)) * ry2")).alias("_sxy"),
+        F.sum("rx2").cast("decimal(38,0)").alias("_sx"),
+        F.sum("ry2").cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.expr("CAST(rx2 AS DECIMAL(38,0)) * rx2")).alias("_sxx"),
+        F.sum(F.expr("CAST(ry2 AS DECIMAL(38,0)) * ry2")).alias("_syy"),
+    )
+    # rho derives from the DECIMAL intermediates (scale-safe); the
+    # moment OUTPUT columns cast to BIGINT — diagnostics whose range
+    # (~4n^3) is fine at any oracle scale, and a stable compare type
+    # (DuckDB's pandas bridge degrades DECIMAL(38,0) to float64, so a
+    # decimal output column cannot survive the driver's typed hash)
+    v = m.select(
+        group_col,
+        "n",
+        (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("decimal(38,0)")
+        .alias("_vxy"),
+        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .cast("decimal(38,0)")
+        .alias("_vxx"),
+        (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+        .cast("decimal(38,0)")
+        .alias("_vyy"),
     )
     return (
-        m.select(
+        v.select(
             group_col,
             "n",
-            (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
-            .cast("long")
-            .alias("sxy"),
-            (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
-            .cast("long")
-            .alias("sxx"),
-            (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
-            .cast("long")
-            .alias("syy"),
-        )
-        .withColumn(
-            "rho_milli",
+            F.col("_vxy").cast("long").alias("sxy"),
+            F.col("_vxx").cast("long").alias("sxx"),
+            F.col("_vyy").cast("long").alias("syy"),
             F.when(
-                (F.col("sxx") > 0) & (F.col("syy") > 0),
+                (F.col("_vxx") > 0) & (F.col("_vyy") > 0),
                 F.floor(
-                    (F.col("sxy") * F.lit(1000.0))
+                    (F.col("_vxy").cast("double") * F.lit(1000.0))
                     / F.sqrt(
-                        F.col("sxx").cast("double")
-                        * F.col("syy").cast("double")
+                        F.col("_vxx").cast("double")
+                        * F.col("_vyy").cast("double")
                     )
                 ).cast("long"),
-            ),
+            ).alias("rho_milli"),
         )
         .orderBy(group_col)
     )
@@ -149,11 +164,11 @@ r AS (
 ),
 m AS (
   SELECT nationkey, count(*) AS n,
-         CAST(sum(rx2 * ry2) AS BIGINT) AS sxy_,
-         CAST(sum(rx2) AS BIGINT) AS sx,
-         CAST(sum(ry2) AS BIGINT) AS sy,
-         CAST(sum(rx2 * rx2) AS BIGINT) AS sxx_,
-         CAST(sum(ry2 * ry2) AS BIGINT) AS syy_
+         CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy_,
+         CAST(sum(rx2) AS HUGEINT) AS sx,
+         CAST(sum(ry2) AS HUGEINT) AS sy,
+         CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx_,
+         CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy_
   FROM r GROUP BY nationkey
 )
 SELECT nationkey,
@@ -163,7 +178,7 @@ SELECT nationkey,
        CAST(n * syy_ - sy * sy AS BIGINT) AS syy,
        CASE WHEN n * sxx_ - sx * sx > 0 AND n * syy_ - sy * sy > 0
             THEN CAST(floor(
-                   (CAST(n * sxy_ - sx * sy AS BIGINT) * 1000.0)
+                   (CAST(n * sxy_ - sx * sy AS DOUBLE) * 1000.0)
                    / sqrt(CAST(n * sxx_ - sx * sx AS DOUBLE)
                           * CAST(n * syy_ - sy * sy AS DOUBLE))
                  ) AS BIGINT)
