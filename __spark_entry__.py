@@ -252,6 +252,10 @@ from faers_datalakehouse_spark.operators.entropy import (
     MUTUAL_INFORMATION_SQL,
     mutual_information_query,
 )
+from faers_datalakehouse_spark.operators.abc import (
+    ABC_CLASSES_SQL,
+    abc_classes_query,
+)
 from faers_datalakehouse_spark.operators.temporal_stats import (
     BURSTINESS_SQL,
     INTERARRIVAL_SQL,
@@ -1288,6 +1292,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # positional p50/p90 per-user inter-arrival gaps per stream
         # (bucketed two-phase rank — no per-stream global window)
         "interarrival": interarrival_query,
+        # ABC/Pareto class census via the two-phase bucketed EXACT
+        # cumulative sum (rank + running revenue, no global window)
+        "abc_classes": abc_classes_query,
     }
 
 
@@ -1358,6 +1365,7 @@ _WINDOW = [
     "neyman_allocation",  # last driver check: never
     "burstiness",  # last driver check: never
     "interarrival",  # last driver check: never
+    "abc_classes",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1366,7 +1374,6 @@ _WINDOW = [
     "salted_join",  # last driver check: r4
     "multimodal_decode",  # last driver check: r4
     "quality_classifier",  # last driver check: r4
-    "asof_join",  # last driver check: r4
 ]
 
 
@@ -1722,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": NEYMAN_ALLOCATION_SQL,
         "burstiness": BURSTINESS_SQL,
         "interarrival": INTERARRIVAL_SQL,
+        "abc_classes": ABC_CLASSES_SQL,
     }
 
 

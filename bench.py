@@ -220,6 +220,7 @@ BENCH_QUERIES = {
     "q130_neyman": ("collect", "neyman_allocation"),
     "q131_burstiness": ("collect", "burstiness"),
     "q132_interarrival": ("collect", "interarrival"),
+    "q133_abc": ("collect", "abc_classes"),
 }
 
 

@@ -550,3 +550,41 @@ def test_interarrival_gaps_are_per_actor(spark):
     ).collect()[0]
     assert got["n_gaps"] == 8  # 4 per user, never the 50s cross-gaps
     assert got["p50_gap_s"] == 100 and got["p90_gap_s"] == 100
+
+
+def test_cumulative_by_rank_matches_global_window(spark):
+    """Two-phase bucketed cumsum == the single-window reference on a
+    value set engineered to straddle bucket boundaries."""
+    from faers_datalakehouse_spark.operators.abc import (
+        cumulative_by_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate([5, 900, 17, 900, 0, 1 << 21])]
+    df = spark.createDataFrame(rows, "item long, v long")
+    got = {
+        r["item"]: (r["rnk"], int(r["cum_v"]))
+        for r in cumulative_by_rank(df, "v", "item").collect()
+    }
+    # expected order: 2^21 (item 5), 900 (1), 900 (3), 17 (2), 5 (0), 0 (4)
+    big = 1 << 21
+    assert got[5] == (1, big)
+    assert got[1] == (2, big + 900)
+    assert got[3] == (3, big + 1800)
+    assert got[2] == (4, big + 1817)
+    assert got[0] == (5, big + 1822)
+    assert got[4] == (6, big + 1822)
+
+
+def test_abc_classes_census(spark):
+    """One dominant item (84%), one mid (12%), tail: A=1 item, B=1,
+    C rest; shares sum to ~1000 milli."""
+    from faers_datalakehouse_spark.operators.abc import abc_classes
+
+    rows = [(1, 8400), (2, 1200), (3, 200), (4, 150), (5, 50)]
+    df = spark.createDataFrame(rows, "item long, c long")
+    got = {r["abc_class"]: r for r in
+           abc_classes(df, "item", "c").collect()}
+    assert got["A"]["n_items"] == 1 and got["A"]["class_c"] == 8400
+    assert got["B"]["n_items"] == 1 and got["B"]["class_c"] == 1200
+    assert got["C"]["n_items"] == 3
+    assert sum(r["share_milli"] for r in got.values()) in (999, 1000)
