@@ -252,6 +252,10 @@ from faers_datalakehouse_spark.operators.entropy import (
     MUTUAL_INFORMATION_SQL,
     mutual_information_query,
 )
+from faers_datalakehouse_spark.operators.survival import (
+    SURVIVAL_HAZARD_SQL,
+    survival_hazard_query,
+)
 from faers_datalakehouse_spark.operators.abc import (
     ABC_CLASSES_SQL,
     abc_classes_query,
@@ -1295,6 +1299,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ABC/Pareto class census via the two-phase bucketed EXACT
         # cumulative sum (rank + running revenue, no global window)
         "abc_classes": abc_classes_query,
+        # Kaplan-Meier discrete risk table over user tenure (censored
+        # last-day users; suffix sum over the tenure-day frame)
+        "survival_hazard": survival_hazard_query,
     }
 
 
@@ -1366,6 +1373,7 @@ _WINDOW = [
     "burstiness",  # last driver check: never
     "interarrival",  # last driver check: never
     "abc_classes",  # last driver check: never
+    "survival_hazard",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
@@ -1373,7 +1381,6 @@ _WINDOW = [
     "quantiles_by_group",  # last driver check: r4
     "salted_join",  # last driver check: r4
     "multimodal_decode",  # last driver check: r4
-    "quality_classifier",  # last driver check: r4
 ]
 
 
@@ -1730,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "burstiness": BURSTINESS_SQL,
         "interarrival": INTERARRIVAL_SQL,
         "abc_classes": ABC_CLASSES_SQL,
+        "survival_hazard": SURVIVAL_HAZARD_SQL,
     }
 
 

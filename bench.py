@@ -221,6 +221,7 @@ BENCH_QUERIES = {
     "q131_burstiness": ("collect", "burstiness"),
     "q132_interarrival": ("collect", "interarrival"),
     "q133_abc": ("collect", "abc_classes"),
+    "q134_survival": ("collect", "survival_hazard"),
 }
 
 

@@ -588,3 +588,49 @@ def test_abc_classes_census(spark):
     assert got["B"]["n_items"] == 1 and got["B"]["class_c"] == 1200
     assert got["C"]["n_items"] == 3
     assert sum(r["share_milli"] for r in got.values()) in (999, 1000)
+
+
+def test_survival_table_censoring_and_risk_sets(spark):
+    """3 users: A active day0-2 (last == corpus end -> censored), B
+    churns after 1 day of tenure, C churns same-day (tenure 0)."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.survival import (
+        survival_table,
+    )
+
+    d = lambda i: dt.datetime(2024, 1, 1 + i)  # noqa: E731
+    rows = [
+        ("A", d(0)), ("A", d(2)),      # tenure 2, censored (end day)
+        ("B", d(0)), ("B", d(1)),      # tenure 1, churned
+        ("C", d(0)),                   # tenure 0, churned
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r["tenure_days"]: r for r in
+           survival_table(df, "user_id").collect()}
+    assert got[0]["n_at_risk"] == 3
+    assert got[0]["n_churned"] == 1 and got[0]["n_censored"] == 0
+    assert got[0]["hazard_ppm"] == 333_333
+    assert got[1]["n_at_risk"] == 2 and got[1]["n_churned"] == 1
+    assert got[1]["hazard_ppm"] == 500_000
+    assert got[2]["n_at_risk"] == 1 and got[2]["n_churned"] == 0
+    assert got[2]["n_censored"] == 1 and got[2]["hazard_ppm"] == 0
+
+
+def test_survival_all_censored_zero_hazard(spark):
+    """Everyone still active on the final day: hazard 0 everywhere."""
+    import datetime as dt
+
+    from faers_datalakehouse_spark.operators.survival import (
+        survival_table,
+    )
+
+    end = dt.datetime(2024, 1, 9)
+    rows = []
+    for u in range(4):
+        rows.append((f"u{u}", dt.datetime(2024, 1, 1 + u)))
+        rows.append((f"u{u}", end))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = survival_table(df, "user_id").collect()
+    assert all(r["hazard_ppm"] == 0 for r in got)
+    assert sum(r["n_censored"] for r in got) == 4
