@@ -294,10 +294,16 @@ from faers_datalakehouse_spark.operators.seasonal import (
     SEASONAL_DECOMPOSE_SQL,
     seasonal_decompose_query,
 )
+from faers_datalakehouse_spark.operators.shapes import (
+    SHAPE_PROFILE_SQL,
+    shape_profile_query,
+)
 from faers_datalakehouse_spark.operators.stattests import (
     MANN_WHITNEY_SQL,
+    ODDS_RATIO_SQL,
     WELCH_TTEST_SQL,
     mann_whitney_query,
+    odds_ratio_query,
     welch_ttest_query,
 )
 from faers_datalakehouse_spark.operators.linkpred import (
@@ -1302,6 +1308,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Kaplan-Meier discrete risk table over user tenure (censored
         # last-day users; suffix sum over the tenure-day frame)
         "survival_hazard": survival_hazard_query,
+        # character-class shape census (format-drift profiler; scan-
+        # stage regex, shape-domain-sized census)
+        "shape_profile": shape_profile_query,
+        # 2x2 odds ratio per segment (the FAERS disproportionality
+        # shape) — four conditional sums, exact milli OR
+        "odds_ratio": odds_ratio_query,
     }
 
 
@@ -1374,13 +1386,13 @@ _WINDOW = [
     "interarrival",  # last driver check: never
     "abc_classes",  # last driver check: never
     "survival_hazard",  # last driver check: never
+    "shape_profile",  # last driver check: never
+    "odds_ratio",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
     "unpivot_measures",  # last driver check: r4
     "quantiles_by_group",  # last driver check: r4
-    "salted_join",  # last driver check: r4
-    "multimodal_decode",  # last driver check: r4
 ]
 
 
@@ -1738,6 +1750,8 @@ def oracle_sql() -> dict[str, str]:
         "interarrival": INTERARRIVAL_SQL,
         "abc_classes": ABC_CLASSES_SQL,
         "survival_hazard": SURVIVAL_HAZARD_SQL,
+        "shape_profile": SHAPE_PROFILE_SQL,
+        "odds_ratio": ODDS_RATIO_SQL,
     }
 
 

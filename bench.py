@@ -222,6 +222,8 @@ BENCH_QUERIES = {
     "q132_interarrival": ("collect", "interarrival"),
     "q133_abc": ("collect", "abc_classes"),
     "q134_survival": ("collect", "survival_hazard"),
+    "q135_shape_profile": ("collect", "shape_profile"),
+    "q136_odds_ratio": ("collect", "odds_ratio"),
 }
 
 

@@ -320,3 +320,85 @@ SELECT c_mktsegment, n1, n2,
 FROM v
 ORDER BY c_mktsegment
 """
+
+
+def odds_ratio_by_group(
+    df: DataFrame,
+    group_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """2x2 association per group: ``(group_col, a, b, c, d, or_milli)``
+    where a = exposed+outcome, b = exposed only, c = outcome only,
+    d = neither, and ``or_milli = a*d*1000 div (b*c)`` (NULL when any
+    off-diagonal cell is empty — report the table, not a fabricated
+    continuity correction). Both indicator columns must be 0/1.
+
+    Scale shape: ONE map-side-combinable aggregate (four conditional
+    sums) per group — no contingency explosion, no joins.
+    """
+    e = F.col(exposure_col)
+    o = F.col(outcome_col)
+    g = df.groupBy(group_col).agg(
+        F.sum(e * o).cast("long").alias("a"),
+        F.sum(e * (1 - o)).cast("long").alias("b"),
+        F.sum((1 - e) * o).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - o)).cast("long").alias("d"),
+    )
+    return (
+        g.withColumn(
+            "or_milli",
+            F.expr(
+                "CASE WHEN b > 0 AND c > 0 THEN "
+                "CAST(CAST(a AS DECIMAL(38,0)) * d * 1000 "
+                "div (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT) END"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def odds_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: are urgent-priority orders associated with
+    high order values (> $200k)? The FAERS-style disproportionality
+    2x2 (reporting-odds-ratio shape) on the order book."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("exposed"),
+        (F.col("o_totalprice") > 200000).cast("int").alias("big"),
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "exposed", "big")
+    return odds_ratio_by_group(j, "c_mktsegment", "exposed", "big")
+
+
+ODDS_RATIO_SQL = """
+WITH j AS (
+  SELECT c_mktsegment,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS exposed,
+         CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS big
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (
+  SELECT c_mktsegment,
+         CAST(sum(exposed * big) AS BIGINT) AS a,
+         CAST(sum(exposed * (1 - big)) AS BIGINT) AS b,
+         CAST(sum((1 - exposed) * big) AS BIGINT) AS c,
+         CAST(sum((1 - exposed) * (1 - big)) AS BIGINT) AS d
+  FROM j GROUP BY 1
+)
+SELECT c_mktsegment, a, b, c, d,
+       CASE WHEN b > 0 AND c > 0 THEN
+         CAST(CAST(a AS HUGEINT) * d * 1000
+              // (CAST(b AS HUGEINT) * c) AS BIGINT) END AS or_milli
+FROM g
+ORDER BY c_mktsegment
+"""

@@ -634,3 +634,52 @@ def test_survival_all_censored_zero_hazard(spark):
     got = survival_table(df, "user_id").collect()
     assert all(r["hazard_ppm"] == 0 for r in got)
     assert sum(r["n_censored"] for r in got) == 4
+
+
+def test_shape_of_classes_and_runs(spark):
+    from faers_datalakehouse_spark.operators.shapes import shape_of
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("Customer#000000042",), ("abc-1",), ("X",), ("a1B2",)],
+        "v string",
+    )
+    got = [r[0] for r in df.select(shape_of(F.col("v"))).collect()]
+    assert got == ["Aa+#9+", "a+-9", "A", "a9A9"]
+
+
+def test_shape_profile_census_and_shares(spark):
+    from faers_datalakehouse_spark.operators.shapes import shape_profile
+
+    rows = [(f"User#{i:04d}",) for i in range(8)] + [("drifted@x",) * 1] * 2
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["shape"]: r for r in shape_profile(df, "v").collect()}
+    assert got["Aa+#9+"]["n"] == 8 and got["Aa+#9+"]["share_milli"] == 800
+    assert got["a+@a"]["n"] == 2
+
+
+def test_odds_ratio_known_table(spark):
+    from faers_datalakehouse_spark.operators.stattests import (
+        odds_ratio_by_group,
+    )
+
+    # a=20, b=10, c=5, d=10 -> OR = 200/50 = 4.0
+    rows = (
+        [("g", 1, 1)] * 20 + [("g", 1, 0)] * 10
+        + [("g", 0, 1)] * 5 + [("g", 0, 0)] * 10
+    )
+    df = spark.createDataFrame(rows, "grp string, e int, o int")
+    got = odds_ratio_by_group(df, "grp", "e", "o").collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (20, 10, 5, 10)
+    assert got["or_milli"] == 4000
+
+
+def test_odds_ratio_empty_cell_null(spark):
+    from faers_datalakehouse_spark.operators.stattests import (
+        odds_ratio_by_group,
+    )
+
+    rows = [("g", 1, 1)] * 3 + [("g", 0, 0)] * 3  # b = c = 0
+    df = spark.createDataFrame(rows, "grp string, e int, o int")
+    got = odds_ratio_by_group(df, "grp", "e", "o").collect()[0]
+    assert got["or_milli"] is None
