@@ -40,6 +40,15 @@ ALLOWED_NESTED_LOOP = {
     "heavy_hitters",     # 1-row n_tokens total broadcast onto candidates
     "rrf_fusion",        # full-outer fuse of two LIMIT-bounded top-N rank
                          # lists (<= 2N rows total) — BNLJ is the right plan
+    "doc_keywords",      # 1-row n_docs broadcast onto the df frame (idf)
+    "mmr_diversify",     # pool is a LIMIT-bounded top-N per query
+    "t_closeness",       # |classes| x |sensitive domain| grid — both sides
+                         # aggregate outputs, bounded by construction
+    "mutual_information",  # 1-row grand-total broadcast onto the cells
+    "ams_f2",            # 1-row exact-F2 broadcast onto the 1-row sketch
+    "rfm_segments",      # 1-row anchor-date broadcast onto the customers
+    "survival_hazard",   # 1-row corpus-end-day broadcast onto the users
+    "shape_profile",     # 1-row total broadcast onto the shape census
 }
 
 
