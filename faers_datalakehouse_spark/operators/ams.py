@@ -5,8 +5,9 @@ the self-join size: the quantity that predicts how a key distribution
 explodes under a self-equi-join (the LSH band-bucket hazard, skew-join
 planning) — estimable in O(k) space from ONE pass, no per-key state.
 
-Each of the k estimators draws a ±1 sign per VALUE from the repo's
-portable md5 idiom (seeded by the estimator index), accumulates
+Each of the k estimators draws a ±1 sign per VALUE from one shared
+md5 (sign j = parity of hex digit j — one hash per row, 16 independent
+bits; hashing dominates the per-row cost), accumulates
 ``Z_j = sum over rows of s_j(x)``, and estimates ``F2 ~ Z_j^2``. The
 classic variance reduction averages groups of 4 and takes the median of
 those means; with exact integers both the estimates and the median
@@ -28,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sketches import _hex_int
 
 N_SKETCH = 16  # 4 groups of 4
 _GROUP = 4
@@ -46,19 +46,19 @@ def ams_f2(df: DataFrame, value_col: str) -> DataFrame:
     squared tug-of-war sums; ``err_ppm = (f2_est - f2_exact) * 1000000
     div f2_exact`` (signed). Exact integers end-to-end.
     """
+    # ONE md5 per row; sign j is the parity of hex digit j — md5 bits
+    # are independent, and hashing is the whole per-row cost (16
+    # separate md5s benched 7.3 s at sf0.1; one md5 + 16 nibble
+    # parities is ~6x cheaper)
+    h = F.md5(F.col(value_col).cast("string"))
     signs = df.select(
         *[
             (
                 1
                 - 2
                 * (
-                    _hex_int(
-                        F.concat(
-                            F.col(value_col).cast("string"),
-                            F.lit(f"|{j}"),
-                        ),
-                        1,
-                        8,
+                    F.conv(F.substring(h, j + 1, 1), 16, 10).cast(
+                        "long"
                     )
                     % 2
                 )
@@ -123,8 +123,8 @@ def ams_f2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_sign(j: int) -> str:
     return (
-        "(1 - 2 * ((('0x' || substr(md5(CAST(l_partkey AS VARCHAR) "
-        f"|| '|{j}'), 1, 8))::BIGINT) % 2))"
+        "(1 - 2 * ((('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), "
+        f"{j + 1}, 1))::BIGINT) % 2))"
     )
 
 
