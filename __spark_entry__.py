@@ -279,7 +279,9 @@ from faers_datalakehouse_spark.operators.rfm import (
     rfm_segments_query,
 )
 from faers_datalakehouse_spark.operators.theilsen import (
+    HODGES_LEHMANN_SQL,
     THEIL_SEN_SQL,
+    hodges_lehmann_query,
     theil_sen_query,
 )
 from faers_datalakehouse_spark.operators.tcloseness import (
@@ -301,9 +303,11 @@ from faers_datalakehouse_spark.operators.shapes import (
 from faers_datalakehouse_spark.operators.stattests import (
     MANN_WHITNEY_SQL,
     ODDS_RATIO_SQL,
+    RUNS_TEST_SQL,
     WELCH_TTEST_SQL,
     mann_whitney_query,
     odds_ratio_query,
+    runs_test_query,
     welch_ttest_query,
 )
 from faers_datalakehouse_spark.operators.linkpred import (
@@ -1314,6 +1318,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2x2 odds ratio per segment (the FAERS disproportionality
         # shape) — four conditional sums, exact milli OR
         "odds_ratio": odds_ratio_query,
+        # Wald-Wolfowitz runs test on daily up/down moves (randomness
+        # vs trend/oscillation; exact moments, IEEE tail)
+        "runs_test": runs_test_query,
+        # Hodges-Lehmann pseudomedian of daily volume (lower median of
+        # Walsh-average pair sums over the day-grain frame)
+        "hodges_lehmann": hodges_lehmann_query,
     }
 
 
@@ -1388,11 +1398,11 @@ _WINDOW = [
     "survival_hazard",  # last driver check: never
     "shape_profile",  # last driver check: never
     "odds_ratio",  # last driver check: never
+    "runs_test",  # last driver check: never
+    "hodges_lehmann",  # last driver check: never
     "customer_retention_setops",  # last driver check: r4
     "kmeans_clusters",  # last driver check: r4
     "semantic_neardup",  # last driver check: r4
-    "unpivot_measures",  # last driver check: r4
-    "quantiles_by_group",  # last driver check: r4
 ]
 
 
@@ -1752,6 +1762,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_hazard": SURVIVAL_HAZARD_SQL,
         "shape_profile": SHAPE_PROFILE_SQL,
         "odds_ratio": ODDS_RATIO_SQL,
+        "runs_test": RUNS_TEST_SQL,
+        "hodges_lehmann": HODGES_LEHMANN_SQL,
     }
 
 

@@ -224,6 +224,8 @@ BENCH_QUERIES = {
     "q134_survival": ("collect", "survival_hazard"),
     "q135_shape_profile": ("collect", "shape_profile"),
     "q136_odds_ratio": ("collect", "odds_ratio"),
+    "q137_runs_test": ("collect", "runs_test"),
+    "q138_hodges_lehmann": ("collect", "hodges_lehmann"),
 }
 
 

@@ -402,3 +402,134 @@ SELECT c_mktsegment, a, b, c, d,
 FROM g
 ORDER BY c_mktsegment
 """
+
+
+def runs_test_by_series(
+    daily: DataFrame,
+    series_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on the up/down moves of a series:
+    ``(series_col, n_up, n_down, n_runs, z_milli)``.
+
+    Moves are sign(y_t - y_{t-1}) in x order; ties (zero moves) are
+    dropped, per the standard treatment. Too few runs = trending /
+    positively autocorrelated; too many = oscillating. ``z_milli`` is
+    the exact-moment normal approximation (NULL when n_up or n_down is
+    zero or the variance is zero); mu and the variance numerator are
+    exact integer expressions, the z is one fixed IEEE tree.
+
+    Scale shape: one lag window per series over the day-grain frame for
+    the moves, a second for run boundaries — both calendar-bounded; the
+    rollup is map-side-combinable.
+    """
+    w_seq = Window.partitionBy(series_col).orderBy(x_col)
+    moves = (
+        daily.withColumn("_prev", F.lag(y_col).over(w_seq))
+        .where(F.col("_prev").isNotNull())
+        .where(F.col(y_col) != F.col("_prev"))
+        .withColumn(
+            "_sgn", (F.col(y_col) > F.col("_prev")).cast("int")
+        )
+    )
+    runs = moves.withColumn(
+        "_new_run",
+        F.when(
+            F.lag("_sgn").over(w_seq).isNull()
+            | (F.lag("_sgn").over(w_seq) != F.col("_sgn")),
+            1,
+        ).otherwise(0),
+    )
+    g = runs.groupBy(series_col).agg(
+        F.sum("_sgn").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("_sgn")).cast("long").alias(
+            "n_down"
+        ),
+        F.sum("_new_run").cast("long").alias("n_runs"),
+    )
+    # mu = 2*n1*n2/n + 1; var = 2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1))
+    return (
+        g.withColumn(
+            "z_milli",
+            F.expr(
+                "CASE WHEN n_up > 0 AND n_down > 0 AND "
+                "  2.0 * n_up * n_down * "
+                "  (2.0 * n_up * n_down - (n_up + n_down)) > 0 THEN "
+                "CAST(floor((n_runs - (2.0 * n_up * n_down / "
+                "  (n_up + n_down) + 1.0)) * 1000.0 / "
+                " sqrt((2.0 * n_up * n_down * "
+                "  (2.0 * n_up * n_down - (n_up + n_down))) / "
+                "  (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down) * "
+                "   (n_up + n_down - 1)))) AS BIGINT) END"
+            ),
+        )
+        .orderBy(series_col)
+    )
+
+
+def runs_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each event type's daily volume a random walk of ups and
+    downs, or trending/oscillating?"""
+    from faers_datalakehouse_spark.sources.tables import read_events
+
+    events = read_events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    daily = daily.select(
+        "event_type",
+        F.datediff("day", F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("x"),
+        F.col("cnt").alias("y"),
+    )
+    return runs_test_by_series(daily, "event_type", "x", "y")
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+moves AS (
+  SELECT event_type, x, y,
+         lag(y) OVER (PARTITION BY event_type ORDER BY x) AS prev
+  FROM daily
+),
+m2 AS (
+  SELECT event_type, x,
+         CASE WHEN y > prev THEN 1 ELSE 0 END AS sgn
+  FROM moves WHERE prev IS NOT NULL AND y <> prev
+),
+runs AS (
+  SELECT event_type, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+                                  ORDER BY x) IS NULL
+                OR lag(sgn) OVER (PARTITION BY event_type
+                                  ORDER BY x) <> sgn
+              THEN 1 ELSE 0 END AS new_run
+  FROM m2
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(sgn) AS BIGINT) AS n_up,
+         CAST(count(*) - sum(sgn) AS BIGINT) AS n_down,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM runs GROUP BY 1
+)
+SELECT event_type, n_up, n_down, n_runs,
+       CASE WHEN n_up > 0 AND n_down > 0 AND
+              2.0 * n_up * n_down *
+              (2.0 * n_up * n_down - (n_up + n_down)) > 0 THEN
+         CAST(floor((n_runs - (2.0 * n_up * n_down /
+           (n_up + n_down) + 1.0)) * 1000.0 /
+          sqrt((2.0 * n_up * n_down *
+           (2.0 * n_up * n_down - (n_up + n_down))) /
+           (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down) *
+            (n_up + n_down - 1)))) AS BIGINT) END AS z_milli
+FROM g
+ORDER BY event_type
+"""

@@ -683,3 +683,71 @@ def test_odds_ratio_empty_cell_null(spark):
     df = spark.createDataFrame(rows, "grp string, e int, o int")
     got = odds_ratio_by_group(df, "grp", "e", "o").collect()[0]
     assert got["or_milli"] is None
+
+
+def test_runs_test_alternating_series(spark):
+    """Perfectly alternating ups/downs: every move starts a new run ->
+    z > 0 (too many runs)."""
+    from faers_datalakehouse_spark.operators.stattests import (
+        runs_test_by_series,
+    )
+
+    ys = [10, 20, 10, 20, 10, 20, 10, 20]
+    rows = [("s", x, y) for x, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = runs_test_by_series(df, "grp", "x", "y").collect()[0]
+    assert got["n_up"] == 4 and got["n_down"] == 3
+    assert got["n_runs"] == 7  # every move flips direction
+    assert got["z_milli"] > 0
+
+
+def test_runs_test_trending_series(spark):
+    """Monotone rise then monotone fall: exactly 2 runs -> z < 0."""
+    from faers_datalakehouse_spark.operators.stattests import (
+        runs_test_by_series,
+    )
+
+    ys = [1, 2, 3, 4, 5, 4, 3, 2, 1]
+    rows = [("s", x, y) for x, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = runs_test_by_series(df, "grp", "x", "y").collect()[0]
+    assert got["n_runs"] == 2 and got["z_milli"] < 0
+
+
+def test_runs_test_drops_ties(spark):
+    from faers_datalakehouse_spark.operators.stattests import (
+        runs_test_by_series,
+    )
+
+    ys = [5, 5, 6, 6, 7]  # two ties dropped -> moves: up, up
+    rows = [("s", x, y) for x, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = runs_test_by_series(df, "grp", "x", "y").collect()[0]
+    assert got["n_up"] == 2 and got["n_down"] == 0
+    assert got["n_runs"] == 1 and got["z_milli"] is None
+
+
+def test_hodges_lehmann_symmetric_series(spark):
+    """Symmetric values around 10: pseudomedian == 10 exactly."""
+    from faers_datalakehouse_spark.operators.theilsen import (
+        hodges_lehmann_by_series,
+    )
+
+    rows = [("s", x, y) for x, y in enumerate([6, 8, 10, 12, 14])]
+    df = spark.createDataFrame(rows, "series string, x long, y long")
+    got = hodges_lehmann_by_series(df).collect()[0]
+    assert got["n_points"] == 5 and got["n_pairs"] == 15
+    assert got["hl_milli"] == 10_000
+
+
+def test_hodges_lehmann_resists_outlier(spark):
+    """One wild value moves the mean a lot, the pseudomedian a little."""
+    from faers_datalakehouse_spark.operators.theilsen import (
+        hodges_lehmann_by_series,
+    )
+
+    ys = [10] * 9 + [1000]
+    rows = [("s", x, y) for x, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series string, x long, y long")
+    got = hodges_lehmann_by_series(df).collect()[0]
+    assert got["hl_milli"] == 10_000  # median Walsh average unmoved

@@ -162,6 +162,12 @@ OPS = [
     "rfm_segments",
     "subsample_ci",
     "neyman_allocation",
+    # late session-3: exact bucketed cumsum census, survival table,
+    # shape census, 2x2 odds — aggregate/bounded-frame shapes
+    "abc_classes",
+    "survival_hazard",
+    "shape_profile",
+    "odds_ratio",
 ]
 
 
@@ -367,6 +373,10 @@ COLLECT_OPS = {
     "rfm_segments",
     "subsample_ci",
     "neyman_allocation",
+    "abc_classes",
+    "survival_hazard",
+    "shape_profile",
+    "odds_ratio",
 }
 
 
