@@ -1351,58 +1351,59 @@ _WINDOW_BASIS = [
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
+    "CORRECTNESS_r09.json",
 ]
 _WINDOW = [
-    "bpe_encode",  # last driver check: never
-    "kcenter_coreset",  # last driver check: never
-    "minhash_est_error",  # last driver check: never
-    "bpe_merges",  # last driver check: never
-    "embedding_qc",  # last driver check: never
-    "decayed_activity",  # last driver check: never
-    "ngram_novelty",  # last driver check: never
-    "linear_interpolate",  # last driver check: never
-    "rendezvous_shards",  # last driver check: never
-    "benford_audit",  # last driver check: never
-    "gini_segment",  # last driver check: never
-    "rrf_fusion",  # last driver check: never
-    "source_entropy",  # last driver check: never
-    "cdc_dedup",  # last driver check: never
-    "temperature_mix",  # last driver check: never
-    "percentile_normalize",  # last driver check: never
-    "kcore_nodes",  # last driver check: never
-    "heavy_hitters",  # last driver check: never
-    "clustering_coeff",  # last driver check: never
-    "ra_linkpred",  # last driver check: never
-    "l_diversity",  # last driver check: never
-    "spearman_corr",  # last driver check: never
-    "kmv_distinct",  # last driver check: never
-    "feature_hash",  # last driver check: never
-    "holt_smooth",  # last driver check: never
-    "lateral_topk",  # last driver check: never
-    "doc_keywords",  # last driver check: never
-    "mmr_diversify",  # last driver check: never
-    "mann_whitney",  # last driver check: never
-    "welch_ttest",  # last driver check: never
-    "max_drawdown",  # last driver check: never
-    "seasonal_decompose",  # last driver check: never
-    "t_closeness",  # last driver check: never
-    "mutual_information",  # last driver check: never
-    "ams_f2",  # last driver check: never
-    "theil_sen",  # last driver check: never
-    "rfm_segments",  # last driver check: never
-    "subsample_ci",  # last driver check: never
-    "neyman_allocation",  # last driver check: never
-    "burstiness",  # last driver check: never
-    "interarrival",  # last driver check: never
-    "abc_classes",  # last driver check: never
-    "survival_hazard",  # last driver check: never
-    "shape_profile",  # last driver check: never
-    "odds_ratio",  # last driver check: never
-    "runs_test",  # last driver check: never
-    "hodges_lehmann",  # last driver check: never
-    "customer_retention_setops",  # last driver check: r4
-    "kmeans_clusters",  # last driver check: r4
-    "semantic_neardup",  # last driver check: r4
+    "unpivot_measures",  # last driver check: r4
+    "quantiles_by_group",  # last driver check: r4
+    "salted_join",  # last driver check: r4
+    "multimodal_decode",  # last driver check: r4
+    "quality_classifier",  # last driver check: r4
+    "asof_join",  # last driver check: r4
+    "pack_sequences",  # last driver check: r4
+    "text_quality",  # last driver check: r4
+    "incremental_dedup",  # last driver check: r4
+    "stratified_cap",  # last driver check: r4
+    "vocab_stats",  # last driver check: r4
+    "dup_spans",  # last driver check: r4
+    "simhash_neardup",  # last driver check: r4
+    "json_extract_agg",  # last driver check: r4
+    "segment_status_pivot",  # last driver check: r4
+    "lang_id",  # last driver check: r4
+    "shard_manifest",  # last driver check: r4
+    "contamination_check",  # last driver check: r4
+    "funnel_steps",  # last driver check: r4
+    "topk_parts",  # last driver check: r4
+    "latest_day_activity",  # last driver check: r4
+    "ann_ivf_topk_nprobe2",  # last driver check: r4
+    "ann_lsh_topk",  # last driver check: r4
+    "rollup_volume",  # last driver check: r4
+    "topk_by_group",  # last driver check: r4
+    "global_summary",  # last driver check: r4
+    "numeric_standardize",  # last driver check: r4
+    "distinct_profile",  # last driver check: r4
+    "ngram_jaccard",  # last driver check: r4
+    "sql_api_trend",  # last driver check: r4
+    "fingerprint_dedup",  # last driver check: r4
+    "surprisal_scores",  # last driver check: r4
+    "pct_of_total",  # last driver check: r4
+    "neardup_clusters_star",  # last driver check: r4
+    "chunk_documents",  # last driver check: r4
+    "mixture_weights",  # last driver check: r4
+    "bpe_pair_counts",  # last driver check: r4
+    "winnowing_fingerprints",  # last driver check: r5
+    "bloom_prefilter",  # last driver check: r5
+    "fact_sales",  # last driver check: r5
+    "pricing_summary",  # last driver check: r5
+    "scd2_merge",  # last driver check: r5
+    "versioned_read",  # last driver check: r5
+    "versioned_delete",  # last driver check: r5
+    "versioned_skip_read",  # last driver check: r5
+    "versioned_changes",  # last driver check: r5
+    "incremental_matview",  # last driver check: r5
+    "hll_registers",  # last driver check: r5
+    "hll_by_group",  # last driver check: r5
+    "cms_counts",  # last driver check: r5
 ]
 
 

@@ -88,11 +88,14 @@ def abc_classes(
     (the crossing item belongs to the class it completes), B while
     under ``b_milli``, else C."""
     ranked = cumulative_by_rank(df, value_c_col, item_col)
-    w_all = Window.partitionBy()
-    t = ranked.withColumn(
-        "_total",
-        F.sum(F.col(value_c_col).cast("decimal(38,0)")).over(w_all),
-    ).withColumn(
+    # grand total as a 1-row aggregate broadcast-cross-joined in — NOT
+    # an unpartitioned window over the full item frame, which would
+    # funnel every item row through one partition (ADVICE r9 item 3;
+    # the shape_profile / decayed_activity pattern)
+    tot = df.agg(
+        F.sum(F.col(value_c_col).cast("decimal(38,0)")).alias("_total")
+    )
+    t = ranked.crossJoin(F.broadcast(tot)).withColumn(
         "_excl_milli",
         F.expr(
             f"CAST((cum_v - {value_c_col}) * 1000 div _total AS BIGINT)"

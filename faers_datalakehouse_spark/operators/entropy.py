@@ -42,6 +42,32 @@ def _bits(col):
     return (F.length(F.bin(col)) - F.lit(1)).cast("long")
 
 
+_P31 = 1 << 31
+_P62 = 1 << 62
+_P93 = 1 << 93
+
+
+def _bits_big_sql(prod: str) -> str:
+    """floor(log2(x)) for a positive DECIMAL(38,0) SQL expression,
+    exact to 2^124 — far past the ~2^126 theoretical max of a
+    count-product of two BIGINTs at any physical scale.
+
+    ``bin()`` only takes BIGINT, so large inputs are right-shifted
+    first: ``bit_length(x div 2^k) = bit_length(x) - k`` exactly for
+    ``x >= 2^k`` (integer shift preserves the leading bit position).
+    Mirrored verbatim (``//`` / HUGEINT) in the DuckDB twins — the
+    ADVICE r9 fix for bit-length arguments overflowing int64 past
+    ~3e9 rows."""
+    return (
+        f"CASE WHEN {prod} < {_P62} THEN "
+        f"length(bin(CAST({prod} AS BIGINT))) - 1 "
+        f"WHEN {prod} < CAST('{_P93}' AS DECIMAL(38,0)) THEN "
+        f"length(bin(CAST({prod} div {_P31} AS BIGINT))) + 30 "
+        f"ELSE length(bin(CAST({prod} div {_P62} AS BIGINT))) + 61 "
+        f"END"
+    )
+
+
 def source_entropy(docs: DataFrame) -> DataFrame:
     """``(source, n_tokens, n_types, entropy_bits_num,
     entropy_milli_bits, ttr_micro)`` per source, ordered by source.
@@ -154,16 +180,17 @@ def mutual_information(
         .join(F.broadcast(my), y_col)
         .crossJoin(F.broadcast(tot))
     )
+    # the bit-length arguments are count PRODUCTS (up to n² — int64
+    # overflows past ~3e9 rows): form them in DECIMAL(38,0) and take
+    # bits via the shift-safe helper (ADVICE r9 item 2)
+    pxy = "(CAST(_cxy AS DECIMAL(38,0)) * _n)"
+    pm = "(CAST(_cx AS DECIMAL(38,0)) * _cy)"
     contrib = j.select(
         "_n",
         x_col,
         y_col,
-        (
-            F.col("_cxy")
-            * (
-                _bits(F.col("_cxy") * F.col("_n"))
-                - _bits(F.col("_cx") * F.col("_cy"))
-            )
+        F.expr(
+            f"_cxy * (({_bits_big_sql(pxy)}) - ({_bits_big_sql(pm)}))"
         ).alias("_term"),
     )
     return (
@@ -218,8 +245,27 @@ my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM cells GROUP BY y),
 tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cells),
 contrib AS (
   SELECT n, x, y,
-         cxy * ((length(bin(cxy * n)) - 1)
-                - (length(bin(cx * cy)) - 1)) AS term
+         cxy * (
+           (CASE WHEN CAST(cxy AS HUGEINT) * n < 4611686018427387904
+                 THEN length(bin(CAST(CAST(cxy AS HUGEINT) * n
+                                      AS BIGINT))) - 1
+                 WHEN CAST(cxy AS HUGEINT) * n
+                      < 9903520314283042199192993792
+                 THEN length(bin(CAST(CAST(cxy AS HUGEINT) * n
+                      // 2147483648 AS BIGINT))) + 30
+                 ELSE length(bin(CAST(CAST(cxy AS HUGEINT) * n
+                      // 4611686018427387904 AS BIGINT))) + 61 END)
+           -
+           (CASE WHEN CAST(cx AS HUGEINT) * cy < 4611686018427387904
+                 THEN length(bin(CAST(CAST(cx AS HUGEINT) * cy
+                                      AS BIGINT))) - 1
+                 WHEN CAST(cx AS HUGEINT) * cy
+                      < 9903520314283042199192993792
+                 THEN length(bin(CAST(CAST(cx AS HUGEINT) * cy
+                      // 2147483648 AS BIGINT))) + 30
+                 ELSE length(bin(CAST(CAST(cx AS HUGEINT) * cy
+                      // 4611686018427387904 AS BIGINT))) + 61 END)
+         ) AS term
   FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
 )
 SELECT CAST(max(n) AS BIGINT) AS n,

@@ -6,16 +6,18 @@ formulation, which is the correct one under ties).
 Integer-exact core, deterministic tail: ranks are kept as DOUBLED
 average ranks (``2*min_rank + tie_count - 1`` — always an integer, no
 halves), and the Pearson numerator/denominators on those doubled ranks
-are exact BIGINT moment sums (the shared factor 4 cancels in the
-ratio). The final ``rho_milli`` is ``floor(sxy * 1000 / sqrt(sxx *
-syy))`` over those exact integers — ``*``, ``/`` and ``sqrt`` are
-IEEE-754 correctly-rounded operations (identical bit results in Spark's
-JVM and DuckDB), unlike libm transcendentals, so the milli value is
-cross-engine exact. Moment sums are n³-scaled and therefore run in
-DECIMAL(38,0) internally (HUGEINT in the twin) — int64 would overflow
-past ~2M rows per group, a realistic group size at corpus scale (the
-r9 overflow audit); rho derives from the decimals, and only the
-diagnostic moment OUTPUT columns narrow to BIGINT.
+are exact moment sums (the shared factor 4 cancels in the ratio). The
+final ``rho_milli`` is ``floor(vxy * 1000 / sqrt(vxx * vyy))`` over
+those exact integers — ``*``, ``/`` and ``sqrt`` are IEEE-754
+correctly-rounded operations (identical bit results in Spark's JVM and
+DuckDB), unlike libm transcendentals, so the milli value is
+cross-engine exact. Moment sums are n³-scaled and the variance
+numerators ``n*sxx - sx^2`` are **n⁴/3-scaled**, so the whole chain
+runs in DECIMAL(38,0) (HUGEINT in the twin) and nothing n-scaled is
+ever narrowed to BIGINT: the r10 overflow audit (ADVICE r9) removed
+the raw-moment diagnostic output columns, whose BIGINT narrowing
+raised CAST_OVERFLOW under ANSI at ~72k rows/group. Output is
+``(group, n, rho_milli)`` — rho is bounded, n is a plain count.
 
 Scale shape (100 TB): ranks come from ``bucketed_global_rank``
 (``operators/normalize.py``) — the two-phase bucketed scan — so no
@@ -65,10 +67,10 @@ def spearman_by_group(
     y_col: str,
     tiebreak_col: str,
 ) -> DataFrame:
-    """``(group_col, n, sxy, sxx, syy, rho_milli)`` per group, ordered by
-    group — exact BIGINT moments over doubled tie-averaged ranks plus the
-    IEEE-deterministic milli correlation (NULL when either variance is
-    zero or ``n < 2``)."""
+    """``(group_col, n, rho_milli)`` per group, ordered by group — the
+    IEEE-deterministic milli correlation over exact decimal moments of
+    doubled tie-averaged ranks (NULL when either variance is zero or
+    ``n < 2``)."""
     rx = _tie_avg_rank2(df, group_col, x_col, tiebreak_col, "rx2")
     rxy = _tie_avg_rank2(rx, group_col, y_col, tiebreak_col, "ry2")
     # n^3-scaled moments overflow int64 past ~2M rows/group (the r9
@@ -82,11 +84,12 @@ def spearman_by_group(
         F.sum(F.expr("CAST(rx2 AS DECIMAL(38,0)) * rx2")).alias("_sxx"),
         F.sum(F.expr("CAST(ry2 AS DECIMAL(38,0)) * ry2")).alias("_syy"),
     )
-    # rho derives from the DECIMAL intermediates (scale-safe); the
-    # moment OUTPUT columns cast to BIGINT — diagnostics whose range
-    # (~4n^3) is fine at any oracle scale, and a stable compare type
-    # (DuckDB's pandas bridge degrades DECIMAL(38,0) to float64, so a
-    # decimal output column cannot survive the driver's typed hash)
+    # rho derives from the DECIMAL intermediates (scale-safe). The raw
+    # variance numerators are ~n^4/3-scaled and are deliberately NOT
+    # emitted: narrowing them to BIGINT overflows at ~72k rows/group
+    # (ANSI CAST_OVERFLOW), and DECIMAL(38,0) outputs cannot survive
+    # the driver's typed hash (DuckDB's pandas bridge degrades them to
+    # float64). ADVICE r9 item 1.
     v = m.select(
         group_col,
         "n",
@@ -104,9 +107,6 @@ def spearman_by_group(
         v.select(
             group_col,
             "n",
-            F.col("_vxy").cast("long").alias("sxy"),
-            F.col("_vxx").cast("long").alias("sxx"),
-            F.col("_vyy").cast("long").alias("syy"),
             F.when(
                 (F.col("_vxx") > 0) & (F.col("_vyy") > 0),
                 F.floor(
@@ -173,9 +173,6 @@ m AS (
 )
 SELECT nationkey,
        CAST(n AS BIGINT) AS n,
-       CAST(n * sxy_ - sx * sy AS BIGINT) AS sxy,
-       CAST(n * sxx_ - sx * sx AS BIGINT) AS sxx,
-       CAST(n * syy_ - sy * sy AS BIGINT) AS syy,
        CASE WHEN n * sxx_ - sx * sx > 0 AND n * syy_ - sy * sy > 0
             THEN CAST(floor(
                    (CAST(n * sxy_ - sx * sy AS DOUBLE) * 1000.0)

@@ -13,7 +13,11 @@ Integer-exact core, IEEE-deterministic tail (the ``spearman.py``
 discipline): rank sums are derived from per-(group, value) counts and
 an exclusive prefix sum — never a per-row rank — using DOUBLED
 tie-averaged ranks so everything stays integral; the tie-correction
-term ``T = sum(t^3 - t)`` and the doubled U statistic are exact BIGINTs.
+term ``T = sum(t^3 - t)`` (n³-scaled — a single 2.1M-row tie cell
+overflows int64, so it runs in DECIMAL(38,0) / HUGEINT end-to-end and
+is emitted pre-scaled as the bounded ``ties_milli = 1000*T div
+(n*(n-1)*(n+1))`` — ADVICE r9) and the doubled U statistic are exact
+(U is n²-scaled: BIGINT-exact to ~2e9 rows/group, documented bound).
 Welch's moment sums are exact (DECIMAL(38,0) for the squared sums — the
 cents^2 scale overflows int64 at realistic row counts). The final
 ``z_milli`` / ``t_milli`` are single fixed expression trees of
@@ -43,14 +47,16 @@ def mann_whitney_by_group(
     value_col: str,
     cohort_col: str,
 ) -> DataFrame:
-    """``(group_col, n1, n2, u2, t_corr, z_milli)`` per group.
+    """``(group_col, n1, n2, u2, ties_milli, z_milli)`` per group.
 
     ``cohort_col`` must be 0/1 (1 = treatment). ``u2`` is the DOUBLED
     Mann-Whitney U of cohort 1 (exact under ties: ``2*U = R1_2 -
-    n1*(n1+1)`` with doubled tie-averaged ranks); ``t_corr`` is the tie
-    correction ``sum(t^3 - t)``; ``z_milli`` is the normal-approximation
-    z-score in exact milli units (NULL when a cohort is empty or the
-    tie-corrected variance is zero).
+    n1*(n1+1)`` with doubled tie-averaged ranks); ``ties_milli`` is the
+    tie correction ``T = sum(t^3 - t)`` pre-scaled by its maximum
+    ``n*(n-1)*(n+1)`` to exact [0, 1000] milli units (the raw T is
+    n³-scaled and cannot be emitted as BIGINT — ADVICE r9); ``z_milli``
+    is the normal-approximation z-score in exact milli units (NULL when
+    a cohort is empty or the tie-corrected variance is zero).
     """
     per_value = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("c_all"),
@@ -64,41 +70,63 @@ def mann_whitney_by_group(
     ranked = per_value.withColumn(
         "cum_lt", F.coalesce(F.sum("c_all").over(w_lt), F.lit(0))
     )
+    # r1_2 is n²-scaled, t_corr n³-scaled: both sums run in
+    # DECIMAL(38,0) (HUGEINT in the twin) so no tie-cell size or group
+    # size overflows mid-aggregation (ADVICE r9). u2 narrows to BIGINT
+    # on output: exact to ~2e9 rows/group, a documented bound.
     per_group = ranked.groupBy(group_col).agg(
         F.sum("c1").cast("long").alias("n1"),
         (F.sum("c_all") - F.sum("c1")).cast("long").alias("n2"),
         F.sum(
-            F.col("c1") * (2 * F.col("cum_lt") + F.col("c_all") + 1)
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("cum_lt") + F.col("c_all") + 1)
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("r1_2"),
         F.sum(
-            F.col("c_all") * F.col("c_all") * F.col("c_all")
+            F.col("c_all").cast("decimal(38,0)")
+            * F.col("c_all")
+            * F.col("c_all")
             - F.col("c_all")
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("t_corr"),
     )
     # z = (U - n1*n2/2) / sqrt(n1*n2*((n+1) - T/(n*(n-1)))/12); with
     # doubled U the mean doubles and the denominator gains a factor 2.
-    # One fixed expression tree, mirrored verbatim in the SQL twin.
+    # The mean term multiplies n1*n2 as DOUBLE (BIGINT n1*n2 overflows
+    # near 4.3e9 rows/group — ADVICE r9) and T enters as DOUBLE. One
+    # fixed expression tree, mirrored verbatim in the SQL twin.
     return (
         per_group.withColumn(
-            "u2", (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1))
+            "u2",
+            (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast(
+                "long"
+            ),
         )
         .withColumn("n", F.col("n1") + F.col("n2"))
+        .withColumn(
+            "ties_milli",
+            F.expr(
+                "CASE WHEN n > 1 THEN CAST(t_corr * 1000 div "
+                "(CAST(n AS DECIMAL(38,0)) * (n - 1) * (n + 1)) "
+                "AS BIGINT) END"
+            ),
+        )
         .withColumn(
             "z_milli",
             F.expr(
                 "CASE WHEN n1 > 0 AND n2 > 0 AND "
-                "  (n + 1.0) * n * (n - 1.0) - t_corr > 0 THEN "
-                "CAST(floor((u2 - CAST(n1 * n2 AS DOUBLE)) * 1000.0 / "
+                "  (n + 1.0) * n * (n - 1.0) - CAST(t_corr AS DOUBLE)"
+                "  > 0 THEN "
+                "CAST(floor((u2 - CAST(n1 AS DOUBLE) * n2) * 1000.0 / "
                 " (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 * "
-                "  ((n + 1.0) * n * (n - 1.0) - t_corr)) / "
+                "  ((n + 1.0) * n * (n - 1.0) "
+                "   - CAST(t_corr AS DOUBLE))) / "
                 "  (12.0 * n * (n - 1.0))))) AS BIGINT) END"
             ),
         )
-        .select(group_col, "n1", "n2", "u2", "t_corr", "z_milli")
+        .select(group_col, "n1", "n2", "u2", "ties_milli", "z_milli")
         .orderBy(group_col)
     )
 
@@ -107,7 +135,11 @@ def mann_whitney_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: does the value distribution of even-id users
     differ from odd-id users? (Deterministic cohort split — the stand-in
     for an experiment assignment column.)"""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from faers_datalakehouse_spark.sources.tables import read_events
+
+    # read_events, not raw parquet: the driver testdata's ts encoding
+    # has drifted across regenerations (ADVICE r9 item 4)
+    events = read_events(spark, sf_dir)
     base = events.select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("v_cents"),
@@ -139,19 +171,27 @@ per_group AS (
   SELECT event_type,
          CAST(sum(c1) AS BIGINT) AS n1,
          CAST(sum(c_all) - sum(c1) AS BIGINT) AS n2,
-         CAST(sum(c1 * (2 * cum_lt + c_all + 1)) AS BIGINT) AS r1_2,
-         CAST(sum(c_all * c_all * c_all - c_all) AS BIGINT) AS t_corr
+         CAST(sum(CAST(c1 AS HUGEINT) * (2 * cum_lt + c_all + 1))
+              AS HUGEINT) AS r1_2,
+         CAST(sum(CAST(c_all AS HUGEINT) * c_all * c_all - c_all)
+              AS HUGEINT) AS t_corr
   FROM ranked GROUP BY event_type
 ),
 u AS (
-  SELECT *, r1_2 - n1 * (n1 + 1) AS u2, n1 + n2 AS n FROM per_group
+  SELECT *, CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+         n1 + n2 AS n
+  FROM per_group
 )
-SELECT event_type, n1, n2, u2, t_corr,
+SELECT event_type, n1, n2, u2,
+       CASE WHEN n > 1 THEN CAST(t_corr * 1000 //
+         (CAST(n AS HUGEINT) * (n - 1) * (n + 1)) AS BIGINT)
+       END AS ties_milli,
        CASE WHEN n1 > 0 AND n2 > 0 AND
-                 (n + 1.0) * n * (n - 1.0) - t_corr > 0 THEN
-         CAST(floor((u2 - CAST(n1 * n2 AS DOUBLE)) * 1000.0 /
+                 (n + 1.0) * n * (n - 1.0) - CAST(t_corr AS DOUBLE)
+                 > 0 THEN
+         CAST(floor((u2 - CAST(n1 AS DOUBLE) * n2) * 1000.0 /
            (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 *
-            ((n + 1.0) * n * (n - 1.0) - t_corr)) /
+            ((n + 1.0) * n * (n - 1.0) - CAST(t_corr AS DOUBLE))) /
             (12.0 * n * (n - 1.0))))) AS BIGINT) END AS z_milli
 FROM u
 ORDER BY event_type
@@ -210,18 +250,20 @@ def welch_ttest_by_group(
                 - F.col("sx2").cast("decimal(38,0)") * F.col("sx2")
             ).cast("decimal(38,0)"),
         )
+        # milli products in decimal: BIGINT sx*1000 binds at ~6e10
+        # rows/group for dollar-scale values (r10 overflow audit)
         .withColumn(
             "mean1_milli",
             F.expr(
-                "CASE WHEN n1 > 0 THEN "
-                "CAST(sx1 * 1000 div n1 AS BIGINT) END"
+                "CASE WHEN n1 > 0 THEN CAST(CAST(sx1 AS DECIMAL(38,0))"
+                " * 1000 div n1 AS BIGINT) END"
             ),
         )
         .withColumn(
             "mean2_milli",
             F.expr(
-                "CASE WHEN n2 > 0 THEN "
-                "CAST(sx2 * 1000 div n2 AS BIGINT) END"
+                "CASE WHEN n2 > 0 THEN CAST(CAST(sx2 AS DECIMAL(38,0))"
+                " * 1000 div n2 AS BIGINT) END"
             ),
         )
         .withColumn(
@@ -303,9 +345,11 @@ v AS (
 )
 SELECT c_mktsegment, n1, n2,
        CASE WHEN n1 > 0
-            THEN CAST(sx1 * 1000 // n1 AS BIGINT) END AS mean1_milli,
+            THEN CAST(CAST(sx1 AS HUGEINT) * 1000 // n1 AS BIGINT)
+       END AS mean1_milli,
        CASE WHEN n2 > 0
-            THEN CAST(sx2 * 1000 // n2 AS BIGINT) END AS mean2_milli,
+            THEN CAST(CAST(sx2 AS HUGEINT) * 1000 // n2 AS BIGINT)
+       END AS mean2_milli,
        CASE WHEN n1 >= 2 AND n2 >= 2 AND
               CAST(v1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
               + CAST(v2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))

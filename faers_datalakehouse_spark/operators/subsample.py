@@ -110,7 +110,11 @@ def subsample_mean_band(
 def subsample_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How trustworthy is each event type's mean value? 32 half-sample
     means, decile band in exact milli-cents."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    from faers_datalakehouse_spark.sources.tables import read_events
+
+    # read_events, not raw parquet: the driver testdata's ts encoding
+    # has drifted across regenerations (ADVICE r9 item 4)
+    events = read_events(spark, sf_dir).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("v_cents"),

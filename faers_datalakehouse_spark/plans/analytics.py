@@ -1797,8 +1797,12 @@ def comoment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(n*sum_ab - sum_a*sum_b) / n^2`` or Pearson r from it in closed
     form. Everything stays exact int64: measures are quantized to
     coarse units chosen so ``n * max(x^2)`` holds headroom (quantity in
-    whole units, price in whole dollars, discount in milli-units;
-    overflow margin ~1e3 at sf100). One scan, one global aggregate
+    whole units, price in whole dollars, discount in milli-units).
+    Written bound (r10 overflow audit, correcting the earlier "~1e3 at
+    sf100" claim): ``sum(price²)`` binds first at ~1.1e10/row →
+    BIGINT-exact to ~8.4e8 lineitems ≈ sf140; past that, re-quantize
+    price to deka-dollars (state stays mergeable, consumers rescale) or
+    carry the squared sums in DECIMAL(38,0) state. One scan, one global aggregate
     (map-side partial), then a 1-row stack() unpivot — the
     ``expectations_audit`` shape.
     """
@@ -2835,8 +2839,13 @@ def group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 (map-side-combinable sums over a day-spine-sized
     frame); slope is ONE exactly-rounded IEEE division of two exact
     integers, and intercept/r² are short fixed-shape double expressions
-    both engines evaluate identically (no libm anywhere). Headroom: the
-    int64 products hold to ~1e6 distinct days x 1e9 rows/day.
+    both engines evaluate identically (no libm anywhere). The cross
+    products ``n*sxy - sx*sy`` / ``n*syy - sy*sy`` run in DECIMAL(38,0)
+    (HUGEINT in the twin): in BIGINT, ``n*syy`` overflows at ~8e5
+    events/day/type over a decade — the r10 overflow audit corrected
+    the earlier "~1e9 rows/day" claim. The emitted BIGINT moment
+    columns themselves are exact to ~5e7 events/day/type over a decade
+    (``syy`` binds first); coarsen the count unit beyond that.
 
     Scale shape: groupBy(type, day) reduces the fact to |types x days|
     rows in one shuffle; the per-type moment aggregation runs over that
@@ -2865,9 +2874,13 @@ def group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
-    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
-    syc = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    # decimal cross products: n*syy overflows BIGINT at ~8e5 events/
+    # day/type (r10 overflow audit); the decimal->double casts are
+    # identical IEEE conversions in both engines
+    nd = m["n"].cast("decimal(38,0)")
+    num = nd * m["sxy"] - m["sx"].cast("decimal(38,0)") * m["sy"]
+    den = nd * m["sxx"] - m["sx"].cast("decimal(38,0)") * m["sx"]
+    syc = nd * m["syy"] - m["sy"].cast("decimal(38,0)") * m["sy"]
     slope = num.cast("double") / F.nullif(den, F.lit(0)).cast("double")
     intercept = (
         m["sy"].cast("double") - slope * m["sx"].cast("double")
@@ -2904,16 +2917,23 @@ WITH daily AS (
   FROM daily GROUP BY 1
 )
 SELECT g AS event_type, n AS n_days, sx, sy, sxy, sxx, syy,
-       CAST(n*sxy - sx*sy AS DOUBLE)
-         / CAST(nullif(n*sxx - sx*sx, 0) AS DOUBLE) AS slope,
+       CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+         / CAST(nullif(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx,
+                       0) AS DOUBLE) AS slope,
        (CAST(sy AS DOUBLE)
-          - (CAST(n*sxy - sx*sy AS DOUBLE)
-             / CAST(nullif(n*sxx - sx*sx, 0) AS DOUBLE))
+          - (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy
+                  AS DOUBLE)
+             / CAST(nullif(CAST(n AS HUGEINT)*sxx
+                           - CAST(sx AS HUGEINT)*sx, 0) AS DOUBLE))
             * CAST(sx AS DOUBLE))
          / CAST(n AS DOUBLE) AS intercept,
-       (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
-         / nullif(CAST(n*sxx - sx*sx AS DOUBLE)
-                  * CAST(n*syy - sy*sy AS DOUBLE), 0.0) AS r2
+       (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        * CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy
+               AS DOUBLE))
+         / nullif(CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx
+                       AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy
+                         AS DOUBLE), 0.0) AS r2
 FROM m
 ORDER BY event_type
 """

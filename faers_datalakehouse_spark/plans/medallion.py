@@ -682,7 +682,10 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
             F.coalesce(F.col("worst_outcome_severity"), F.lit(0)).alias(
                 "worst_outcome_severity"
             ),
-            (F.coalesce(F.col("worst_outcome_severity"), F.lit(0)) >= 5).alias(
+            # serious = worst outcome in {DE, LT, CA, DS, HO} — the
+            # reference's serious_adverse_event set (dim_outcome.py:84-86),
+            # i.e. rank >= 3 under the reference severity ladder
+            (F.coalesce(F.col("worst_outcome_severity"), F.lit(0)) >= 3).alias(
                 "is_serious"
             ),
             # Data-quality tier off the optional-side joins

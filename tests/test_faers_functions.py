@@ -19,17 +19,27 @@ from faers_datalakehouse_spark.functions.faers import (
 
 
 def test_outcome_decode_and_severity(spark):
+    """Pins reference-identical strings and ladder order
+    (silver_outcomes.py:37-61): DE > LT > CA > DS > HO > RI > OT.
+    The r1-r9 deviation (HO=5, CA=3, shortened strings) was closed in
+    r10 — a report whose worst outcomes are {HO, CA} must roll up to
+    CA, exactly as the reference computes it."""
     df = spark.createDataFrame(
-        [("DE",), ("LT",), ("HO",), ("OT",), ("??",), (None,)], ["c"]
+        [("DE",), ("LT",), ("CA",), ("DS",), ("HO",), ("RI",), ("OT",),
+         ("??",), (None,)],
+        ["c"],
     )
     out = df.select(
         outcome_description("c").alias("d"), outcome_severity("c").alias("s")
     ).collect()
     assert [(r["d"], r["s"]) for r in out] == [
         ("Death", 7),
-        ("Life-Threatening", 6),
-        ("Hospitalization", 5),
-        ("Other", 1),
+        ("Life-threatening", 6),
+        ("Congenital anomaly", 5),
+        ("Disability", 4),
+        ("Hospitalization - initial or prolonged", 3),
+        ("Required intervention to prevent permanent impairment/damage", 2),
+        ("Other serious (important medical events)", 1),
         ("Unknown", 0),
         ("Unknown", 0),
     ]

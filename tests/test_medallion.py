@@ -249,8 +249,9 @@ def test_fact_grain_and_rollup(spark, tmp_path_factory):
     assert fact.count() == 6
     r101 = fact.filter(F.col("primary_id") == "101")
     assert r101.count() == 4
-    # worst outcome for 101 = HO (5) → serious
-    assert {r["worst_outcome_severity"] for r in r101.collect()} == {5}
+    # worst outcome for 101 = HO (rank 3, reference ladder) → serious
+    # (serious set {DE,LT,CA,DS,HO} = rank >= 3, dim_outcome.py:84-86)
+    assert {r["worst_outcome_severity"] for r in r101.collect()} == {3}
     assert all(r["is_serious"] for r in r101.collect())
     # 102 has no outcome row → severity 0, not serious
     r102 = fact.filter(F.col("primary_id") == "102").collect()

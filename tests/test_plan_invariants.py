@@ -49,6 +49,8 @@ ALLOWED_NESTED_LOOP = {
     "rfm_segments",      # 1-row anchor-date broadcast onto the customers
     "survival_hazard",   # 1-row corpus-end-day broadcast onto the users
     "shape_profile",     # 1-row total broadcast onto the shape census
+    "abc_classes",       # 1-row grand-total broadcast onto the item frame
+                         # (replaced the r9 unpartitioned window — ADVICE)
 }
 
 

@@ -122,7 +122,30 @@ def test_spearman_perfect_monotone(spark):
     df = spark.createDataFrame(rows, "g string, x long, y long, tb long")
     got = spearman_by_group(df, "g", "x", "y", "tb").collect()[0]
     assert got["rho_milli"] == 1000
-    assert got["sxy"] == got["sxx"] == got["syy"]
+    # r10: raw moment diagnostics removed from the output (their BIGINT
+    # narrowing overflowed at ~72k rows/group under ANSI — ADVICE r9)
+    assert set(got.asDict()) == {"g", "n", "rho_milli"}
+
+
+def test_spearman_large_group_no_ansi_overflow(spark):
+    """ADVICE r9 regression: 80k rows in one group used to raise
+    CAST_OVERFLOW narrowing the ~n^4-scaled variance numerators to
+    BIGINT under ANSI mode. The diagnostics are gone; rho survives."""
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.operators.spearman import spearman_by_group
+
+    df = (
+        spark.range(80_000)
+        .select(
+            F.lit("g").alias("g"),
+            F.col("id").alias("x"),
+            F.col("id").alias("y"),
+            F.col("id").alias("tb"),
+        )
+    )
+    got = spearman_by_group(df, "g", "x", "y", "tb").collect()[0]
+    assert got["n"] == 80_000 and got["rho_milli"] == 1000
 
 
 def test_spearman_perfect_inverse(spark):

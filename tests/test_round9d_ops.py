@@ -20,7 +20,7 @@ def test_mann_whitney_separated_groups(spark):
     got = mann_whitney_by_group(df, "grp", "v", "c").collect()[0]
     assert (got["n1"], got["n2"]) == (3, 3)
     assert got["u2"] == 0
-    assert got["t_corr"] == 0
+    assert got["ties_milli"] == 0
     # z = (U - n1n2/2)/sqrt(n1n2(n+1)/12) = -4.5/sqrt(9*7/12)
     assert got["z_milli"] == math.floor(-4.5 / math.sqrt(5.25) * 1000)
 
@@ -37,8 +37,33 @@ def test_mann_whitney_identical_distributions(spark):
     df = spark.createDataFrame(rows, "grp string, v long, c int")
     got = mann_whitney_by_group(df, "grp", "v", "c").collect()[0]
     assert got["u2"] == got["n1"] * got["n2"]  # doubled U == 2 * n1n2/2
-    assert got["t_corr"] == 4 * (8 - 2)  # four tie groups of 2: 2^3-2
+    # four tie groups of 2: T = 4*(2^3-2) = 24; max = 8*7*9 = 504
+    assert got["ties_milli"] == 24 * 1000 // 504
     assert got["z_milli"] == 0
+
+
+def test_mann_whitney_giant_tie_cell_no_ansi_overflow(spark):
+    """ADVICE r9 regression: a single (group, value) cell of 2.5M rows
+    makes c^3 = 1.56e19 > int64 — the old BIGINT tie sum raised under
+    ANSI. The DECIMAL(38,0) sum and pre-scaled ties_milli survive."""
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.operators.stattests import (
+        mann_whitney_by_group,
+    )
+
+    df = spark.range(2_500_000).select(
+        F.lit("g").alias("grp"),
+        F.lit(1).cast("long").alias("v"),
+        (F.col("id") % 2 == 0).cast("int").alias("c"),
+    )
+    got = mann_whitney_by_group(df, "grp", "v", "c").collect()[0]
+    n = 2_500_000
+    assert (got["n1"], got["n2"]) == (n // 2, n // 2)
+    # every row ties: T = n^3 - n, so ties_milli = 1000 exactly
+    assert got["ties_milli"] == 1000
+    # tie-corrected variance is zero -> z undefined
+    assert got["z_milli"] is None
 
 
 def test_mann_whitney_empty_cohort_is_null(spark):
@@ -751,3 +776,28 @@ def test_hodges_lehmann_resists_outlier(spark):
     df = spark.createDataFrame(rows, "series string, x long, y long")
     got = hodges_lehmann_by_series(df).collect()[0]
     assert got["hl_milli"] == 10_000  # median Walsh average unmoved
+
+
+def test_bits_big_sql_matches_python_bit_length(spark):
+    """The shift-safe floor(log2) helper is exact across all three
+    branches, including the 2^62 / 2^93 boundaries (ADVICE r9: MI's
+    bit-length arguments are count products that exceed int64)."""
+    from pyspark.sql import functions as F
+
+    from faers_datalakehouse_spark.operators.entropy import _bits_big_sql
+
+    vals = [
+        1, 2, 3, 7, 1 << 40,
+        (1 << 62) - 1, 1 << 62, (1 << 62) + 1,
+        (1 << 93) - 1, 1 << 93, (1 << 93) + 1,
+        (1 << 124) - 1,
+    ]
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "s string"
+    ).select(F.col("s").cast("decimal(38,0)").alias("v"))
+    got = [
+        r["b"]
+        for r in df.select(F.expr(_bits_big_sql("v")).alias("b"))
+        .collect()
+    ]
+    assert got == [v.bit_length() - 1 for v in vals]

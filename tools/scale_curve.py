@@ -168,6 +168,62 @@ OPS = [
     "survival_hazard",
     "shape_profile",
     "odds_ratio",
+    # --- round-10 extension (VERDICT r9 item 3: push the curve past
+    # 100 ops; ANSI mode doubles it as an int64-overflow detector) ---
+    # shuffle-heavy text/retrieval shapes named in the brief
+    "allpairs_tfidf",
+    "pq_topk",
+    "bm25_topk",
+    "inverted_index",
+    "doc_keywords",
+    # corpus text scans (tokenize-dominated, should be ~1.0)
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "chunk_documents",
+    # dedup family originals not yet on the curve
+    "dedup_exact",
+    "fingerprint_dedup",
+    "simhash_neardup",
+    "snm_neardup",
+    "ngram_jaccard",
+    "winnowing_fingerprints",
+    "minhash_est_error",
+    # ANN / embedding kernels
+    "ann_lsh_topk",
+    "ann_ivf_topk_nprobe2",
+    "kmeans_clusters",
+    "embedding_qc",
+    # event-stream shapes: keyed sessionization windows, path mining,
+    # retention cohort joins
+    "sessionize",
+    "sessionize_skew",
+    "markov_transitions",
+    "top_event_paths",
+    "cohort_retention",
+    "funnel_steps",
+    # integer-micro statistics (the r10 overflow-audit targets — the 5x
+    # ANSI run is the overflow detector for exactly these)
+    "crosstab_chi2",
+    "lag_autocorr",
+    "spearman_corr",
+    "comoment_matrix",
+    "burstiness",
+    "interarrival",
+    "runs_test",
+    "hodges_lehmann",
+    "benford_audit",
+    # relational agg/join shapes
+    "pricing_summary",
+    "quantiles_by_group",
+    "weighted_quantiles",
+    "salted_join",
+    "range_join",
+    # sketch family
+    "kmv_distinct",
+    "hll_by_group",
+    "cms_counts",
+    "bitmap_distinct",
 ]
 
 
@@ -305,6 +361,13 @@ def generate(spark, out_dir: str, factor: int) -> None:
         )
     su.repartition(4).write.parquet(str(out / "supplier.parquet"))
 
+    # region/nation: fixed domains (like the calendar) — copied
+    # verbatim so dimension-joining probes run at both scales
+    for fixed in ("region", "nation"):
+        spark.read.parquet(f"{BASE}/{fixed}.parquet").coalesce(1).write.parquet(
+            str(out / f"{fixed}.parquet")
+        )
+
     # events: shift event ids AND user ids per copy (distinct-user counts
     # must grow with the corpus, not collapse into 5x traffic from the
     # same users); timestamps stay — the day span is a fixed domain like
@@ -377,6 +440,35 @@ COLLECT_OPS = {
     "survival_hazard",
     "shape_profile",
     "odds_ratio",
+    # r10 additions with small outputs whose cost lives in expressions
+    # count() would prune (scores, moments, registers, centroids)
+    "bm25_topk",
+    "doc_keywords",
+    "pq_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk_nprobe2",
+    "kmeans_clusters",
+    "embedding_qc",
+    "minhash_est_error",
+    "crosstab_chi2",
+    "lag_autocorr",
+    "spearman_corr",
+    "comoment_matrix",
+    "burstiness",
+    "interarrival",
+    "runs_test",
+    "hodges_lehmann",
+    "benford_audit",
+    "pricing_summary",
+    "quantiles_by_group",
+    "weighted_quantiles",
+    "kmv_distinct",
+    "hll_by_group",
+    "cms_counts",
+    "bitmap_distinct",
+    "markov_transitions",
+    "cohort_retention",
+    "funnel_steps",
 }
 
 
