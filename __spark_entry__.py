@@ -310,6 +310,56 @@ from faers_datalakehouse_spark.operators.stattests import (
     runs_test_query,
     welch_ttest_query,
 )
+from faers_datalakehouse_spark.operators.ranktests import (
+    KENDALL_TAU_SQL,
+    KRUSKAL_WALLIS_SQL,
+    kendall_tau_query,
+    kruskal_wallis_query,
+)
+from faers_datalakehouse_spark.operators.assoc import (
+    THEILS_U_SQL,
+    theils_u_query,
+)
+from faers_datalakehouse_spark.operators.divergence import (
+    SOURCE_XENTROPY_SQL,
+    ZIPF_SLOPE_SQL,
+    source_xentropy_query,
+    zipf_slope_query,
+)
+from faers_datalakehouse_spark.operators.concurrency import (
+    PEAK_CONCURRENCY_SQL,
+    peak_concurrency_query,
+)
+from faers_datalakehouse_spark.operators.trendtest import (
+    COCHRAN_ARMITAGE_SQL,
+    cochran_armitage_query,
+)
+from faers_datalakehouse_spark.operators.tstests import (
+    ADF_T_SQL,
+    PERMUTATION_ENTROPY_SQL,
+    adf_t_query,
+    ljung_box_oracle_sql,
+    ljung_box_query,
+    permutation_entropy_query,
+)
+from faers_datalakehouse_spark.operators.grouptests import (
+    BROWN_FORSYTHE_SQL,
+    brown_forsythe_query,
+)
+from faers_datalakehouse_spark.operators.extremes import (
+    GUMBEL_FIT_SQL,
+    RECORD_DAYS_SQL,
+    gumbel_fit_query,
+    record_days_query,
+)
+from faers_datalakehouse_spark.operators.divergence import (
+    COND_ENTROPY_RATE_SQL,
+    cond_entropy_rate_query,
+)
+from faers_datalakehouse_spark.operators.stattests import (
+    PHI_COEFFICIENT_SQL,
+    phi_coefficient_query,
+)
 from faers_datalakehouse_spark.operators.linkpred import (
     clustering_coefficient,
     lcc_oracle_sql,
@@ -1324,6 +1374,54 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Hodges-Lehmann pseudomedian of daily volume (lower median of
         # Walsh-average pair sums over the day-grain frame)
         "hodges_lehmann": hodges_lehmann_query,
+        # --- round 10 ---
+        # Kruskal-Wallis k-sample rank test (doubled tie-averaged
+        # ranks from per-value counts; decimal rank sums; fixed-k
+        # expression tree — no float SUM)
+        "kruskal_wallis": kruskal_wallis_query,
+        # Kendall tau-b concordance on the calendar-bounded daily
+        # series (all-pairs on the day grain, exact integer counts)
+        "kendall_tau": kendall_tau_query,
+        # Theil's uncertainty coefficient U(x|y) — asymmetric
+        # categorical association via the bit-length entropy idiom
+        "theils_u": theils_u_query,
+        # pairwise source cross-entropy matrix (add-1-smoothed unigram
+        # LM, bits idiom; OOV mass rides the totals — only the shared
+        # vocab is joined)
+        "source_xentropy": source_xentropy_query,
+        # per-source Zipf rank-frequency slope (bits-vs-bits OLS over
+        # bucketed ranks; decimal cross products)
+        "zipf_slope": zipf_slope_query,
+        # peak concurrent 30-min event windows per day (distributed
+        # +1/-1 sweep line; two-phase bucketed prefix, no global window)
+        "peak_concurrency": peak_concurrency_query,
+        # Cochran-Armitage 2xk ordered trend test (one conditional-sum
+        # aggregate; decimal sufficient statistics)
+        "cochran_armitage": cochran_armitage_query,
+        # Brown-Forsythe variance-homogeneity test (exact distributed
+        # per-cohort median + fixed-k ANOVA F over |x - med|)
+        "brown_forsythe": brown_forsythe_query,
+        # Gumbel method-of-moments fit of monthly block maxima (exact
+        # integer maxima moments, literal-constant IEEE tail)
+        "gumbel_fit": gumbel_fit_query,
+        # record-breaking-day census per series (keyed running max over
+        # the day grain; iid-vs-trend drift probe)
+        "record_days": record_days_query,
+        # bigram conditional entropy rate per source (bits idiom over
+        # adjacent-bigram counts; template-text detector)
+        "cond_entropy_rate": cond_entropy_rate_query,
+        # phi / Matthews correlation per segment 2x2 (decimal numerator,
+        # bounded effect size next to the odds ratio)
+        "phi_coefficient": phi_coefficient_query,
+        # Ljung-Box portmanteau over 5 lags (fixed-m pivoted tree, exact
+        # n²-scaled autocovariances; gap-exact pair counts)
+        "ljung_box": ljung_box_query,
+        # Dickey-Fuller t on the lag-1 regression (mean-reversion vs
+        # random walk; correlation-form t over decimal moments)
+        "adf_test": adf_t_query,
+        # order-3 permutation entropy (ordinal-pattern complexity via
+        # the bits idiom; periodic load scores 0)
+        "permutation_entropy": permutation_entropy_query,
     }
 
 
@@ -1354,6 +1452,21 @@ _WINDOW_BASIS = [
     "CORRECTNESS_r09.json",
 ]
 _WINDOW = [
+    "kruskal_wallis",  # last driver check: never
+    "kendall_tau",  # last driver check: never
+    "theils_u",  # last driver check: never
+    "source_xentropy",  # last driver check: never
+    "zipf_slope",  # last driver check: never
+    "peak_concurrency",  # last driver check: never
+    "cochran_armitage",  # last driver check: never
+    "brown_forsythe",  # last driver check: never
+    "gumbel_fit",  # last driver check: never
+    "record_days",  # last driver check: never
+    "cond_entropy_rate",  # last driver check: never
+    "phi_coefficient",  # last driver check: never
+    "ljung_box",  # last driver check: never
+    "adf_test",  # last driver check: never
+    "permutation_entropy",  # last driver check: never
     "unpivot_measures",  # last driver check: r4
     "quantiles_by_group",  # last driver check: r4
     "salted_join",  # last driver check: r4
@@ -1389,21 +1502,6 @@ _WINDOW = [
     "pct_of_total",  # last driver check: r4
     "neardup_clusters_star",  # last driver check: r4
     "chunk_documents",  # last driver check: r4
-    "mixture_weights",  # last driver check: r4
-    "bpe_pair_counts",  # last driver check: r4
-    "winnowing_fingerprints",  # last driver check: r5
-    "bloom_prefilter",  # last driver check: r5
-    "fact_sales",  # last driver check: r5
-    "pricing_summary",  # last driver check: r5
-    "scd2_merge",  # last driver check: r5
-    "versioned_read",  # last driver check: r5
-    "versioned_delete",  # last driver check: r5
-    "versioned_skip_read",  # last driver check: r5
-    "versioned_changes",  # last driver check: r5
-    "incremental_matview",  # last driver check: r5
-    "hll_registers",  # last driver check: r5
-    "hll_by_group",  # last driver check: r5
-    "cms_counts",  # last driver check: r5
 ]
 
 
@@ -1765,6 +1863,21 @@ def oracle_sql() -> dict[str, str]:
         "odds_ratio": ODDS_RATIO_SQL,
         "runs_test": RUNS_TEST_SQL,
         "hodges_lehmann": HODGES_LEHMANN_SQL,
+        "kruskal_wallis": KRUSKAL_WALLIS_SQL,
+        "kendall_tau": KENDALL_TAU_SQL,
+        "theils_u": THEILS_U_SQL,
+        "source_xentropy": SOURCE_XENTROPY_SQL,
+        "zipf_slope": ZIPF_SLOPE_SQL,
+        "peak_concurrency": PEAK_CONCURRENCY_SQL,
+        "cochran_armitage": COCHRAN_ARMITAGE_SQL,
+        "brown_forsythe": BROWN_FORSYTHE_SQL,
+        "gumbel_fit": GUMBEL_FIT_SQL,
+        "record_days": RECORD_DAYS_SQL,
+        "cond_entropy_rate": COND_ENTROPY_RATE_SQL,
+        "phi_coefficient": PHI_COEFFICIENT_SQL,
+        "ljung_box": ljung_box_oracle_sql(),
+        "adf_test": ADF_T_SQL,
+        "permutation_entropy": PERMUTATION_ENTROPY_SQL,
     }
 
 

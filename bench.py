@@ -226,6 +226,21 @@ BENCH_QUERIES = {
     "q136_odds_ratio": ("collect", "odds_ratio"),
     "q137_runs_test": ("collect", "runs_test"),
     "q138_hodges_lehmann": ("collect", "hodges_lehmann"),
+    "q139_kruskal_wallis": ("collect", "kruskal_wallis"),
+    "q140_kendall_tau": ("collect", "kendall_tau"),
+    "q141_theils_u": ("collect", "theils_u"),
+    "q142_source_xentropy": ("collect", "source_xentropy"),
+    "q143_zipf_slope": ("collect", "zipf_slope"),
+    "q144_peak_concurrency": ("collect", "peak_concurrency"),
+    "q145_cochran_armitage": ("collect", "cochran_armitage"),
+    "q146_brown_forsythe": ("collect", "brown_forsythe"),
+    "q147_gumbel_fit": ("collect", "gumbel_fit"),
+    "q148_record_days": ("collect", "record_days"),
+    "q149_cond_entropy": ("collect", "cond_entropy_rate"),
+    "q150_phi_coefficient": ("collect", "phi_coefficient"),
+    "q151_ljung_box": ("collect", "ljung_box"),
+    "q152_adf_test": ("collect", "adf_test"),
+    "q153_perm_entropy": ("collect", "permutation_entropy"),
 }
 
 

@@ -1,0 +1,323 @@
+"""k-sample and pairwise rank statistics — Kruskal-Wallis H (the
+k-sample generalization of Mann-Whitney: do ANY of k cohorts' value
+distributions differ?) and Kendall tau-b (the concordance-based rank
+correlation on a bounded series, the robust companion to
+``theil_sen``'s slope and ``spearman_corr``'s rho).
+
+Exactness discipline (the ``stattests.py`` family): ranks are derived
+from per-(group, value) counts and an exclusive prefix sum — never a
+per-row rank — as DOUBLED tie-averaged ranks, so everything stays
+integral. The n²-scaled doubled rank sums and the n³-scaled tie
+correction run in DECIMAL(38,0) (HUGEINT in the twins — the r10
+overflow-audit rule applied at birth, not retrofitted); the final
+``h_milli`` / ``tau_milli`` are single fixed IEEE expression trees
+(``*``, ``/``, ``sqrt`` are correctly rounded and identical across
+Spark's JVM and DuckDB) over those exact integers.
+
+Scale shape (100 TB):
+
+- Kruskal-Wallis: ``groupBy(group, value)`` collapses the fact to the
+  value domain (map-side combinable); ONE prefix-sum window PARTITIONED
+  BY group runs over those aggregated rows, never the base table; the
+  rollup is one more map-side aggregate. The k cohorts are explicit
+  conditional sums (k is a query constant), so the per-group H is a
+  fixed expression tree — no float SUM whose accumulation order could
+  diverge across engines.
+- Kendall tau: the pair join runs on the DAY-GRAIN series (calendar-
+  bounded — ~3.7k rows/series/decade, so ≤ ~7M pairs per series at any
+  corpus scale; the ``hodges_lehmann`` bounded-pairs argument), after a
+  map-side-combinable daily rollup of the fact.
+
+No counterpart in the reference repo (statistics extension surface,
+alongside ``mann_whitney`` / ``welch_ttest`` / ``spearman_corr``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def kruskal_wallis_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sample_col: str,
+    samples: list[int],
+) -> DataFrame:
+    """``(group_col, n, n_0..n_{k-1}, h_milli)`` per group — the
+    tie-corrected Kruskal-Wallis H statistic in exact milli units.
+
+    ``sample_col`` must take values from ``samples`` (a small query-
+    constant list — each sample becomes a conditional-sum column, which
+    is what keeps the per-group H a fixed cross-engine expression).
+    With doubled rank sums ``R2_s = 2*R_s``:
+
+        H = 3/(n(n+1)) * sum_s R2_s^2/n_s - 3(n+1)
+        H_c = H / (1 - T/(n^3 - n)),   T = sum over ties (t^3 - t)
+
+    NULL ``h_milli`` when any cohort is empty or every value ties
+    (``T = n^3 - n``).
+    """
+    k = len(samples)
+    aggs = [F.count(F.lit(1)).alias("c_all")]
+    for i, s in enumerate(samples):
+        aggs.append(
+            F.sum((F.col(sample_col) == F.lit(s)).cast("long")).alias(
+                f"c_{i}"
+            )
+        )
+    per_value = df.groupBy(group_col, value_col).agg(*aggs)
+    w_lt = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_value.withColumn(
+        "cum_lt", F.coalesce(F.sum("c_all").over(w_lt), F.lit(0))
+    )
+    # rank2 = doubled tie-averaged rank of the value; R2_s and T are
+    # n²/n³-scaled -> DECIMAL(38,0) end-to-end
+    gaggs = [
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(c_all AS DECIMAL(38,0)) * c_all * c_all - c_all"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("t_corr"),
+    ]
+    for i in range(k):
+        gaggs.append(F.sum(f"c_{i}").cast("long").alias(f"n_{i}"))
+        gaggs.append(
+            F.sum(
+                F.expr(
+                    f"CAST(c_{i} AS DECIMAL(38,0))"
+                    " * (2 * cum_lt + c_all + 1)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"r2_{i}"),
+        )
+    g = ranked.groupBy(group_col).agg(*gaggs)
+
+    nonempty = " AND ".join(f"n_{i} > 0" for i in range(k))
+    sum_terms = " + ".join(
+        f"CAST(r2_{i} AS DOUBLE) * CAST(r2_{i} AS DOUBLE)"
+        f" / CAST(n_{i} AS DOUBLE)"
+        for i in range(k)
+    )
+    h_expr = (
+        f"3.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * ({sum_terms})"
+        " - 3.0 * (n + 1.0)"
+    )
+    tie_den = (
+        "1.0 - CAST(t_corr AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n * n - CAST(n AS DOUBLE))"
+    )
+    out_cols = [group_col, "n"] + [f"n_{i}" for i in range(k)] + [
+        "h_milli"
+    ]
+    return (
+        g.withColumn(
+            "h_milli",
+            F.expr(
+                f"CASE WHEN n > 1 AND {nonempty} AND {tie_den} > 0 "
+                f"THEN CAST(floor(({h_expr}) * 1000.0 / ({tie_den}))"
+                " AS BIGINT) END"
+            ),
+        )
+        .select(*out_cols)
+        .orderBy(group_col)
+    )
+
+
+def kruskal_wallis_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: do the three deterministic user cohorts
+    (``user_id % 3``) draw their event values from the same
+    distribution? (The k-sample A/B/C-test shape.)"""
+    from faers_datalakehouse_spark.sources.tables import read_events
+
+    events = read_events(spark, sf_dir)
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        (F.col("user_id") % 3).cast("int").alias("cohort"),
+    )
+    return kruskal_wallis_by_group(
+        base, "event_type", "v_cents", "cohort", [0, 1, 2]
+    )
+
+
+KRUSKAL_WALLIS_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         CAST(user_id % 3 AS INTEGER) AS cohort
+  FROM events
+),
+per_value AS (
+  SELECT event_type, v_cents,
+         count(*) AS c_all,
+         sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS c_0,
+         sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS c_1,
+         sum(CASE WHEN cohort = 2 THEN 1 ELSE 0 END) AS c_2
+  FROM base GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         COALESCE(sum(c_all) OVER (PARTITION BY event_type
+             ORDER BY v_cents ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS cum_lt
+  FROM per_value
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(c_all) AS BIGINT) AS n,
+         CAST(sum(CAST(c_all AS HUGEINT) * c_all * c_all - c_all)
+              AS HUGEINT) AS t_corr,
+         CAST(sum(c_0) AS BIGINT) AS n_0,
+         CAST(sum(CAST(c_0 AS HUGEINT) * (2 * cum_lt + c_all + 1))
+              AS HUGEINT) AS r2_0,
+         CAST(sum(c_1) AS BIGINT) AS n_1,
+         CAST(sum(CAST(c_1 AS HUGEINT) * (2 * cum_lt + c_all + 1))
+              AS HUGEINT) AS r2_1,
+         CAST(sum(c_2) AS BIGINT) AS n_2,
+         CAST(sum(CAST(c_2 AS HUGEINT) * (2 * cum_lt + c_all + 1))
+              AS HUGEINT) AS r2_2
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n, n_0, n_1, n_2,
+       CASE WHEN n > 1 AND n_0 > 0 AND n_1 > 0 AND n_2 > 0 AND
+              1.0 - CAST(t_corr AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n * n - CAST(n AS DOUBLE)) > 0
+       THEN CAST(floor((3.0 / (CAST(n AS DOUBLE) * (n + 1.0))
+           * (CAST(r2_0 AS DOUBLE) * CAST(r2_0 AS DOUBLE)
+                / CAST(n_0 AS DOUBLE)
+              + CAST(r2_1 AS DOUBLE) * CAST(r2_1 AS DOUBLE)
+                / CAST(n_1 AS DOUBLE)
+              + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE)
+                / CAST(n_2 AS DOUBLE))
+           - 3.0 * (n + 1.0)) * 1000.0
+           / (1.0 - CAST(t_corr AS DOUBLE)
+              / (CAST(n AS DOUBLE) * n * n - CAST(n AS DOUBLE))))
+         AS BIGINT) END AS h_milli
+FROM g
+ORDER BY event_type
+"""
+
+
+def kendall_tau_by_series(
+    daily: DataFrame,
+    series_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """``(series_col, n, nc, nd, ty_pairs, tau_milli)`` — Kendall tau-b
+    between ``x_col`` (assumed distinct within a series, e.g. the day)
+    and ``y_col``, from an all-pairs comparison of the BOUNDED series.
+
+    ``nc``/``nd`` count concordant/discordant pairs; ``ty_pairs``
+    counts pairs tied on y (x has no ties by construction, so
+    ``t_x = 0`` and tau-b = ``(nc - nd) / sqrt(n0 * (n0 - ty))`` with
+    ``n0 = n(n-1)/2``). All counts are calendar-bounded (n ≤ ~3.7k per
+    series per decade → n0 ≤ ~7M — BIGINT holds with ~1e11 margin).
+    NULL when n < 2 or all y tie.
+    """
+    a = daily.select(
+        series_col,
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+    )
+    b = daily.select(
+        series_col,
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+    )
+    pairs = a.join(b, series_col).where(F.col("_xa") < F.col("_xb"))
+    g = pairs.groupBy(series_col).agg(
+        F.sum(
+            (F.col("_yb") > F.col("_ya")).cast("long")
+        ).alias("nc"),
+        F.sum(
+            (F.col("_yb") < F.col("_ya")).cast("long")
+        ).alias("nd"),
+        F.sum(
+            (F.col("_yb") == F.col("_ya")).cast("long")
+        ).alias("ty_pairs"),
+    )
+    counts = daily.groupBy(series_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        g.join(counts, series_col)
+        .withColumn(
+            "tau_milli",
+            F.expr(
+                "CASE WHEN n > 1 AND nc + nd + ty_pairs > ty_pairs THEN "
+                "CAST(floor((nc - nd) * 1000.0 / "
+                " sqrt((CAST(n AS DOUBLE) * (n - 1) / 2.0) * "
+                "      (CAST(n AS DOUBLE) * (n - 1) / 2.0 - ty_pairs)))"
+                " AS BIGINT) END"
+            ),
+        )
+        .select(series_col, "n", "nc", "nd", "ty_pairs", "tau_milli")
+        .orderBy(series_col)
+    )
+
+
+def kendall_tau_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: is daily volume concordant with time? (The
+    distribution-free trend strength next to ``theil_sen``'s slope.)"""
+    from faers_datalakehouse_spark.sources.tables import read_events
+
+    events = read_events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    daily = daily.select(
+        "event_type",
+        F.datediff("day", F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("x"),
+        F.col("cnt").alias("y"),
+    )
+    return kendall_tau_by_series(daily, "event_type", "x", "y")
+
+
+KENDALL_TAU_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS conc,
+         CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS disc,
+         CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS tie
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND a.x < b.x
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(conc) AS BIGINT) AS nc,
+         CAST(sum(disc) AS BIGINT) AS nd,
+         CAST(sum(tie) AS BIGINT) AS ty_pairs
+  FROM pairs GROUP BY 1
+),
+counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM daily GROUP BY 1
+)
+SELECT g.event_type, n, nc, nd, ty_pairs,
+       CASE WHEN n > 1 AND nc + nd + ty_pairs > ty_pairs THEN
+         CAST(floor((nc - nd) * 1000.0 /
+           sqrt((CAST(n AS DOUBLE) * (n - 1) / 2.0) *
+                (CAST(n AS DOUBLE) * (n - 1) / 2.0 - ty_pairs)))
+         AS BIGINT) END AS tau_milli
+FROM g JOIN counts ON g.event_type = counts.event_type
+ORDER BY g.event_type
+"""

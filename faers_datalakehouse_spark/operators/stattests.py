@@ -577,3 +577,94 @@ SELECT event_type, n_up, n_down, n_runs,
 FROM g
 ORDER BY event_type
 """
+
+
+def phi_coefficient_by_group(
+    df: DataFrame,
+    group_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """``(group_col, a, b, c, d, phi_milli)`` per group — the phi /
+    Matthews correlation of two 0/1 indicators, the [-1, 1]-bounded
+    effect-size companion to ``odds_ratio_by_group`` (same four
+    conditional sums; an OR far from 1 with phi near 0 means a real
+    but tiny association — the base-rate trap).
+
+    ``phi = (a*d - b*c) / sqrt((a+b)(c+d)(a+c)(b+d))``; the numerator
+    is n²-scaled and runs in DECIMAL(38,0) (HUGEINT in the twin — the
+    r10 overflow-audit rule), the tail is one fixed IEEE tree. NULL
+    when any margin is empty. One map-side-combinable aggregate.
+    """
+    e = F.col(exposure_col)
+    o = F.col(outcome_col)
+    g = df.groupBy(group_col).agg(
+        F.sum(e * o).cast("long").alias("a"),
+        F.sum(e * (1 - o)).cast("long").alias("b"),
+        F.sum((1 - e) * o).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - o)).cast("long").alias("d"),
+    )
+    return (
+        g.withColumn(
+            "phi_milli",
+            F.expr(
+                "CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0"
+                " AND b + d > 0 THEN "
+                "CAST(floor(CAST(CAST(a AS DECIMAL(38,0)) * d"
+                " - CAST(b AS DECIMAL(38,0)) * c AS DOUBLE) * 1000.0"
+                " / sqrt((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)"
+                "        * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)))"
+                " AS BIGINT) END"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def phi_coefficient_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: the phi effect size of urgent priority vs
+    big order value — the bounded companion to the odds-ratio entry on
+    the identical 2x2 frame."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("exposed"),
+        (F.col("o_totalprice") > 200000).cast("int").alias("big"),
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "exposed", "big")
+    return phi_coefficient_by_group(j, "c_mktsegment", "exposed", "big")
+
+
+PHI_COEFFICIENT_SQL = """
+WITH j AS (
+  SELECT c_mktsegment,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS exposed,
+         CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS big
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (
+  SELECT c_mktsegment,
+         CAST(sum(exposed * big) AS BIGINT) AS a,
+         CAST(sum(exposed * (1 - big)) AS BIGINT) AS b,
+         CAST(sum((1 - exposed) * big) AS BIGINT) AS c,
+         CAST(sum((1 - exposed) * (1 - big)) AS BIGINT) AS d
+  FROM j GROUP BY 1
+)
+SELECT c_mktsegment, a, b, c, d,
+       CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+       THEN CAST(floor(CAST(CAST(a AS HUGEINT) * d
+              - CAST(b AS HUGEINT) * c AS DOUBLE) * 1000.0
+            / sqrt((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+                   * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)))
+            AS BIGINT) END AS phi_milli
+FROM g
+ORDER BY c_mktsegment
+"""

@@ -51,6 +51,9 @@ ALLOWED_NESTED_LOOP = {
     "shape_profile",     # 1-row total broadcast onto the shape census
     "abc_classes",       # 1-row grand-total broadcast onto the item frame
                          # (replaced the r9 unpartitioned window — ADVICE)
+    "theils_u",          # 1-row total + 1-row H(x) broadcasts onto the cells
+    "source_xentropy",   # |sources|-row totals frame self-pairing (bounded
+                         # by the source domain, like source_minhash)
 }
 
 

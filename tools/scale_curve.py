@@ -224,6 +224,25 @@ OPS = [
     "hll_by_group",
     "cms_counts",
     "bitmap_distinct",
+    # round-10 operators: the concurrency sweep line (two-phase
+    # bucketed prefix over boundary deltas), the cross-source
+    # divergence pair (vocab-keyed joins), and the new rank/trend
+    # statistics (per-value aggregates + bounded windows)
+    "peak_concurrency",
+    "source_xentropy",
+    "zipf_slope",
+    "kruskal_wallis",
+    "kendall_tau",
+    "theils_u",
+    "cochran_armitage",
+    "brown_forsythe",
+    "gumbel_fit",
+    "record_days",
+    "cond_entropy_rate",
+    "phi_coefficient",
+    "ljung_box",
+    "adf_test",
+    "permutation_entropy",
 ]
 
 
@@ -469,6 +488,22 @@ COLLECT_OPS = {
     "markov_transitions",
     "cohort_retention",
     "funnel_steps",
+    # r10 operators: small outputs, cost in aggregate expressions
+    "peak_concurrency",
+    "source_xentropy",
+    "zipf_slope",
+    "kruskal_wallis",
+    "kendall_tau",
+    "theils_u",
+    "cochran_armitage",
+    "brown_forsythe",
+    "gumbel_fit",
+    "record_days",
+    "cond_entropy_rate",
+    "phi_coefficient",
+    "ljung_box",
+    "adf_test",
+    "permutation_entropy",
 }
 
 
