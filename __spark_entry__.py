@@ -346,6 +346,18 @@ from faers_datalakehouse_spark.operators.grouptests import (
     BROWN_FORSYTHE_SQL,
     brown_forsythe_query,
 )
+from faers_datalakehouse_spark.operators.curation import (
+    PII_DENSITY_SQL,
+    WATER_FILLING_SQL,
+    dedup_keep_best_query,
+    keep_best_oracle_sql,
+    pii_density_query,
+    water_filling_query,
+)
+from faers_datalakehouse_spark.operators.bpe import (
+    bpe_fertility,
+    bpe_fertility_oracle_sql,
+)
 from faers_datalakehouse_spark.operators.extremes import (
     GUMBEL_FIT_SQL,
     RECORD_DAYS_SQL,
@@ -487,6 +499,12 @@ def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).withColumn(
         "tokens", F.array_join("tokens", " ")
     )
+
+
+def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe_merges(docs, n_merges=10)
+    return bpe_fertility(docs, merges)
 
 
 def _embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,6 +1440,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order-3 permutation entropy (ordinal-pattern complexity via
         # the bits idiom; periodic load scores 0)
         "permutation_entropy": permutation_entropy_query,
+        # executable dedup manifest: components over the MinHash graph,
+        # keep-longest policy, chars-dropped accounting
+        "dedup_keep_best": partial(
+            dedup_keep_best_query, threshold=JACCARD_THRESHOLD
+        ),
+        # per-source PII-pattern density screen (RE2-safe ASCII classes)
+        "pii_density": pii_density_query,
+        # max-min fair token-budget allocation across sources (integer
+        # water-filling with Hamilton remainder on the bounded frame)
+        "water_filling": water_filling_query,
+        # per-source tokenizer-fit audit of the corpus-trained BPE table
+        "bpe_fertility": _bpe_fertility,
     }
 
 
@@ -1467,6 +1497,10 @@ _WINDOW = [
     "ljung_box",  # last driver check: never
     "adf_test",  # last driver check: never
     "permutation_entropy",  # last driver check: never
+    "dedup_keep_best",  # last driver check: never
+    "pii_density",  # last driver check: never
+    "water_filling",  # last driver check: never
+    "bpe_fertility",  # last driver check: never
     "unpivot_measures",  # last driver check: r4
     "quantiles_by_group",  # last driver check: r4
     "salted_join",  # last driver check: r4
@@ -1498,10 +1532,6 @@ _WINDOW = [
     "ngram_jaccard",  # last driver check: r4
     "sql_api_trend",  # last driver check: r4
     "fingerprint_dedup",  # last driver check: r4
-    "surprisal_scores",  # last driver check: r4
-    "pct_of_total",  # last driver check: r4
-    "neardup_clusters_star",  # last driver check: r4
-    "chunk_documents",  # last driver check: r4
 ]
 
 
@@ -1878,6 +1908,12 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box": ljung_box_oracle_sql(),
         "adf_test": ADF_T_SQL,
         "permutation_entropy": PERMUTATION_ENTROPY_SQL,
+        "dedup_keep_best": keep_best_oracle_sql(
+            minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD)
+        ),
+        "pii_density": PII_DENSITY_SQL,
+        "water_filling": WATER_FILLING_SQL,
+        "bpe_fertility": bpe_fertility_oracle_sql(n_merges=10),
     }
 
 

@@ -241,6 +241,10 @@ BENCH_QUERIES = {
     "q151_ljung_box": ("collect", "ljung_box"),
     "q152_adf_test": ("collect", "adf_test"),
     "q153_perm_entropy": ("collect", "permutation_entropy"),
+    "q154_dedup_keep_best": ("collect", "dedup_keep_best"),
+    "q155_pii_density": ("collect", "pii_density"),
+    "q156_water_filling": ("collect", "water_filling"),
+    "q157_bpe_fertility": ("collect", "bpe_fertility"),
 }
 
 

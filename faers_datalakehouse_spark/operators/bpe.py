@@ -307,3 +307,117 @@ SELECT doc_id,
 FROM enc
 ORDER BY doc_id
 """
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source tokenizer-fit audit of a trained BPE table:
+    ``(source, n_docs, n_words, n_tokens, n_chars, fertility_milli,
+    chars_per_token_milli)``.
+
+    Fertility (tokens per word) and compression (chars per token) are
+    the two standard "does this tokenizer fit this corpus slice?"
+    numbers — a source whose fertility spikes under the corpus-trained
+    merges is out-of-domain text the tokenizer fragments (cost: more
+    sequence positions per byte at training time). Both ratios are
+    exact integer milli divisions of the encode output's counts;
+    ``n_chars`` is derived from the token strings themselves so the
+    audit needs nothing beyond the encoder's own output.
+
+    Scale shape: one Arrow encode pass (embarrassingly parallel), one
+    broadcast-size join to the (doc -> source) map, one map-side-
+    combinable rollup to |sources| rows.
+    """
+    enc = bpe_encode(docs, merges, id_col=id_col, text_col=text_col)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    return (
+        enc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(
+                F.aggregate(
+                    "tokens",
+                    F.lit(0),
+                    lambda acc, t: acc + F.length(t),
+                )
+            )
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr(
+                "CASE WHEN n_words > 0 THEN "
+                "(1000 * n_tokens) div n_words END"
+            ),
+        )
+        .withColumn(
+            "chars_per_token_milli",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN "
+                "(1000 * n_chars) div n_tokens END"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def bpe_fertility_oracle_sql(n_merges: int = 10) -> str:
+    """DuckDB twin of ``train_bpe_merges`` + ``bpe_fertility``: the
+    trainer CTE chain, the per-word replace-chain encode, then the
+    per-source rollup (same construction as ``bpe_encode_oracle_sql``
+    with the source column carried through)."""
+    mcols = ",\n         ".join(
+        f"',' || (SELECT a FROM m{i}) || ',,' || (SELECT b FROM m{i})"
+        f" || ',' AS pat{i},\n         "
+        f"',' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ','"
+        f" AS rep{i}"
+        for i in range(1, n_merges + 1)
+    )
+    chain = (
+        "',' || array_to_string(list_transform("
+        "generate_series(1, length(w)), i -> substr(w, i, 1)), ',,') || ','"
+    )
+    for i in range(1, n_merges + 1):
+        chain = f"replace({chain}, pat{i}, rep{i})"
+    return f"""WITH {_WORDS_CTE.strip()},
+{_trainer_ctes(n_merges)},
+mall AS MATERIALIZED (
+  SELECT {mcols}
+),
+src AS (SELECT doc_id, source FROM documents),
+enc AS (
+  SELECT doc_id,
+         words,
+         list_transform(words,
+           w -> string_split(trim({chain}, ','), ',,')) AS tw
+  FROM docs_words CROSS JOIN mall
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(words)) AS BIGINT) AS n_words,
+       CAST(sum(len(flatten(tw))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(array_to_string(flatten(tw), ''))) AS BIGINT)
+         AS n_chars,
+       CASE WHEN sum(len(words)) > 0 THEN
+         (1000 * CAST(sum(len(flatten(tw))) AS BIGINT))
+           // CAST(sum(len(words)) AS BIGINT) END AS fertility_milli,
+       CASE WHEN sum(len(flatten(tw))) > 0 THEN
+         (1000 * CAST(sum(length(array_to_string(flatten(tw), '')))
+                      AS BIGINT))
+           // CAST(sum(len(flatten(tw))) AS BIGINT)
+       END AS chars_per_token_milli
+FROM enc JOIN src USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""

@@ -1,0 +1,342 @@
+"""Corpus-curation decision operators — the steps that turn analysis
+into an actual training set: quality-aware near-dup canonical selection
+(which copy survives dedup?), PII-pattern density screening (which
+sources need scrubbing?), and token-budget water-filling (how many
+tokens does each source contribute when the budget is smaller than the
+corpus?).
+
+All three are exact and cross-engine deterministic:
+
+- ``dedup_keep_best``: connected components over the MinHash candidate
+  graph (``operators/clustering.py``), then ONE keep policy applied per
+  cluster — keep the longest normalized member, ties to the smallest
+  doc id. Output is the per-cluster manifest (kept doc, member count,
+  characters dropped) a dedup pass actually executes.
+- ``pii_density``: per-source counts of email / phone / SSN-shaped
+  matches per million normalized characters. Patterns are ASCII-class
+  only (``[0-9]``, explicit char classes) so Java regex and RE2 agree;
+  counts use leftmost non-overlapping extraction in both engines.
+- ``water_filling``: the classic max-min fair allocation — every
+  source gets its full token count until the shared level L exhausts
+  the budget; integer level + Hamilton-style remainder (deterministic
+  by (size, source) order, the ``neyman_allocation`` precedent). All
+  arithmetic on the |sources|-row frame, exact BIGINT.
+
+Scale shape (100 TB): keep-best adds one broadcast-size length join and
+a per-cluster window over the LABEL frame (never the corpus) on top of
+the bounded-candidate components; pii_density is a single map-side
+scan + |sources| rollup; water_filling's windows run on the
+|sources|-row frame only.
+
+No counterpart in the reference repo (curation extension surface,
+alongside ``dedup`` / ``mixture`` / ``shards``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from faers_datalakehouse_spark.operators.clustering import (
+    cluster_assignments,
+)
+from faers_datalakehouse_spark.operators.dedup import (
+    _norm_text,
+    minhash_lsh_pairs,
+)
+
+# canonical two-pass normalization, shared with the document oracles
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(cluster_id, kept_id, n_members, kept_len, chars_dropped)``
+    per near-dup cluster, ordered by cluster — the executable dedup
+    manifest under the keep-longest policy (ties to the smallest id:
+    among equal-length near-dups the choice is arbitrary, so it must at
+    least be deterministic)."""
+    ca = cluster_assignments(pairs, src="id_a", dst="id_b")
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(_norm_text(F.col(text_col))).alias("_len"),
+    )
+    members = ca.join(lens, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col("doc_id")
+    )
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id")))
+            .alias("kept_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_len")))
+            .cast("long")
+            .alias("kept_len"),
+            (
+                F.sum("_len")
+                - F.max(F.when(F.col("_rn") == 1, F.col("_len")))
+            )
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def dedup_keep_best_query(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=threshold, portable_hash=True
+    )
+    return dedup_keep_best(docs, pairs)
+
+
+def keep_best_oracle_sql(pairs_sql: str) -> str:
+    """Recursive-CTE twin of ``dedup_keep_best`` over any pair SQL with
+    columns (id_a, id_b) — the ``cluster_oracle_sql`` walk plus the
+    keep-longest selection."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.b AS node, w.comp
+  FROM walk w JOIN und u ON w.node = u.a
+  WHERE w.comp < u.b
+),
+cc AS (SELECT node AS doc_id, min(comp) AS cluster_id
+       FROM walk GROUP BY node),
+lens AS (
+  SELECT doc_id, length({_NORM_SQL}) AS len
+  FROM documents
+),
+ranked AS (
+  SELECT cc.cluster_id, cc.doc_id, lens.len,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY lens.len DESC, cc.doc_id) AS rn
+  FROM cc JOIN lens USING (doc_id)
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS kept_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS kept_len,
+       CAST(sum(len) - max(CASE WHEN rn = 1 THEN len END) AS BIGINT)
+         AS chars_dropped
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+_PII_PATTERNS = {
+    "emails": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+",
+    "phones": "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]",
+    "ssns": "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]",
+}
+
+
+def pii_density(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """``(source, n_docs, n_chars, n_emails, n_phones, n_ssns,
+    pii_ppm)`` per source — PII-shaped match counts per million raw
+    characters. A screening signal, not a scrubber: sources above a
+    ppm threshold route to the redaction pass (``redact_pii``)."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(low)).cast("long").alias("n_chars"),
+    ]
+    for name, pat in _PII_PATTERNS.items():
+        aggs.append(
+            F.sum(F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0))))
+            .cast("long")
+            .alias(f"n_{name}"),
+        )
+    return (
+        docs.groupBy(source_col)
+        .agg(*aggs)
+        .withColumn(
+            "pii_ppm",
+            F.expr(
+                "CASE WHEN n_chars > 0 THEN "
+                "(1000000 * (n_emails + n_phones + n_ssns)) div n_chars"
+                " END"
+            ),
+        )
+        .orderBy(source_col)
+    )
+
+
+def pii_density_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_density(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+PII_DENSITY_SQL = f"""
+WITH g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(lower(coalesce(text, '')))) AS BIGINT)
+           AS n_chars,
+         CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')),
+           '{_PII_PATTERNS["emails"]}'))) AS BIGINT) AS n_emails,
+         CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')),
+           '{_PII_PATTERNS["phones"]}'))) AS BIGINT) AS n_phones,
+         CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')),
+           '{_PII_PATTERNS["ssns"]}'))) AS BIGINT) AS n_ssns
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_chars, n_emails, n_phones, n_ssns,
+       CASE WHEN n_chars > 0 THEN
+         (1000000 * (n_emails + n_phones + n_ssns)) // n_chars
+       END AS pii_ppm
+FROM g
+ORDER BY source
+"""
+
+
+def water_filling(
+    per_source: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """``(source, n_tokens, alloc_tokens, capped)`` — max-min fair
+    allocation of ``budget = total * budget_num div budget_den`` tokens
+    across sources: every source keeps min(its size, the shared level
+    L); the integer remainder goes to the smallest partially-funded
+    sources first (deterministic Hamilton order). Exact BIGINT on the
+    |sources|-row frame."""
+    w_ord = Window.orderBy("n", "source")
+    w_all = Window.partitionBy()  # |sources|-row frame: bounded
+    f = per_source.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n"),
+    )
+    f = (
+        f.withColumn("i", F.row_number().over(w_ord))
+        .withColumn(
+            "p",
+            F.sum("n").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("s_cnt", F.count(F.lit(1)).over(w_all))
+        .withColumn("tot", F.sum("n").over(w_all))
+        .withColumn(
+            "budget",
+            F.expr(f"(tot * {int(budget_num)}) div {int(budget_den)}"),
+        )
+        # total if the level were exactly this source's size (this
+        # source counted at cap): p_{i-1} + (S - i + 1) * n_i —
+        # nondecreasing in i, so the funded set is a prefix
+        .withColumn(
+            "f_at_n", F.col("p") - F.col("n") + (F.col("s_cnt") - F.col("i") + 1) * F.col("n")
+        )
+        .withColumn("funded", (F.col("f_at_n") <= F.col("budget")).cast("int"))
+        .withColumn("k", F.sum("funded").over(w_all))
+        .withColumn(
+            "p_k",
+            F.coalesce(
+                F.sum(F.when(F.col("funded") == 1, F.col("n"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+    )
+    lvl = "CASE WHEN s_cnt > k THEN (budget - p_k) div (s_cnt - k) ELSE 0 END"
+    rem = "CASE WHEN s_cnt > k THEN (budget - p_k) % (s_cnt - k) ELSE 0 END"
+    return (
+        f.withColumn(
+            "alloc_tokens",
+            F.expr(
+                f"CASE WHEN funded = 1 THEN n ELSE ({lvl}) + "
+                f"CASE WHEN i - k <= ({rem}) THEN 1 ELSE 0 END END"
+            ).cast("long"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "alloc_tokens",
+            (F.col("funded") == 0).alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+def water_filling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate half the corpus's whitespace-token budget across
+    sources max-min fairly — the standard under-budget mixture floor
+    before temperature reweighting."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_source = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.split(_norm_text(F.col("text")), " "))
+        )
+        .cast("long")
+        .alias("n_tokens")
+    )
+    return water_filling(per_source)
+
+
+WATER_FILLING_SQL = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+           AS n
+  FROM documents GROUP BY source
+),
+base AS (
+  SELECT source, n,
+         row_number() OVER (ORDER BY n, source) AS i,
+         sum(n) OVER (ORDER BY n, source
+                      ROWS UNBOUNDED PRECEDING) AS p,
+         count(*) OVER () AS s_cnt,
+         sum(n) OVER () AS tot
+  FROM per_source
+),
+lev AS (
+  SELECT *,
+         (tot * 1) // 2 AS budget,
+         p - n + (s_cnt - i + 1) * n AS f_at_n
+  FROM base
+),
+k AS (
+  SELECT *,
+         sum(CASE WHEN f_at_n <= budget THEN 1 ELSE 0 END)
+           OVER () AS kk,
+         COALESCE(sum(CASE WHEN f_at_n <= budget THEN n END)
+           OVER (), 0) AS p_k
+  FROM lev
+)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN f_at_n <= budget THEN n ELSE
+         (CASE WHEN s_cnt > kk
+               THEN (budget - p_k) // (s_cnt - kk) ELSE 0 END)
+         + CASE WHEN i - kk <=
+             (CASE WHEN s_cnt > kk
+                   THEN (budget - p_k) % (s_cnt - kk) ELSE 0 END)
+           THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+       f_at_n > budget AS capped
+FROM k
+ORDER BY source
+"""

@@ -398,3 +398,99 @@ def test_permutation_entropy_skips_gapped_triples(spark):
     got = permutation_entropy_by_series(df, "series", "x", "y").collect()[0]
     # triples starting at 0,1 and 5 only (2,3 span the gap)
     assert got["n_windows"] == 3
+
+
+def test_water_filling_partial_budget(spark):
+    """Sizes 10/20/70, budget = half of 100: the two small sources are
+    fully funded (10+20 plus level 20 for the big one = 50)."""
+    from faers_datalakehouse_spark.operators.curation import water_filling
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 70)], "source string, n_tokens long"
+    )
+    got = {r["source"]: r for r in water_filling(df).collect()}
+    assert got["a"]["alloc_tokens"] == 10 and not got["a"]["capped"]
+    assert got["b"]["alloc_tokens"] == 20 and not got["b"]["capped"]
+    assert got["c"]["alloc_tokens"] == 20 and got["c"]["capped"]
+    assert sum(r["alloc_tokens"] for r in got.values()) == 50
+
+
+def test_water_filling_hamilton_remainder(spark):
+    """Equal sources, budget 7 of 15: level 2, remainder 1 goes to the
+    first source in (size, name) order -> 3/2/2."""
+    from faers_datalakehouse_spark.operators.curation import water_filling
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)], "source string, n_tokens long"
+    )
+    got = {
+        r["source"]: r["alloc_tokens"]
+        for r in water_filling(df, budget_num=7, budget_den=15).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 2}
+
+
+def test_water_filling_budget_covers_all(spark):
+    from faers_datalakehouse_spark.operators.curation import water_filling
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 4)], "source string, n_tokens long"
+    )
+    got = {r["source"]: r for r in
+           water_filling(df, budget_num=1, budget_den=1).collect()}
+    assert all(not r["capped"] for r in got.values())
+    assert got["a"]["alloc_tokens"] == 3 and got["b"]["alloc_tokens"] == 4
+
+
+def test_pii_density_counts_patterns(spark):
+    from faers_datalakehouse_spark.operators.curation import pii_density
+
+    docs = spark.createDataFrame(
+        [("s", 1, "contact a@b.com or 555-123-4567; ssn 123-45-6789"),
+         ("s", 2, "clean text with no identifiers at all")],
+        "source string, doc_id long, text string",
+    )
+    got = pii_density(docs).collect()[0]
+    assert (got["n_emails"], got["n_phones"], got["n_ssns"]) == (1, 1, 1)
+    assert got["n_docs"] == 2
+    assert got["pii_ppm"] == 3_000_000 // got["n_chars"]
+
+
+def test_dedup_keep_best_longest_wins_tie_min_id(spark):
+    from faers_datalakehouse_spark.operators.curation import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "long long"), (3, "also long"), (9, "lonely")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = dedup_keep_best(docs, pairs).collect()
+    assert len(got) == 1  # singletons are not clusters
+    r = got[0]
+    # lens: 5, 9, 9 -> longest tie between 2 and 3 -> keep 2
+    assert r["cluster_id"] == 1 and r["kept_id"] == 2
+    assert r["n_members"] == 3 and r["kept_len"] == 9
+    assert r["chars_dropped"] == 5 + 9
+
+
+def test_bpe_fertility_invariants(spark):
+    """Tokens >= words (fertility >= 1000) and chars equal the sum of
+    the normalized word lengths."""
+    from faers_datalakehouse_spark.operators.bpe import (
+        bpe_fertility,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [("s", 1, "aa aa bb"), ("t", 2, "xyz xyz")],
+        "source string, doc_id long, text string",
+    )
+    merges = train_bpe_merges(docs, n_merges=3)
+    got = {r["source"]: r for r in bpe_fertility(docs, merges).collect()}
+    assert got["s"]["n_words"] == 3 and got["s"]["n_chars"] == 6
+    assert got["t"]["n_words"] == 2 and got["t"]["n_chars"] == 6
+    for r in got.values():
+        assert r["fertility_milli"] >= 1000
+        assert r["n_tokens"] >= r["n_words"]

@@ -243,6 +243,10 @@ OPS = [
     "ljung_box",
     "adf_test",
     "permutation_entropy",
+    "dedup_keep_best",
+    "pii_density",
+    "water_filling",
+    "bpe_fertility",
 ]
 
 
@@ -504,6 +508,10 @@ COLLECT_OPS = {
     "ljung_box",
     "adf_test",
     "permutation_entropy",
+    "dedup_keep_best",
+    "pii_density",
+    "water_filling",
+    "bpe_fertility",
 }
 
 
