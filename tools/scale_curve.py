@@ -534,6 +534,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--factor", type=int, default=5)
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="measure only these ops and MERGE into the existing "
+        "SCALE_CURVE.json (incremental top-up for newly added ops; a "
+        "full run still refreshes every point)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale_curve")
@@ -546,7 +554,18 @@ def main() -> None:
 
     queries = entrymod.queries()
     results = {}
-    for name in OPS:
+    artifact = Path(__file__).resolve().parent.parent / "SCALE_CURVE.json"
+    roster = OPS
+    if args.only is not None:
+        unknown = [n for n in args.only if n not in OPS]
+        if unknown:
+            raise SystemExit(f"--only names not in OPS roster: {unknown}")
+        roster = list(args.only)
+        try:
+            results = json.loads(artifact.read_text())["ops"]
+        except (OSError, ValueError, KeyError):
+            results = {}
+    for name in roster:
         # warm-up both scales (codegen/JIT), then interleave measurements
         time_op(spark, queries, name, base_dir, 1)
         t1 = time_op(spark, queries, name, base_dir, args.runs)
@@ -568,7 +587,6 @@ def main() -> None:
         "statistic": "min",
         "ops": results,
     }
-    artifact = Path(__file__).resolve().parent.parent / "SCALE_CURVE.json"
     artifact.write_text(json.dumps(out, indent=1))
     print(f"-> {artifact}")
 
