@@ -215,15 +215,19 @@ def kendall_tau_by_series(
     y_col: str,
 ) -> DataFrame:
     """``(series_col, n, nc, nd, ty_pairs, tau_milli)`` — Kendall tau-b
-    between ``x_col`` (assumed distinct within a series, e.g. the day)
+    between ``x_col`` (expected distinct within a series, e.g. the day)
     and ``y_col``, from an all-pairs comparison of the BOUNDED series.
 
     ``nc``/``nd`` count concordant/discordant pairs; ``ty_pairs``
-    counts pairs tied on y (x has no ties by construction, so
-    ``t_x = 0`` and tau-b = ``(nc - nd) / sqrt(n0 * (n0 - ty))`` with
-    ``n0 = n(n-1)/2``). All counts are calendar-bounded (n ≤ ~3.7k per
-    series per decade → n0 ≤ ~7M — BIGINT holds with ~1e11 margin).
-    NULL when n < 2 or all y tie.
+    counts pairs tied on y. The tau denominator derives ``n0`` from the
+    pairs actually compared — ``n0 = nc + nd + ty_pairs`` — so a series
+    that violates the distinct-x expectation (the ``_xa < _xb`` join
+    drops x-tied pairs) degrades to tau over the strictly-x-ordered
+    pairs instead of a silently deflated value against an ``n(n-1)/2``
+    denominator that still counts the dropped pairs. With distinct x
+    the two forms are identical. All counts are calendar-bounded
+    (n ≤ ~3.7k per series per decade → n0 ≤ ~7M — BIGINT holds with
+    ~1e11 margin). NULL when n < 2 or all compared y tie.
     """
     a = daily.select(
         series_col,
@@ -257,8 +261,8 @@ def kendall_tau_by_series(
             F.expr(
                 "CASE WHEN n > 1 AND nc + nd + ty_pairs > ty_pairs THEN "
                 "CAST(floor((nc - nd) * 1000.0 / "
-                " sqrt((CAST(n AS DOUBLE) * (n - 1) / 2.0) * "
-                "      (CAST(n AS DOUBLE) * (n - 1) / 2.0 - ty_pairs)))"
+                " sqrt((CAST(nc AS DOUBLE) + nd + ty_pairs) * "
+                "      (CAST(nc AS DOUBLE) + nd)))"
                 " AS BIGINT) END"
             ),
         )
@@ -315,8 +319,8 @@ counts AS (
 SELECT g.event_type, n, nc, nd, ty_pairs,
        CASE WHEN n > 1 AND nc + nd + ty_pairs > ty_pairs THEN
          CAST(floor((nc - nd) * 1000.0 /
-           sqrt((CAST(n AS DOUBLE) * (n - 1) / 2.0) *
-                (CAST(n AS DOUBLE) * (n - 1) / 2.0 - ty_pairs)))
+           sqrt((CAST(nc AS DOUBLE) + nd + ty_pairs) *
+                (CAST(nc AS DOUBLE) + nd)))
          AS BIGINT) END AS tau_milli
 FROM g JOIN counts ON g.event_type = counts.event_type
 ORDER BY g.event_type

@@ -110,7 +110,10 @@ def ljung_box_by_series(
                 ).alias(f"{c}_{k}")
             )
     wide = per_lag.groupBy(series_col).agg(*pivots)
-    g = tot.join(wide, series_col)
+    # LEFT join: a series with zero lag pairs anywhere (all gaps > m
+    # days) still emits (series, n, NULL) like the other degenerate
+    # guards — the np_k > 0 conjunction sees NULL and yields NULL.
+    g = tot.join(wide, series_col, "left")
     # C_k * n² = n²*sab - n*s*(sa+sb) + np_k*s² (np_k = actual pair
     # count — exact even when the calendar has gaps); C_0*n = n*syy - s²
     c0 = (
@@ -207,7 +210,7 @@ wide AS (
          {pivots}
   FROM per_lag GROUP BY 1
 ),
-g AS (SELECT * FROM tot JOIN wide USING (event_type))
+g AS (SELECT * FROM tot LEFT JOIN wide USING (event_type))
 SELECT event_type, n,
        CASE WHEN n > {m + 1} AND {nonempty} AND {c0} > 0 THEN
          CAST(floor(({q_expr}) * 1000.0) AS BIGINT) END AS q_milli

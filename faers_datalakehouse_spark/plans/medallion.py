@@ -683,8 +683,12 @@ def gold_fact_adverse_events(spark: SparkSession) -> None:
                 "worst_outcome_severity"
             ),
             # serious = worst outcome in {DE, LT, CA, DS, HO} — the
-            # reference's serious_adverse_event set (dim_outcome.py:84-86),
-            # i.e. rank >= 3 under the reference severity ladder
+            # reference's expedited_reporting_required set
+            # (dim_outcome.py:83-86), i.e. rank >= 3 under the reference
+            # severity ladder. (The reference's broader
+            # serious_adverse_event flag at dim_outcome.py:89 is true for
+            # EVERY known code including RI/OT; this column deliberately
+            # tracks the narrower expedited-reporting set.)
             (F.coalesce(F.col("worst_outcome_severity"), F.lit(0)) >= 3).alias(
                 "is_serious"
             ),

@@ -1347,10 +1347,9 @@ def hll_by_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, user_id) pair with a shuffle of <=64 register rows per
     type."""
     from ..operators.sketches import hll_sketch_grouped
+    from ..sources.tables import read_events
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_type", "user_id"
-    )
+    ev = read_events(spark, sf_dir).select("event_type", "user_id")
     return hll_sketch_grouped(ev, ["event_type"], "user_id", p=6).orderBy(
         "event_type", "bucket"
     )
