@@ -22,8 +22,8 @@ from faers_datalakehouse_spark.operators.dedup import (
     NGRAM_JACCARD_SQL_TEMPLATE,
     dedup_exact,
     minhash_lsh_oracle_sql,
-    minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shared_lsh_pairs,
     simhash_neardup_pairs,
     simhash_oracle_sql,
 )
@@ -343,8 +343,40 @@ from faers_datalakehouse_spark.operators.tstests import (
     permutation_entropy_query,
 )
 from faers_datalakehouse_spark.operators.grouptests import (
+    ANOVA_F_SQL,
     BROWN_FORSYTHE_SQL,
+    anova_f_query,
     brown_forsythe_query,
+)
+from faers_datalakehouse_spark.operators.pairedtests import (
+    COX_STUART_SQL,
+    MCNEMAR_SQL,
+    WILCOXON_SIGNED_RANK_SQL,
+    cox_stuart_query,
+    mcnemar_switching_query,
+    wilcoxon_signed_rank_query,
+)
+from faers_datalakehouse_spark.operators.ordtests import (
+    CVM_DRIFT_SQL,
+    JONCKHEERE_SQL,
+    cvm_drift_query,
+    jonckheere_trend_query,
+)
+from faers_datalakehouse_spark.operators.blocktests import (
+    friedman_oracle_sql,
+    friedman_test_query,
+)
+from faers_datalakehouse_spark.operators.binseg import (
+    BINSEG_SQL,
+    binseg_changepoint_query,
+)
+from faers_datalakehouse_spark.operators.concentration import (
+    HHI_SQL,
+    hhi_concentration_query,
+)
+from faers_datalakehouse_spark.functions.readability import (
+    READABILITY_FK_SQL,
+    readability_fk_query,
 )
 from faers_datalakehouse_spark.operators.curation import (
     PII_DENSITY_SQL,
@@ -1055,15 +1087,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": S.fingerprint_query,
         "surprisal_scores": _docs(surprisal_scores),
         "pct_of_total": A.pct_of_total,
-        "neardup_clusters_star": _docs(
-            lambda df: cluster_assignments(
-                minhash_lsh_pairs(
-                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
-                ),
-                src="id_a",
-                dst="id_b",
-                algorithm="star",
-            )
+        "neardup_clusters_star": lambda spark, sf_dir: cluster_assignments(
+            shared_lsh_pairs(spark, sf_dir, JACCARD_THRESHOLD),
+            src="id_a",
+            dst="id_b",
+            algorithm="star",
         ),
         "chunk_documents": partial(
             S.chunk_documents_query, chunk_size=32, overlap=8
@@ -1184,14 +1212,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": partial(A.shipping_priority, k=10),
         # Transitive dedup clustering: MinHash candidate pairs → connected
         # components (min-label propagation) → canonical doc per cluster.
-        "neardup_clusters": _docs(
-            lambda df: cluster_assignments(
-                minhash_lsh_pairs(
-                    df, threshold=JACCARD_THRESHOLD, portable_hash=True
-                ),
-                src="id_a",
-                dst="id_b",
-            )
+        "neardup_clusters": lambda spark, sf_dir: cluster_assignments(
+            shared_lsh_pairs(spark, sf_dir, JACCARD_THRESHOLD),
+            src="id_a",
+            dst="id_b",
         ),
         # DEFAULT near-dup path: LSH bucket blocking + exact in-bucket cosine
         # (linear; the quadratic verify kernel cosine_neardup is above).
@@ -1215,10 +1239,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _docs(dedup_exact),
         # portable_hash: md5-int64 shingle/band hashes → DuckDB reproduces the
         # exact signatures, buckets, and candidate pairs (hash-checked oracle).
-        "minhash_lsh": _docs(
-            lambda df: minhash_lsh_pairs(
-                df, threshold=JACCARD_THRESHOLD, portable_hash=True
-            )
+        # session-shared candidate frame (also feeds neardup_clusters,
+        # neardup_clusters_star, dedup_keep_best — computed once)
+        "minhash_lsh": lambda spark, sf_dir: shared_lsh_pairs(
+            spark, sf_dir, JACCARD_THRESHOLD
         ),
         # End-to-end curation composition: dedup → lang+quality → filter →
         # per-language corpus stats (the real training-data pipeline shape).
@@ -1452,6 +1476,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "water_filling": water_filling_query,
         # per-source tokenizer-fit audit of the corpus-trained BPE table
         "bpe_fertility": _bpe_fertility,
+        # --- round 11 ---
+        # classical one-way ANOVA F over exact cohort moments (the
+        # location-mean member of the kruskal/brown-forsythe triad)
+        "anova_f": anova_f_query,
+        # Wilcoxon signed-rank on week-over-week paired days (doubled
+        # midranks from per-|diff| counts, tie-corrected z)
+        "wilcoxon_signed_rank": wilcoxon_signed_rank_query,
+        # Cox-Stuart sign trend: first half paired against second half
+        "cox_stuart": cox_stuart_query,
+        # McNemar day-over-day activity switching (stop vs start
+        # asymmetry; anti-join transitions, exact chi-square)
+        "mcnemar_switching": mcnemar_switching_query,
+        # Jonckheere-Terpstra ordered-cohort trend (doubled pairwise U
+        # from prefix sums; decimal n²/n³ moments)
+        "jonckheere_trend": jonckheere_trend_query,
+        # Cramér-von Mises-type drift: integrated squared ECDF gap
+        # (milli-quantized per support point — whole-distribution
+        # complement to ks_drift)
+        "cvm_drift": cvm_drift_query,
+        # Friedman blocked day-of-week test over complete epoch weeks
+        # (doubled midranks in ≤7-row blocks, fixed-7 pivot)
+        "friedman_test": friedman_test_query,
+        # binary-segmentation changepoint: best single split +
+        # variance-explained ratio from prefix sums
+        "binseg_changepoint": binseg_changepoint_query,
+        # Herfindahl-Hirschman source concentration per language
+        # (decimal Σc², micro/milli outputs)
+        "hhi_concentration": hhi_concentration_query,
+        # Flesch-Kincaid corpus readability per source (ASCII-class
+        # word/sentence/vowel-group counts, totals-weighted grade)
+        "readability_fk": readability_fk_query,
     }
 
 
@@ -1480,58 +1535,59 @@ _WINDOW_BASIS = [
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
+    "CORRECTNESS_r10.json",
 ]
 _WINDOW = [
-    "kruskal_wallis",  # last driver check: never
-    "kendall_tau",  # last driver check: never
-    "theils_u",  # last driver check: never
-    "source_xentropy",  # last driver check: never
-    "zipf_slope",  # last driver check: never
-    "peak_concurrency",  # last driver check: never
-    "cochran_armitage",  # last driver check: never
-    "brown_forsythe",  # last driver check: never
-    "gumbel_fit",  # last driver check: never
-    "record_days",  # last driver check: never
-    "cond_entropy_rate",  # last driver check: never
-    "phi_coefficient",  # last driver check: never
-    "ljung_box",  # last driver check: never
-    "adf_test",  # last driver check: never
-    "permutation_entropy",  # last driver check: never
-    "dedup_keep_best",  # last driver check: never
-    "pii_density",  # last driver check: never
-    "water_filling",  # last driver check: never
-    "bpe_fertility",  # last driver check: never
-    "unpivot_measures",  # last driver check: r4
-    "quantiles_by_group",  # last driver check: r4
-    "salted_join",  # last driver check: r4
-    "multimodal_decode",  # last driver check: r4
-    "quality_classifier",  # last driver check: r4
-    "asof_join",  # last driver check: r4
-    "pack_sequences",  # last driver check: r4
-    "text_quality",  # last driver check: r4
-    "incremental_dedup",  # last driver check: r4
-    "stratified_cap",  # last driver check: r4
-    "vocab_stats",  # last driver check: r4
-    "dup_spans",  # last driver check: r4
-    "simhash_neardup",  # last driver check: r4
-    "json_extract_agg",  # last driver check: r4
-    "segment_status_pivot",  # last driver check: r4
-    "lang_id",  # last driver check: r4
-    "shard_manifest",  # last driver check: r4
-    "contamination_check",  # last driver check: r4
-    "funnel_steps",  # last driver check: r4
-    "topk_parts",  # last driver check: r4
-    "latest_day_activity",  # last driver check: r4
-    "ann_ivf_topk_nprobe2",  # last driver check: r4
-    "ann_lsh_topk",  # last driver check: r4
-    "rollup_volume",  # last driver check: r4
-    "topk_by_group",  # last driver check: r4
-    "global_summary",  # last driver check: r4
-    "numeric_standardize",  # last driver check: r4
-    "distinct_profile",  # last driver check: r4
-    "ngram_jaccard",  # last driver check: r4
-    "sql_api_trend",  # last driver check: r4
-    "fingerprint_dedup",  # last driver check: r4
+    "anova_f",  # last driver check: never
+    "wilcoxon_signed_rank",  # last driver check: never
+    "cox_stuart",  # last driver check: never
+    "mcnemar_switching",  # last driver check: never
+    "jonckheere_trend",  # last driver check: never
+    "cvm_drift",  # last driver check: never
+    "friedman_test",  # last driver check: never
+    "binseg_changepoint",  # last driver check: never
+    "hhi_concentration",  # last driver check: never
+    "readability_fk",  # last driver check: never
+    "surprisal_scores",  # last driver check: r4
+    "pct_of_total",  # last driver check: r4
+    "neardup_clusters_star",  # last driver check: r4
+    "chunk_documents",  # last driver check: r4
+    "mixture_weights",  # last driver check: r4
+    "bpe_pair_counts",  # last driver check: r4
+    "winnowing_fingerprints",  # last driver check: r5
+    "bloom_prefilter",  # last driver check: r5
+    "fact_sales",  # last driver check: r5
+    "pricing_summary",  # last driver check: r5
+    "scd2_merge",  # last driver check: r5
+    "versioned_read",  # last driver check: r5
+    "versioned_delete",  # last driver check: r5
+    "versioned_skip_read",  # last driver check: r5
+    "versioned_changes",  # last driver check: r5
+    "incremental_matview",  # last driver check: r5
+    "hll_registers",  # last driver check: r5
+    "hll_by_group",  # last driver check: r5
+    "cms_counts",  # last driver check: r5
+    "bm25_topk",  # last driver check: r5
+    "dsir_weights",  # last driver check: r5
+    "dsir_select",  # last driver check: r5
+    "bigram_surprisal",  # last driver check: r5
+    "gap_fill_daily",  # last driver check: r5
+    "pagerank",  # last driver check: r5
+    "ann_recall",  # last driver check: r5
+    "zorder_curve",  # last driver check: r5
+    "attribution",  # last driver check: r5
+    "cohort_retention",  # last driver check: r5
+    "value_histogram",  # last driver check: r5
+    "ann_topk",  # last driver check: r5
+    "ann_ivf_topk",  # last driver check: r5
+    "cosine_neardup",  # last driver check: r5
+    "cube_volume",  # last driver check: r5
+    "moving_average",  # last driver check: r5
+    "temporal_trend",  # last driver check: r5
+    "repetition_filter",  # last driver check: r5
+    "token_count",  # last driver check: r5
+    "redact_pii",  # last driver check: r5
+    "split_assign",  # last driver check: r5
 ]
 
 
@@ -1914,6 +1970,16 @@ def oracle_sql() -> dict[str, str]:
         "pii_density": PII_DENSITY_SQL,
         "water_filling": WATER_FILLING_SQL,
         "bpe_fertility": bpe_fertility_oracle_sql(n_merges=10),
+        "anova_f": ANOVA_F_SQL,
+        "wilcoxon_signed_rank": WILCOXON_SIGNED_RANK_SQL,
+        "cox_stuart": COX_STUART_SQL,
+        "mcnemar_switching": MCNEMAR_SQL,
+        "jonckheere_trend": JONCKHEERE_SQL,
+        "cvm_drift": CVM_DRIFT_SQL,
+        "friedman_test": friedman_oracle_sql(),
+        "binseg_changepoint": BINSEG_SQL,
+        "hhi_concentration": HHI_SQL,
+        "readability_fk": READABILITY_FK_SQL,
     }
 
 

@@ -245,6 +245,16 @@ BENCH_QUERIES = {
     "q155_pii_density": ("collect", "pii_density"),
     "q156_water_filling": ("collect", "water_filling"),
     "q157_bpe_fertility": ("collect", "bpe_fertility"),
+    "q158_anova_f": ("collect", "anova_f"),
+    "q159_wilcoxon_sr": ("collect", "wilcoxon_signed_rank"),
+    "q160_cox_stuart": ("collect", "cox_stuart"),
+    "q161_mcnemar": ("collect", "mcnemar_switching"),
+    "q162_jonckheere": ("collect", "jonckheere_trend"),
+    "q163_cvm_drift": ("collect", "cvm_drift"),
+    "q164_friedman": ("collect", "friedman_test"),
+    "q165_binseg": ("collect", "binseg_changepoint"),
+    "q166_hhi": ("collect", "hhi_concentration"),
+    "q167_readability": ("collect", "readability_fk"),
 }
 
 

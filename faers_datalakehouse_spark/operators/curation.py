@@ -42,7 +42,7 @@ from faers_datalakehouse_spark.operators.clustering import (
 )
 from faers_datalakehouse_spark.operators.dedup import (
     _norm_text,
-    minhash_lsh_pairs,
+    shared_lsh_pairs,
 )
 
 # canonical two-pass normalization, shared with the document oracles
@@ -97,9 +97,7 @@ def dedup_keep_best_query(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = minhash_lsh_pairs(
-        docs, threshold=threshold, portable_hash=True
-    )
+    pairs = shared_lsh_pairs(spark, sf_dir, threshold)
     return dedup_keep_best(docs, pairs)
 
 
@@ -288,9 +286,15 @@ def water_filling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources max-min fairly — the standard under-budget mixture floor
     before temperature reweighting."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # split('') yields [''] — a fully-empty normalized doc must count
+    # 0 tokens, not 1 (normalization collapses whitespace, so every
+    # token of a NON-empty normalized string is non-empty already).
+    norm = _norm_text(F.col("text"))
     per_source = docs.groupBy("source").agg(
         F.sum(
-            F.size(F.split(_norm_text(F.col("text")), " "))
+            F.when(norm == "", F.lit(0)).otherwise(
+                F.size(F.split(norm, " "))
+            )
         )
         .cast("long")
         .alias("n_tokens")
@@ -301,8 +305,9 @@ def water_filling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 WATER_FILLING_SQL = f"""
 WITH per_source AS (
   SELECT source,
-         CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
-           AS n
+         CAST(sum(CASE WHEN {_NORM_SQL} = '' THEN 0
+                  ELSE len(string_split({_NORM_SQL}, ' ')) END)
+           AS BIGINT) AS n
   FROM documents GROUP BY source
 ),
 base AS (

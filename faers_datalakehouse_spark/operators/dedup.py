@@ -31,7 +31,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MERSENNE_P = (1 << 31) - 1  # 2147483647, prime modulus for minhash permutations
@@ -1038,3 +1038,31 @@ SELECT id_a, id_b, est_milli, exact_milli,
 FROM scored
 ORDER BY id_a, id_b
 """
+
+
+# Session-scoped shared candidate frame (VERDICT r10 item 6): four map
+# entries (minhash_lsh, neardup_clusters, neardup_clusters_star,
+# dedup_keep_best) build the IDENTICAL MinHash candidate pairs over the
+# corpus documents table; within one session (the bench suite, the
+# oracle sweep) the frame is computed once and persisted. Keyed by
+# (applicationId, sf_dir, threshold) so a new session — or a different
+# scale factor — never sees a stale frame. At cluster scale this is the
+# "checkpoint the candidate graph once, fan out consumers" pattern.
+_SHARED_PAIRS: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def shared_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """The corpus-documents MinHash candidate pairs, persisted once per
+    (session, sf_dir, threshold)."""
+    key = (spark.sparkContext.applicationId, sf_dir, float(threshold))
+    df = _SHARED_PAIRS.get(key)
+    if df is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = minhash_lsh_pairs(
+            docs, threshold=threshold, portable_hash=True
+        ).persist()
+        _SHARED_PAIRS.clear()  # hold at most one corpus frame
+        _SHARED_PAIRS[key] = df
+    return df

@@ -247,6 +247,87 @@ OPS = [
     "pii_density",
     "water_filling",
     "bpe_fertility",
+    # round-11 operators: paired/ordered/blocked statistics, the
+    # changepoint locator, and the corpus concentration/readability
+    # screens (per-value aggregates + calendar-bounded windows)
+    "anova_f",
+    "wilcoxon_signed_rank",
+    "cox_stuart",
+    "mcnemar_switching",
+    "jonckheere_trend",
+    "cvm_drift",
+    "friedman_test",
+    "binseg_changepoint",
+    "hhi_concentration",
+    "readability_fk",
+    # round-11 backlog extension (VERDICT r10 item 5): the streaming
+    # batch-twins, the versioned-table lifecycle, the window/sessionize
+    # family, pivot/SQL-feature shapes, merge/CDC, retrieval/graph, and
+    # the remaining curation composites — the cohorts the curve had
+    # never probed (several are window-heavy shapes for the ANSI
+    # overflow detector).
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_join",
+    "streaming_scd2",
+    "streaming_sessionize",
+    "streaming_stateful_totals",
+    "streaming_topk",
+    "streaming_attribution",
+    "streaming_versioned_ingest",
+    "versioned_read",
+    "versioned_delete",
+    "versioned_merge",
+    "versioned_evolve",
+    "versioned_restore",
+    "versioned_bloom_read",
+    "versioned_partition_ops",
+    "versioned_rename_read",
+    "versioned_skip_read",
+    "versioned_zorder_read",
+    "window_suite",
+    "rolling_range_frame",
+    "rolling_hll",
+    "moving_average",
+    "decayed_activity",
+    "gap_fill_daily",
+    "linear_interpolate",
+    "holt_smooth",
+    "temporal_trend",
+    "period_over_period",
+    "incremental_sessionize",
+    "grouping_sets_volume",
+    "rollup_volume",
+    "cube_volume",
+    "unpivot_measures",
+    "segment_status_pivot",
+    "lateral_topk",
+    "sql_api_trend",
+    "pipe_syntax_trend",
+    "fact_sales",
+    "scd2_merge",
+    "scd2_event_enrich",
+    "cdc_apply_seq",
+    "asof_join",
+    "table_diff",
+    "ann_topk",
+    "ann_recall",
+    "ann_ivf_topk",
+    "lsh_neardup",
+    "mmr_diversify",
+    "pagerank",
+    "clustering_coeff",
+    "ra_linkpred",
+    "quality_classifier",
+    "redact_pii",
+    "repetition_filter",
+    "corpus_curation",
+    "stratified_cap",
+    "mixture_weights",
+    "shard_manifest",
+    "contamination_check",
+    "pack_sequences",
+    "global_summary",
 ]
 
 
@@ -512,6 +593,43 @@ COLLECT_OPS = {
     "pii_density",
     "water_filling",
     "bpe_fertility",
+    # r11 operators: small outputs, cost in aggregate expressions
+    "anova_f",
+    "wilcoxon_signed_rank",
+    "cox_stuart",
+    "mcnemar_switching",
+    "jonckheere_trend",
+    "cvm_drift",
+    "friedman_test",
+    "binseg_changepoint",
+    "hhi_concentration",
+    "readability_fk",
+    # r11 backlog small-output ops: aggregates/day-grain/top-k frames
+    # whose cost count() would prune
+    "grouping_sets_volume",
+    "rollup_volume",
+    "cube_volume",
+    "moving_average",
+    "holt_smooth",
+    "temporal_trend",
+    "period_over_period",
+    "gap_fill_daily",
+    "linear_interpolate",
+    "decayed_activity",
+    "rolling_hll",
+    "mixture_weights",
+    "shard_manifest",
+    "contamination_check",
+    "corpus_curation",
+    "ann_topk",
+    "ann_recall",
+    "ann_ivf_topk",
+    "mmr_diversify",
+    "pagerank",
+    "clustering_coeff",
+    "ra_linkpred",
+    "table_diff",
+    "global_summary",
 }
 
 
@@ -565,12 +683,20 @@ def main() -> None:
             results = json.loads(artifact.read_text())["ops"]
         except (OSError, ValueError, KeyError):
             results = {}
+    failed: list[str] = []
     for name in roster:
-        # warm-up both scales (codegen/JIT), then interleave measurements
-        time_op(spark, queries, name, base_dir, 1)
-        t1 = time_op(spark, queries, name, base_dir, args.runs)
-        time_op(spark, queries, name, big_dir, 1)
-        t5 = time_op(spark, queries, name, big_dir, args.runs)
+        # warm-up both scales (codegen/JIT), then interleave measurements.
+        # A single op failure (e.g. a managed-table collision on the probe
+        # corpus) must not void the remaining roster — record and continue.
+        try:
+            time_op(spark, queries, name, base_dir, 1)
+            t1 = time_op(spark, queries, name, base_dir, args.runs)
+            time_op(spark, queries, name, big_dir, 1)
+            t5 = time_op(spark, queries, name, big_dir, args.runs)
+        except Exception as exc:  # noqa: BLE001 — probe isolation
+            failed.append(name)
+            print(f"{name:24s} FAILED on probe corpus: {exc}")
+            continue
         exp = math.log(t5 / t1) / math.log(args.factor)
         results[name] = {
             "t_base_sec": round(t1, 3),
@@ -589,6 +715,9 @@ def main() -> None:
     }
     artifact.write_text(json.dumps(out, indent=1))
     print(f"-> {artifact}")
+    if failed:
+        print(f"FAILED ops (not merged): {failed}")
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
