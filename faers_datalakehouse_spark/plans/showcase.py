@@ -40,6 +40,27 @@ def stream_scratch_dir(prefix: str) -> str:
     return root
 
 
+def stage_events(sf_dir: str, dst: str) -> None:
+    """Land ``events.parquet`` into a streaming landing zone as a
+    producer would. Handles both physical forms of the table: the
+    driver testdata's single parquet FILE, and a Spark-written
+    DIRECTORY of part files (the scale-curve probe corpora — the
+    round-11 streaming-probe fix). ``dst`` is the destination file
+    stem; a directory source fans out to ``dst``-prefixed parts."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    src = f"{sf_dir}/events.parquet"
+    if _os.path.isdir(src):
+        parts = sorted(_glob.glob(f"{src}/part-*.parquet"))
+        base = dst[: -len(".parquet")] if dst.endswith(".parquet") else dst
+        for i, p in enumerate(parts):
+            _shutil.copy(p, f"{base}-{i}.parquet")
+    else:
+        _shutil.copy(src, dst)
+
+
 # --------------------------------------------------------------------------
 # SCD Type 2 end-state scenario (M4)
 # --------------------------------------------------------------------------
@@ -1560,7 +1581,7 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stage_events(sf_dir, f"{landing}/part-0.parquet")
     stream = stream_events_from_dir(spark, landing)
     sessions = streaming_sessionize(
         stream, gap="30 minutes", watermark="1 hour"
@@ -1816,7 +1837,7 @@ def streaming_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = stream_scratch_dir("spark_graft_stream_attr_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stage_events(sf_dir, f"{landing}/part-0.parquet")
     stream = stream_events_from_dir(spark, landing)
     joined = attribute_purchases(
         stream.filter(F.col("event_type") == "click"),
@@ -1877,7 +1898,7 @@ def streaming_versioned_ingest_query(
     root = stream_scratch_dir("spark_graft_stream_vt_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stage_events(sf_dir, f"{landing}/part-0.parquet")
     stream = stream_events_from_dir(spark, landing)
     q = stream_to_versioned(
         stream,
@@ -2284,7 +2305,7 @@ def streaming_stateful_totals_query(
     root = stream_scratch_dir("spark_graft_stream_state_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stage_events(sf_dir, f"{landing}/part-0.parquet")
     stream = stream_events_from_dir(spark, landing)
     totals = stateful_user_totals(stream)
     out_dir = f"{root}/totals"
@@ -2340,7 +2361,7 @@ def streaming_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = stream_scratch_dir("spark_graft_stream_join_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stage_events(sf_dir, f"{landing}/part-0.parquet")
     stream = stream_events_from_dir(spark, landing)
     joined = streaming_click_purchase_join(stream)
     out_dir = f"{root}/joined"
@@ -2487,8 +2508,8 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = stream_scratch_dir("spark_graft_stream_dedup_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-0.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-1.parquet")
+    stage_events(sf_dir, f"{landing}/batch-0.parquet")
+    stage_events(sf_dir, f"{landing}/batch-1.parquet")
     stream = stream_events_from_dir(spark, landing)
     # the generous watermark keeps every key's state alive across both
     # batches of this finite replay (they share one event-time range)
@@ -2540,7 +2561,7 @@ def streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = stream_scratch_dir("spark_graft_stream_enrich_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stage_events(sf_dir, f"{landing}/part-0.parquet")
     stream = stream_events_from_dir(spark, landing)
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"),
@@ -2892,7 +2913,7 @@ def streaming_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = stream_scratch_dir("spark_graft_stream_topk_")
     landing = f"{root}/landing"
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/part-0.parquet")
+    stage_events(sf_dir, f"{landing}/part-0.parquet")
     stream = stream_events_from_dir(spark, landing)
     agg = windowed_event_aggregate(
         stream, window="1 day", watermark="1 hour"

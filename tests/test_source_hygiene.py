@@ -42,3 +42,37 @@ def test_no_raw_events_parquet_reads_outside_tables():
         "raw events.parquet batch reads must go through "
         "sources.tables.read_events:\n" + "\n".join(offenders)
     )
+
+
+def test_stage_events_handles_file_and_directory_sources(tmp_path):
+    """The driver testdata lands events.parquet as a single FILE; the
+    scale-curve probe corpora are Spark-written DIRECTORIES of part
+    files. Both must stage into a streaming landing zone (the r11
+    streaming-probe fix)."""
+    from faers_datalakehouse_spark.plans.showcase import stage_events
+
+    # file form
+    sf1 = tmp_path / "sf_file"
+    sf1.mkdir()
+    (sf1 / "events.parquet").write_bytes(b"PAR1")
+    land1 = tmp_path / "land1"
+    land1.mkdir()
+    stage_events(str(sf1), str(land1 / "part-0.parquet"))
+    assert (land1 / "part-0.parquet").read_bytes() == b"PAR1"
+
+    # directory form
+    sf2 = tmp_path / "sf_dir"
+    (sf2 / "events.parquet").mkdir(parents=True)
+    for i in range(3):
+        (sf2 / "events.parquet" / f"part-{i:05d}.parquet").write_bytes(
+            bytes([i])
+        )
+    land2 = tmp_path / "land2"
+    land2.mkdir()
+    stage_events(str(sf2), str(land2 / "part-0.parquet"))
+    staged = sorted(p.name for p in land2.iterdir())
+    assert staged == [
+        "part-0-0.parquet",
+        "part-0-1.parquet",
+        "part-0-2.parquet",
+    ]
