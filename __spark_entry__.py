@@ -79,7 +79,7 @@ from faers_datalakehouse_spark.operators.bpe import (
     bpe_encode,
     bpe_encode_oracle_sql,
     bpe_merges_oracle_sql,
-    train_bpe_merges,
+    shared_bpe_merges,
 )
 from faers_datalakehouse_spark.operators.novelty import (
     ngram_novelty,
@@ -524,7 +524,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
 
 def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = train_bpe_merges(docs, n_merges=10)
+    merges = shared_bpe_merges(spark, sf_dir, n_merges=10)
     # driver contract: no array columns (the driver's pandas row
     # canonicalizer can't hash list cells — round-5 failure). The token
     # regex is [a-z0-9]+, so the space join is lossless.
@@ -535,7 +535,7 @@ def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = train_bpe_merges(docs, n_merges=10)
+    merges = shared_bpe_merges(spark, sf_dir, n_merges=10)
     return bpe_fertility(docs, merges)
 
 
@@ -559,8 +559,7 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained BPE merge table itself, as a frame — gives the trainer
     a direct hash oracle (round-unrolled DuckDB CTE twin), which in turn
     makes bpe_encode's oracle an expansion check rather than rows-only."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = train_bpe_merges(docs, n_merges=10)
+    merges = shared_bpe_merges(spark, sf_dir, n_merges=10)
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "step int, a string, b string",

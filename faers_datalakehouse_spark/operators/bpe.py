@@ -421,3 +421,24 @@ FROM enc JOIN src USING (doc_id)
 GROUP BY source
 ORDER BY source
 """
+
+
+# Session-scoped shared merge table (the shared_lsh_pairs pattern,
+# operators/dedup.py): three map entries (bpe_merges, bpe_encode,
+# bpe_fertility) train the IDENTICAL 10-round merge list over the
+# corpus documents; within one session it is trained once. The cached
+# value is a plain driver-side list — no persist to manage.
+_SHARED_MERGES: dict[tuple[str, str, int], list[tuple[str, str]]] = {}
+
+
+def shared_bpe_merges(
+    spark, sf_dir: str, n_merges: int = 10
+) -> list[tuple[str, str]]:
+    """The corpus-trained BPE merge list, trained once per
+    (session, sf_dir, n_merges)."""
+    key = (spark.sparkContext.applicationId, sf_dir, int(n_merges))
+    if key not in _SHARED_MERGES:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _SHARED_MERGES.clear()  # hold at most one corpus table
+        _SHARED_MERGES[key] = train_bpe_merges(docs, n_merges=n_merges)
+    return _SHARED_MERGES[key]

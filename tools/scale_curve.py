@@ -633,6 +633,35 @@ COLLECT_OPS = {
 }
 
 
+# Corpus-size-output ops whose cost is a PROJECTION or row-preserving
+# WINDOW: count() lets Catalyst prune the entire operator (the round-7
+# source_minhash lesson applied to row-preserving shapes — window_suite
+# probed at 0.16 s under count() because an unused window column is
+# simply dropped), while collect() would ship the whole corpus to the
+# driver. A bit_xor(xxhash64(all columns)) aggregate forces every
+# output column to be computed and returns one row — and bit_xor cannot
+# overflow under ANSI where sum(hash) would.
+CHECKSUM_OPS = {
+    "window_suite",
+    "rolling_range_frame",
+    "pack_sequences",
+    "incremental_sessionize",
+    "quality_classifier",
+    "redact_pii",
+    "unpivot_measures",
+    "segment_status_pivot",
+    "asof_join",
+    "fact_sales",
+    "scd2_event_enrich",
+    "scd2_merge",
+}
+
+
+def _checksum(df) -> None:
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    df.selectExpr(f"bit_xor(xxhash64({cols})) AS chk").collect()
+
+
 def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
     fn = queries[name]
     best = math.inf
@@ -641,6 +670,8 @@ def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
         df = fn(spark, sf_dir)
         if name in COLLECT_OPS:
             df.collect()
+        elif name in CHECKSUM_OPS:
+            _checksum(df)
         else:
             df.count()
         best = min(best, time.time() - t0)
