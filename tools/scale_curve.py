@@ -258,6 +258,71 @@ OPS = [
     "cvm_drift",
     "friedman_test",
     "binseg_changepoint",
+    # round-11 tail: the final unmeasured cohort — every map entry is
+    # now on the curve (UDTF/pandas-API/datasource micro-surfaces, the
+    # documented-quadratic cosine verify kernel, encode/standardize
+    # projections, and the remaining joins/aggregates).
+    "ab_test",
+    "attribution",
+    "basket_pairs",
+    "bpe_encode",
+    "bpe_merges",
+    "bpe_pair_counts",
+    "bucketed_join",
+    "categorical_encode",
+    "cogroup_reconcile",
+    "cosine_neardup",
+    "customer_retention_setops",
+    "date_dim",
+    "date_standardize",
+    "decode_ladders",
+    "distinct_profile",
+    "dsir_select",
+    "dsir_weights",
+    "feature_hash",
+    "hll_set_algebra",
+    "incremental_dedup",
+    "interleave_sources",
+    "json_extract_agg",
+    "k_suppress",
+    "key_skew_profile",
+    "l_diversity",
+    "latest_day_activity",
+    "linkage_scores",
+    "mad_outliers",
+    "multimodal_decode",
+    "neardup_clusters",
+    "ngram_novelty",
+    "numeric_standardize",
+    "observed_quality",
+    "pandas_api",
+    "pct_of_total",
+    "pq_recall",
+    "prefix_filter_pairs",
+    "profile_columns",
+    "pyds_pushdown_read",
+    "pyds_stream_tail",
+    "pyds_write_read",
+    "quantile_binning",
+    "quarantine_rows",
+    "referential_audit",
+    "regional_volume",
+    "rendezvous_shards",
+    "rrf_fusion",
+    "shipping_priority",
+    "spatial_radius_join",
+    "split_assign",
+    "sql_scripting",
+    "sql_variables",
+    "surprisal_scores",
+    "topk_by_group",
+    "topk_parts",
+    "udtf_chunks",
+    "udtf_dateparts",
+    "value_histogram",
+    "variant_extract",
+    "vocab_stats",
+    "zorder_curve",
     "hhi_concentration",
     "readability_fk",
     # round-11 backlog extension (VERDICT r10 item 5): the streaming
@@ -630,6 +695,32 @@ COLLECT_OPS = {
     "ra_linkpred",
     "table_diff",
     "global_summary",
+    # r11 tail small-output ops
+    "ab_test",
+    "bpe_merges",
+    "bpe_pair_counts",
+    "customer_retention_setops",
+    "dsir_weights",
+    "hll_set_algebra",
+    "key_skew_profile",
+    "latest_day_activity",
+    "observed_quality",
+    "pct_of_total",
+    "profile_columns",
+    "referential_audit",
+    "regional_volume",
+    "rrf_fusion",
+    "topk_parts",
+    "topk_by_group",
+    "value_histogram",
+    "vocab_stats",
+    "json_extract_agg",
+    "l_diversity",
+    "distinct_profile",
+    "pq_recall",
+    "shipping_priority",
+    "sql_scripting",
+    "sql_variables",
 }
 
 
@@ -654,6 +745,20 @@ CHECKSUM_OPS = {
     "fact_sales",
     "scd2_event_enrich",
     "scd2_merge",
+    # r11 tail row-preserving projections (count() would prune them)
+    "surprisal_scores",
+    "ngram_novelty",
+    "zorder_curve",
+    "numeric_standardize",
+    "date_standardize",
+    "decode_ladders",
+    "categorical_encode",
+    "feature_hash",
+    "variant_extract",
+    "split_assign",
+    "rendezvous_shards",
+    "interleave_sources",
+    "bpe_encode",
 }
 
 
