@@ -381,6 +381,8 @@ from faers_datalakehouse_spark.functions.readability import (
 from faers_datalakehouse_spark.operators.curation import (
     PII_DENSITY_SQL,
     WATER_FILLING_SQL,
+    curation_pipeline_oracle_sql,
+    curation_pipeline_query,
     dedup_keep_best_query,
     keep_best_oracle_sql,
     pii_density_query,
@@ -1473,6 +1475,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # max-min fair token-budget allocation across sources (integer
         # water-filling with Hamilton remainder on the bounded frame)
         "water_filling": water_filling_query,
+        # the full curation chain as ONE plan (r12): keep-best dedup ->
+        # PII screen -> water-filled budget + greedy per-source prefix
+        # -> stable split/shard -> fingerprinted training manifest
+        "curation_pipeline": partial(
+            curation_pipeline_query, threshold=JACCARD_THRESHOLD
+        ),
         # per-source tokenizer-fit audit of the corpus-trained BPE table
         "bpe_fertility": _bpe_fertility,
         # --- round 11 ---
@@ -1535,58 +1543,59 @@ _WINDOW_BASIS = [
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 ]
 _WINDOW = [
-    "anova_f",  # last driver check: never
-    "wilcoxon_signed_rank",  # last driver check: never
-    "cox_stuart",  # last driver check: never
-    "mcnemar_switching",  # last driver check: never
-    "jonckheere_trend",  # last driver check: never
-    "cvm_drift",  # last driver check: never
-    "friedman_test",  # last driver check: never
-    "binseg_changepoint",  # last driver check: never
-    "hhi_concentration",  # last driver check: never
-    "readability_fk",  # last driver check: never
-    "surprisal_scores",  # last driver check: r4
-    "pct_of_total",  # last driver check: r4
-    "neardup_clusters_star",  # last driver check: r4
-    "chunk_documents",  # last driver check: r4
-    "mixture_weights",  # last driver check: r4
-    "bpe_pair_counts",  # last driver check: r4
-    "winnowing_fingerprints",  # last driver check: r5
-    "bloom_prefilter",  # last driver check: r5
-    "fact_sales",  # last driver check: r5
-    "pricing_summary",  # last driver check: r5
-    "scd2_merge",  # last driver check: r5
-    "versioned_read",  # last driver check: r5
-    "versioned_delete",  # last driver check: r5
-    "versioned_skip_read",  # last driver check: r5
-    "versioned_changes",  # last driver check: r5
-    "incremental_matview",  # last driver check: r5
-    "hll_registers",  # last driver check: r5
-    "hll_by_group",  # last driver check: r5
-    "cms_counts",  # last driver check: r5
-    "bm25_topk",  # last driver check: r5
-    "dsir_weights",  # last driver check: r5
-    "dsir_select",  # last driver check: r5
-    "bigram_surprisal",  # last driver check: r5
-    "gap_fill_daily",  # last driver check: r5
-    "pagerank",  # last driver check: r5
-    "ann_recall",  # last driver check: r5
-    "zorder_curve",  # last driver check: r5
-    "attribution",  # last driver check: r5
-    "cohort_retention",  # last driver check: r5
-    "value_histogram",  # last driver check: r5
-    "ann_topk",  # last driver check: r5
-    "ann_ivf_topk",  # last driver check: r5
-    "cosine_neardup",  # last driver check: r5
-    "cube_volume",  # last driver check: r5
-    "moving_average",  # last driver check: r5
-    "temporal_trend",  # last driver check: r5
-    "repetition_filter",  # last driver check: r5
-    "token_count",  # last driver check: r5
-    "redact_pii",  # last driver check: r5
-    "split_assign",  # last driver check: r5
+    "curation_pipeline",  # last driver check: never
+    "date_standardize",  # last driver check: r5
+    "decode_ladders",  # last driver check: r5
+    "regional_volume",  # last driver check: r5
+    "profile_columns",  # last driver check: r5
+    "shipping_priority",  # last driver check: r5
+    "neardup_clusters",  # last driver check: r5
+    "lsh_neardup",  # last driver check: r5
+    "sessionize",  # last driver check: r5
+    "sessionize_skew",  # last driver check: r5
+    "range_join",  # last driver check: r5
+    "date_dim",  # last driver check: r5
+    "dedup_exact",  # last driver check: r5
+    "minhash_lsh",  # last driver check: r5
+    "corpus_curation",  # last driver check: r5
+    "versioned_mor_delete",  # last driver check: r7
+    "versioned_rename_read",  # last driver check: r7
+    "ab_test",  # last driver check: r7
+    "basket_pairs",  # last driver check: r7
+    "bfs_distances",  # last driver check: r7
+    "markov_transitions",  # last driver check: r7
+    "top_event_paths",  # last driver check: r7
+    "table_diff",  # last driver check: r7
+    "mad_outliers",  # last driver check: r7
+    "prefix_filter_pairs",  # last driver check: r7
+    "quantile_binning",  # last driver check: r7
+    "crosstab_chi2",  # last driver check: r7
+    "lag_autocorr",  # last driver check: r7
+    "spatial_radius_join",  # last driver check: r7
+    "referential_audit",  # last driver check: r7
+    "bitmap_distinct",  # last driver check: r7
+    "window_suite",  # last driver check: r7
+    "period_over_period",  # last driver check: r7
+    "rolling_range_frame",  # last driver check: r7
+    "key_skew_profile",  # last driver check: r7
+    "pyds_pushdown_read",  # last driver check: r7
+    "pyds_write_read",  # last driver check: r7
+    "pyds_stream_tail",  # last driver check: r7
+    "streaming_stateful_totals",  # last driver check: r7
+    "udtf_chunks",  # last driver check: r7
+    "cogroup_reconcile",  # last driver check: r7
+    "linkage_scores",  # last driver check: r7
+    "rolling_distinct",  # last driver check: r7
+    "group_ols_trend",  # last driver check: r7
+    "target_encode",  # last driver check: r7
+    "interval_overlap",  # last driver check: r7
+    "priority_sample",  # last driver check: r7
+    "top_p_sources",  # last driver check: r7
+    "streaming_join",  # last driver check: r7
+    "source_overlap",  # last driver check: r7
 ]
 
 
@@ -1964,6 +1973,9 @@ def oracle_sql() -> dict[str, str]:
         "adf_test": ADF_T_SQL,
         "permutation_entropy": PERMUTATION_ENTROPY_SQL,
         "dedup_keep_best": keep_best_oracle_sql(
+            minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD)
+        ),
+        "curation_pipeline": curation_pipeline_oracle_sql(
             minhash_lsh_oracle_sql(threshold=JACCARD_THRESHOLD)
         ),
         "pii_density": PII_DENSITY_SQL,

@@ -255,6 +255,7 @@ BENCH_QUERIES = {
     "q165_binseg": ("collect", "binseg_changepoint"),
     "q166_hhi": ("collect", "hhi_concentration"),
     "q167_readability": ("collect", "readability_fk"),
+    "q168_curation_pipeline": ("collect", "curation_pipeline"),
 }
 
 

@@ -426,9 +426,20 @@ ORDER BY source
 # Session-scoped shared merge table (the shared_lsh_pairs pattern,
 # operators/dedup.py): three map entries (bpe_merges, bpe_encode,
 # bpe_fertility) train the IDENTICAL 10-round merge list over the
-# corpus documents; within one session it is trained once. The cached
-# value is a plain driver-side list — no persist to manage.
+# corpus documents; within one session it is trained once PER CORPUS.
+# The cached value is a plain driver-side list (~n_merges tuples) — no
+# persist to manage — so unlike the candidate-pair frame we keep a few
+# corpora resident (ADVICE r11: a single-slot cache retrains on every
+# sf_dir flip in sessions that alternate two scale dirs, e.g. the scale
+# probe's base/big interleave). Capped so a pathological many-dir
+# session still stays bounded.
 _SHARED_MERGES: dict[tuple[str, str, int], list[tuple[str, str]]] = {}
+_SHARED_MERGES_CAP = 4
+
+
+def reset_shared_merges() -> None:
+    """Drop every cached merge table (scale-probe cold-run hook)."""
+    _SHARED_MERGES.clear()
 
 
 def shared_bpe_merges(
@@ -439,6 +450,7 @@ def shared_bpe_merges(
     key = (spark.sparkContext.applicationId, sf_dir, int(n_merges))
     if key not in _SHARED_MERGES:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        _SHARED_MERGES.clear()  # hold at most one corpus table
+        while len(_SHARED_MERGES) >= _SHARED_MERGES_CAP:
+            _SHARED_MERGES.pop(next(iter(_SHARED_MERGES)))  # FIFO evict
         _SHARED_MERGES[key] = train_bpe_merges(docs, n_merges=n_merges)
     return _SHARED_MERGES[key]

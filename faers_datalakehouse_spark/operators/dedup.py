@@ -1051,6 +1051,23 @@ ORDER BY id_a, id_b
 _SHARED_PAIRS: dict[tuple[str, str, float], DataFrame] = {}
 
 
+def reset_shared_pairs() -> None:
+    """Unpersist and drop every cached candidate frame.
+
+    Spark's CacheManager keeps an ``InMemoryRelation`` alive until it is
+    explicitly unpersisted, so eviction must unpersist BEFORE dropping the
+    dict reference or the executor storage leaks for the session lifetime
+    (ADVICE r11). Also used by the scale probe to force a cold build per
+    timed run.
+    """
+    for old in _SHARED_PAIRS.values():
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — a dead session's frame is moot
+            pass
+    _SHARED_PAIRS.clear()
+
+
 def shared_lsh_pairs(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
@@ -1063,6 +1080,6 @@ def shared_lsh_pairs(
         df = minhash_lsh_pairs(
             docs, threshold=threshold, portable_hash=True
         ).persist()
-        _SHARED_PAIRS.clear()  # hold at most one corpus frame
+        reset_shared_pairs()  # hold at most one corpus frame; unpersist evictees
         _SHARED_PAIRS[key] = df
     return df

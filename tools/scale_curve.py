@@ -393,6 +393,8 @@ OPS = [
     "contamination_check",
     "pack_sequences",
     "global_summary",
+    # r12: the composed curation chain (shared_lsh_pairs consumer)
+    "curation_pipeline",
 ]
 
 
@@ -721,6 +723,9 @@ COLLECT_OPS = {
     "shipping_priority",
     "sql_scripting",
     "sql_variables",
+    # r12: the composed curation chain — ≤24 manifest rows, cost in the
+    # components/window/aggregate stages count() would partially prune
+    "curation_pipeline",
 }
 
 
@@ -767,10 +772,37 @@ def _checksum(df) -> None:
     df.selectExpr(f"bit_xor(xxhash64({cols})) AS chk").collect()
 
 
+# Entries that consume a session-shared frame/table (shared_lsh_pairs /
+# shared_bpe_merges). Without a reset, the warm-up builds the shared
+# artifact and the timed runs measure cached reads — understating the
+# true scale behavior (ADVICE r11). The probe clears the caches before
+# EVERY invocation of these ops so each timed run pays the full build.
+SHARED_CACHE_OPS = {
+    "minhash_lsh",
+    "curation_pipeline",
+    "neardup_clusters",
+    "neardup_clusters_star",
+    "dedup_keep_best",
+    "bpe_merges",
+    "bpe_encode",
+    "bpe_fertility",
+}
+
+
+def _reset_shared_caches() -> None:
+    from faers_datalakehouse_spark.operators.bpe import reset_shared_merges
+    from faers_datalakehouse_spark.operators.dedup import reset_shared_pairs
+
+    reset_shared_pairs()
+    reset_shared_merges()
+
+
 def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
     fn = queries[name]
     best = math.inf
     for _ in range(runs):
+        if name in SHARED_CACHE_OPS:
+            _reset_shared_caches()
         t0 = time.time()
         df = fn(spark, sf_dir)
         if name in COLLECT_OPS:
@@ -782,6 +814,27 @@ def time_op(spark, queries, name: str, sf_dir: str, runs: int) -> float:
         best = min(best, time.time() - t0)
         spark.catalog.clearCache()
     return best
+
+
+def build_artifact(results: dict, failed: list[str], factor: int, runs: int) -> dict:
+    """Assemble the SCALE_CURVE.json payload.
+
+    Failures are recorded IN the artifact (ADVICE r11): under --only a
+    failed op would otherwise silently keep its stale row, and in a full
+    run it would silently vanish — either way invisible without the run
+    log. A failed op's stale row is dropped so `ops` only ever holds
+    measurements the probe actually produced.
+    """
+    for name in failed:
+        results.pop(name, None)
+    return {
+        "base": BASE,
+        "factor": factor,
+        "runs_per_point": runs,
+        "statistic": "min",
+        "ops": results,
+        "failed": sorted(failed),
+    }
 
 
 def main() -> None:
@@ -842,13 +895,7 @@ def main() -> None:
         }
         print(f"{name:24s} {t1:7.3f}s -> {t5:7.3f}s  ratio {t5 / t1:5.2f}x  exp {exp:4.2f}")
 
-    out = {
-        "base": BASE,
-        "factor": args.factor,
-        "runs_per_point": args.runs,
-        "statistic": "min",
-        "ops": results,
-    }
+    out = build_artifact(results, failed, args.factor, args.runs)
     artifact.write_text(json.dumps(out, indent=1))
     print(f"-> {artifact}")
     if failed:
