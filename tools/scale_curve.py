@@ -842,6 +842,14 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--factor", type=int, default=5)
     ap.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="skip the per-scale warm-up invocation — for multi-minute "
+        "ops (the quadratic-output verify kernels) JIT/codegen warm-up "
+        "noise is irrelevant next to the op cost and the extra "
+        "invocation doubles a very long probe",
+    )
+    ap.add_argument(
         "--only",
         nargs="*",
         default=None,
@@ -878,9 +886,11 @@ def main() -> None:
         # A single op failure (e.g. a managed-table collision on the probe
         # corpus) must not void the remaining roster — record and continue.
         try:
-            time_op(spark, queries, name, base_dir, 1)
+            if not args.no_warmup:
+                time_op(spark, queries, name, base_dir, 1)
             t1 = time_op(spark, queries, name, base_dir, args.runs)
-            time_op(spark, queries, name, big_dir, 1)
+            if not args.no_warmup:
+                time_op(spark, queries, name, big_dir, 1)
             t5 = time_op(spark, queries, name, big_dir, args.runs)
         except Exception as exc:  # noqa: BLE001 — probe isolation
             failed.append(name)
