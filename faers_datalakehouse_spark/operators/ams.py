@@ -49,22 +49,24 @@ def ams_f2(df: DataFrame, value_col: str) -> DataFrame:
     # ONE md5 per row; sign j is the parity of hex digit j — md5 bits
     # are independent, and hashing is the whole per-row cost (16
     # separate md5s benched 7.3 s at sf0.1; one md5 + 16 nibble
-    # parities is ~6x cheaper)
+    # parities is ~6x cheaper). r12: the 16 per-digit
+    # ``conv(substring(h, j, 1))`` string conversions are folded into
+    # TWO 8-digit ``conv`` calls + integer shift/mask parity extraction
+    # — hex digit j of the md5 string is nibble (7 - j) of the first
+    # 8-digit word (guide §2.3 "narrower types / cheaper per-row
+    # expressions"); identical parities, identical sums.
     h = F.md5(F.col(value_col).cast("string"))
+    c1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    c2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+
+    def _sign(j: int):
+        word, pos = (c1, 7 - j) if j < 8 else (c2, 15 - j)
+        return 1 - 2 * (
+            F.shiftright(word, 4 * pos).bitwiseAND(F.lit(1))
+        )
+
     signs = df.select(
-        *[
-            (
-                1
-                - 2
-                * (
-                    F.conv(F.substring(h, j + 1, 1), 16, 10).cast(
-                        "long"
-                    )
-                    % 2
-                )
-            ).alias(f"s{j}")
-            for j in range(N_SKETCH)
-        ]
+        *[_sign(j).alias(f"s{j}") for j in range(N_SKETCH)]
     )
     z = signs.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

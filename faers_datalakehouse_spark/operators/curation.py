@@ -64,11 +64,16 @@ def dedup_keep_best(
     among equal-length near-dups the choice is arbitrary, so it must at
     least be deterministic)."""
     ca = cluster_assignments(pairs, src="id_a", dst="id_b")
-    lens = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(_norm_text(F.col(text_col))).alias("_len"),
-    )
-    members = ca.join(lens, "doc_id")
+    # Join FIRST, normalize after: the two-regex normalization is the
+    # dominant per-row cost, and cluster members are a tiny fraction of
+    # the corpus. Projecting the normalized length below the join made
+    # every document pay the regexes; Catalyst does not push computed
+    # projections through joins, so placing the expression above the
+    # (broadcast label-frame) join evaluates it for member rows only.
+    # Same values, member-only compute.
+    members = ca.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id"
+    ).withColumn("_len", F.length(_norm_text(F.col(text_col)))).drop(text_col)
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("_len").desc(), F.col("doc_id")
     )
@@ -391,15 +396,16 @@ def curation_pipeline(
 
     # 1. kept corpus: drop every cluster member that is not the keeper
     ca = cluster_assignments(pairs, src="id_a", dst="id_b")
-    lens = docs.select(
-        F.col("doc_id"),
-        F.length(_norm_text(F.col("text"))).alias("_len"),
-    )
+    # join FIRST, normalize after (the dedup_keep_best r12 fix): the
+    # two-regex normalization runs for cluster MEMBERS only, not the
+    # whole corpus — Catalyst would otherwise evaluate the projection
+    # below the join for every document.
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("_len").desc(), F.col("doc_id")
     )
     dropped = (
-        ca.join(lens, "doc_id")
+        ca.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("_len", F.length(_norm_text(F.col("text"))))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
         .select("doc_id")
@@ -417,6 +423,10 @@ def curation_pipeline(
 
     # 3. per-doc tokens, per-source water-filled budgets, greedy prefix
     norm = _norm_text(F.col("text"))
+    # tok feeds two consumers (the per-source totals and the greedy
+    # prefix) — persisted so the normalization+tokenization pass over
+    # the kept corpus runs once (run-internal cache, same policy as the
+    # minhash/allpairs frames).
     tok = kept.select(
         "doc_id",
         "source",
@@ -425,7 +435,7 @@ def curation_pipeline(
         .otherwise(F.size(F.split(norm, " ")))
         .cast("long")
         .alias("n_tok"),
-    )
+    ).persist()
     per_source = tok.groupBy("source").agg(
         F.sum("n_tok").cast("long").alias("n_tokens")
     )

@@ -59,9 +59,13 @@ def dsir_weights(
     ``weight_bits > 0`` ⇒ the document looks more target-like than
     raw-average (upsample it); ``< 0`` ⇒ generic/noise (downsample).
     """
+    # raw_toks feeds two consumers (the raw bucket counts and the scoring
+    # join) — persisted so the normalize+tokenize+explode pass over the
+    # raw corpus runs once instead of twice (r12; run-internal cache,
+    # cleared by bench/clearCache like the minhash frame).
     raw_toks = corpus_tokens(raw, id_col, text_col).withColumn(
         "bucket", _hash_bucket(F.col("word"), n_buckets)
-    )
+    ).persist()
     r_counts = raw_toks.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("r_cnt")
     )

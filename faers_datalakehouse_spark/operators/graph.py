@@ -45,14 +45,34 @@ def pagerank_lite(
     dst: str = "dst",
 ) -> DataFrame:
     """``(node, rank_micro)`` after ``iters`` damped integer power steps
-    over the DISTINCT directed edge set; ordered by rank desc, node asc."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    over the DISTINCT directed edge set; ordered by rank desc, node asc.
+
+    The edge frame is materialized ONCE (eager ``localCheckpoint``, the
+    repo's iterative-lineage standard — see ``operators/clustering.py``):
+    ``e`` is referenced by ``nodes`` (twice), ``outdeg``, and every
+    iteration's join, so without materialization the executed tree
+    re-derives the upstream edge plan (often a fact-table join) per
+    reference — the r12 plan audit measured 40 parquet scans / 60
+    exchanges for iters=2 on this operator. ``nodes`` and ``outdeg`` are
+    node-sized and each referenced per iteration, so they are
+    materialized too. At 100 TB this is exactly the state a distributed
+    PR keeps per iteration anyway (GraphX checkpoints the same frames)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     base = F.lit(((100 - damping_pct) * SCALE) // 100).cast("long")
 
     ranks = nodes.withColumn("rank_micro", F.lit(SCALE).cast("long"))
@@ -83,7 +103,11 @@ def pagerank_lite(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    pre_canonical: bool = False,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over the undirected simple graph of
     ``edges`` — ``(node, n_triangles)`` for nodes in ≥1 triangle,
@@ -106,26 +130,36 @@ def triangle_counts(
     integers (DuckDB twin enumerates ``a < b < c`` directly — same
     triangle set, same counts).
     """
-    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
-        F.col("x") != F.col("y")
-    )
-    # und feeds degree (twice, via the union) AND the orientation join;
-    # without reuse every reference re-runs the upstream edge plan (the
-    # round-7 plan audit showed 8 scans of the source tables for what is
-    # logically one edge list). localCheckpoint(eager=True) — not
-    # persist(): cache-manager entries are keyed by analyzed plan and
-    # accumulate across invocations, and under storage pressure their
-    # eviction churn made this operator bimodal (4.5 s vs 21 s runs in
-    # BENCH_local_session2_r07); checkpoint blocks are per-call, disk-
-    # backed, lineage-truncating, and reclaimed when the frame is GC'd.
-    und = (
-        e.select(
-            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    # ``pre_canonical=True`` promises ``edges`` is ALREADY the distinct
+    # undirected (a=src < b=dst) edge set, materialized by the caller —
+    # clustering_coefficient builds exactly that frame for its degree
+    # aggregate, and before r12 this function re-ran the
+    # least/greatest+distinct shuffle and a second degree aggregate on
+    # it (a full redundant exchange + materialization per call).
+    # ``degrees`` likewise lets the caller share its (node, deg) frame.
+    if pre_canonical:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+            F.col("x") != F.col("y")
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
+        # und feeds degree (twice, via the union) AND the orientation join;
+        # without reuse every reference re-runs the upstream edge plan (the
+        # round-7 plan audit showed 8 scans of the source tables for what is
+        # logically one edge list). localCheckpoint(eager=True) — not
+        # persist(): cache-manager entries are keyed by analyzed plan and
+        # accumulate across invocations, and under storage pressure their
+        # eviction churn made this operator bimodal (4.5 s vs 21 s runs in
+        # BENCH_local_session2_r07); checkpoint blocks are per-call, disk-
+        # backed, lineage-truncating, and reclaimed when the frame is GC'd.
+        und = (
+            e.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    deg = degrees if degrees is not None else (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -271,7 +305,19 @@ def bfs_distances(
     No counterpart in the reference (engine extension surface).
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Materialize the edge frame once and each hop's NEW frontier
+    # (eager localCheckpoint — operators/clustering.py's documented
+    # iterative-lineage rule). ``settled`` references the previous hop's
+    # frame twice (anti-join + union), so without per-hop
+    # materialization the executed tree doubles per hop: the r12 plan
+    # audit measured 48 parquet scans / 138 exchanges / 72 joins at
+    # max_hops=3. With it, each hop is ONE join + distinct + anti-join
+    # over materialized, frontier-sized frames.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     settled = spark.createDataFrame(
         [(int(s), 0) for s in sorted(set(sources))], "node long, dist long"
     )
@@ -283,6 +329,7 @@ def bfs_distances(
             .distinct()
             .join(settled.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
         )
         settled = settled.union(new)
         frontier = new.select("node")
@@ -338,6 +385,12 @@ def sssp_weighted(
     No counterpart in the reference (engine extension surface).
     """
     spark = edges.sparkSession
+    # Edge frame materialized once, per-round distance frame materialized
+    # per round (eager localCheckpoint — the clustering.py iterative-
+    # lineage rule): ``dist`` is referenced twice per round (relaxation
+    # join + union), so the unmaterialized tree doubles per round — the
+    # r12 plan audit measured 56 parquet scans / 80 exchanges at
+    # rounds=3, each re-deriving the weighted fact-table edge join.
     e = (
         edges.select(
             F.col(src).alias("src"),
@@ -346,6 +399,7 @@ def sssp_weighted(
         )
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
     )
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sorted(set(sources))], "node long, dist long"
@@ -359,6 +413,7 @@ def sssp_weighted(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
         )
     return dist.orderBy("dist", "node")
 

@@ -63,13 +63,20 @@ def clustering_coefficient(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # deg is consumed three times (the >=2 filter/join here plus both
+    # orientation joins inside triangle_counts) — node-sized, so
+    # materialize it once; triangle_counts is told the edge frame is
+    # already canonical+checkpointed and given the shared degrees, so
+    # the pre-r12 redundant distinct shuffle + second degree aggregate
+    # inside it are gone (plan: 30 exchanges -> see _after plan).
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
-    tri = triangle_counts(und, "a", "b")
+    tri = triangle_counts(und, "a", "b", pre_canonical=True, degrees=deg)
     return (
         deg.filter(F.col("deg") >= 2)
         .join(tri, "node", "left")

@@ -67,10 +67,18 @@ def semantic_neardup_pairs(
     qn = with_quantized_norm(emb.select(id_col, emb_col), emb_col).select(
         F.col(id_col).alias("id"), "q_emb", "q_norm2"
     )
+    # Persist the assignment frame: BOTH self-join sides consume it, and
+    # mapInPandas is opaque to Catalyst (no subtree reuse across the
+    # broadcast build/probe sides), so unpersisted the quantize+assign
+    # Arrow kernel ran TWICE over the corpus — the r12 before-plan shows
+    # two MapInPandas nodes over two separate parquet scans (guide §5
+    # "caching is worth it when a DataFrame is reused and recomputing is
+    # expensive"). Run-internal cache, cleared by bench/clearCache like
+    # the minhash and allpairs frames.
     e = assign_kernel_frame(
         qn, cents, id_col="id", qv_col="q_emb",
         passthrough=("q_emb", "q_norm2"),
-    )
+    ).persist()
     a, b = e.alias("a"), e.alias("b")
     cosine = _cosine(
         _dot(F.col("a.q_emb"), F.col("b.q_emb")),

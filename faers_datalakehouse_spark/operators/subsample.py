@@ -46,9 +46,20 @@ def subsample_mean_band(
     # bits). 32 separate seeded md5s benched 6.4 s at sf0.1 — hashing
     # dominates, so sharing the digest is the whole win.
     h = F.md5(F.col(id_col).cast("string"))
+    # r12: the 32 per-digit ``conv(substring(h, b, 1))`` string
+    # conversions are folded into FOUR 8-digit ``conv`` words + integer
+    # shift/mask parity extraction — hex digit b of the digest is
+    # nibble (7 - b%8) of word b//8 (the ams_f2 fix; guide §2.3 cheaper
+    # per-row expressions). Identical parities, identical sums.
+    words = [
+        F.conv(F.substring(h, 8 * w + 1, 8), 16, 10).cast("long")
+        for w in range(N_SUBSAMPLES // 8)
+    ]
     bits = [
         (
-            F.conv(F.substring(h, b + 1, 1), 16, 10).cast("long") % 2
+            F.shiftright(words[b // 8], 4 * (7 - b % 8)).bitwiseAND(
+                F.lit(1)
+            )
             == 0
         )
         .cast("long")

@@ -189,7 +189,13 @@ def weighted_quantile(
         F.col(value_col).cast("long").alias("v"),
         F.col(weight_col).cast("long").alias("w"),
     ).where((F.col("w") > 0) & (F.col("v") >= 0))
-    rows = t.withColumn("bkt", F.length(F.bin("v")))
+    # ``rows`` feeds two consumers (bucket sums + the boundary join), and
+    # callers ask for several quantiles of the same frame (p50 + p90 in
+    # weighted_quantiles_query) — because Spark's cache is keyed by the
+    # analyzed plan, one persist here makes every same-input call share
+    # ONE materialization instead of re-scanning per consumer per call
+    # (4 scans of lineitem before, r12 plan audit).
+    rows = t.withColumn("bkt", F.length(F.bin("v"))).persist()
 
     per_bucket = rows.groupBy("g", "bkt").agg(F.sum("w").alias("bw"))
     wg = Window.partitionBy("g")
