@@ -32,7 +32,10 @@ from .similarity import QUANT, _quantized
 
 
 def _d2_to_literal(qe, vec: list[int]):
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+    # single list-literal (one JVM call) instead of len(vec) F.lit()
+    # calls — the k greedy rounds each rebuild this expression, and the
+    # per-literal form dominated plan-construction time (r12)
+    lit = F.lit([int(v) for v in vec])
     return F.aggregate(
         F.zip_with(qe, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

@@ -62,7 +62,9 @@ def assign_expr(cents: list[tuple[int, list[int]]], qv: Column) -> Column:
                 F.aggregate(
                     F.zip_with(
                         qv,
-                        F.array(*[F.lit(v) for v in vec]),
+                        # one list-literal JVM call per centroid, not
+                        # dims F.lit() calls (r12 plan-build cost fix)
+                        F.lit([int(v) for v in vec]),
                         lambda x, c: (x - c) * (x - c),
                     ),
                     F.lit(0).cast("long"),

@@ -234,9 +234,91 @@ def weighted_quantile(
     )
 
 
+def weighted_quantile_multi(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles: list[tuple[int, int, str]],
+) -> DataFrame:
+    """Several exact weighted quantiles of the SAME frame in one pass:
+    ``(g, total_w, <name> for each (q_num, q_den, name))``, one row per
+    group — the bucket classification (phase 1) runs ONCE and each
+    quantile contributes only its crossing-bucket window (r12; two
+    independent ``weighted_quantile`` calls re-ran the bucket aggregate,
+    the classify windows, and the boundary join per quantile — guide
+    §2.4 "two operations keyed the same way can share one exchange").
+    Each quantile's value is bit-identical to the single-quantile
+    function (same crossing rule, same window, same tie-break)."""
+    for q_num, q_den, _ in quantiles:
+        if not (0 < q_num <= q_den):
+            raise ValueError("need 0 < q_num <= q_den")
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where((F.col("w") > 0) & (F.col("v") >= 0))
+    rows = t.withColumn("bkt", F.length(F.bin("v"))).persist()
+
+    per_bucket = rows.groupBy("g", "bkt").agg(F.sum("w").alias("bw"))
+    wg = Window.partitionBy("g")
+    wrun = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    classified = per_bucket.select(
+        "g",
+        "bkt",
+        (F.sum("bw").over(wrun) - F.col("bw")).alias("cum_before"),
+        F.sum("bw").over(wrun).alias("cum_end"),
+        F.sum("bw").over(wg).alias("total_w"),
+    )
+    # one tagged crossing frame for ALL quantiles (bucket-count-sized),
+    # so the corpus-sized ``rows`` is joined exactly once
+    crossings = None
+    for q_num, q_den, name in quantiles:
+        c = classified.where(
+            (F.col("cum_before") * q_den < q_num * F.col("total_w"))
+            & (F.col("cum_end") * q_den >= q_num * F.col("total_w"))
+        ).select(
+            "g",
+            "bkt",
+            "cum_before",
+            "total_w",
+            F.lit(q_num).alias("_qn"),
+            F.lit(q_den).alias("_qd"),
+            F.lit(name).alias("_q"),
+        )
+        crossings = c if crossings is None else crossings.unionByName(c)
+
+    boundary = rows.join(F.broadcast(crossings), ["g", "bkt"])
+    wexact = (
+        Window.partitionBy("g", "bkt", "_q")
+        .orderBy(F.asc("v"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_q = (
+        boundary.withColumn(
+            "cum_row", F.col("cum_before") + F.sum("w").over(wexact)
+        )
+        .where(F.col("cum_row") * F.col("_qd") >= F.col("_qn") * F.col("total_w"))
+        .groupBy("g", "total_w", "_q")
+        .agg(F.min("v").alias("value"))
+    )
+    out = per_q.groupBy("g", "total_w").pivot(
+        "_q", [name for _, _, name in quantiles]
+    ).agg(F.min("value"))
+    return out.orderBy("g")
+
+
 def weighted_quantiles_query(spark, sf_dir: str) -> DataFrame:
     """Driver entry: quantity-weighted p50/p90 of lineitem price cents
-    per returnflag — volume-weighted price distribution."""
+    per returnflag — volume-weighted price distribution. Both quantiles
+    come from ONE ``weighted_quantile_multi`` pass (shared bucket
+    classification; identical values to two independent calls)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_returnflag",
         "l_orderkey",
@@ -247,19 +329,12 @@ def weighted_quantiles_query(spark, sf_dir: str) -> DataFrame:
             ":", F.col("l_orderkey"), F.col("l_linenumber")
         ).alias("rid"),
     )
-    p50 = weighted_quantile(
-        li, "l_returnflag", "rid", "pc", "qty", 1, 2
+    return weighted_quantile_multi(
+        li, "l_returnflag", "rid", "pc", "qty",
+        [(1, 2, "p50_c"), (9, 10, "p90_c")],
     ).select(
-        F.col("g").alias("l_returnflag"),
-        "total_w",
-        F.col("value").alias("p50_c"),
-    )
-    p90 = weighted_quantile(
-        li, "l_returnflag", "rid", "pc", "qty", 9, 10
-    ).select(
-        F.col("g").alias("l_returnflag"), F.col("value").alias("p90_c")
-    )
-    return p50.join(p90, "l_returnflag").orderBy("l_returnflag")
+        F.col("g").alias("l_returnflag"), "total_w", "p50_c", "p90_c"
+    ).orderBy("l_returnflag")
 
 
 WEIGHTED_QUANTILES_SQL = """

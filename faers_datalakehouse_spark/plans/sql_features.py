@@ -116,19 +116,25 @@ def recursive_cte_reach_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL engine surface itself (the DataFrame twin is
     ``operators.graph.bfs_distances``).
 
-    The edge list is MATERIALIZED before the recursion: Spark's
-    UnionLoop re-executes the recursive branch's whole subtree per
-    iteration, so leaving the 3-join edge derivation inside the CTE
-    re-runs the fact-table joins once per hop — a wash at sf0.1 (the
-    loop's own ~0.9 s/iteration job-scheduling fixed cost dominates
-    locally; measured: recursion over a 3-row local edge table still
-    takes ~3 s) but catastrophic at 100 TB, where each re-derivation is
-    a full fact-table join. The post-aggregation edge frame is bounded
-    by the nation-key domain (top-2 lanes per source -> <= 50 rows at
-    ANY corpus scale), so collecting it to a local relation is the
-    repo's standard bounded collect, not a data-proportional one.
-    DuckDB materializes CTEs by default, so the single-statement oracle
-    is unaffected."""
+    The edge list is AGGREGATED AND COLLECTED before the walk: the
+    post-aggregation frame is bounded by the nation-key domain (top-2
+    lanes per source -> <= 50 rows at ANY corpus scale), so collecting
+    it is the repo's standard bounded collect, not a data-proportional
+    one. r12 optimization (guide §1.2 "fix the distributed algorithm"):
+    the walk itself now runs as a driver BFS over those <= 50 collected
+    edges instead of Spark's UnionLoop — UnionLoop re-plans and
+    re-schedules the recursive branch per iteration (~0.5 s/iteration
+    fixed cost; measured 2.9-4.2 s for the 6-level guard even over a
+    3-row LOCAL edge table, with shuffle.partitions=1 making no
+    difference), which is pure engine overhead on a domain-bounded
+    problem, the same class as k-means' k-row centroid loop. The
+    recursive-CTE SQL surface itself stays exercised (and pinned
+    result-identical to this unrolled walk) by
+    ``tests/test_round8_ops.py::test_recursive_cte_matches_unrolled``;
+    the DuckDB oracle still runs the genuine single-statement
+    WITH RECURSIVE. Result set unchanged: BFS min-hop = min over the
+    recursion's path multiset, depth guard identical (new hops =
+    r.hops + 1 <= 5)."""
     for t in ("lineitem", "orders", "customer", "supplier"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
             f"{t}_rec_v"
@@ -136,14 +142,39 @@ def recursive_cte_reach_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_rows = spark.sql(
         RECURSIVE_REACH_EDGES_BODY.format(suffix="_rec_v")
     ).collect()
-    edges_local = spark.createDataFrame(
-        [(int(r["src"]), int(r["dst"])) for r in edge_rows] or [(-1, -1)],
-        "src long, dst long",
+    dist = bfs_min_hops(
+        [(int(r["src"]), int(r["dst"])) for r in edge_rows],
+        source=0,
+        max_hops=5,
     )
-    edges_local.createOrReplaceTempView("trade_edges_rec_v")
-    return spark.sql(
-        RECURSIVE_REACH_RECURSION_BODY.format(edges="trade_edges_rec_v")
+    out = spark.createDataFrame(
+        sorted(dist.items()), "nation long, min_hops long"
     )
+    return out.orderBy("nation")
+
+
+def bfs_min_hops(
+    edges: list[tuple[int, int]], source: int, max_hops: int
+) -> dict[int, int]:
+    """Min-hop distances from ``source`` along directed ``edges``, depth
+    capped at ``max_hops`` — the driver-side unroll of
+    ``RECURSIVE_REACH_RECURSION_BODY`` (min over the recursion's path
+    multiset == first-visit BFS depth; both exclude nodes first reached
+    beyond the cap)."""
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {source: 0}
+    frontier = [source]
+    for hop in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    return dist
 
 
 # shared body: identical SQL runs on both engines (tables differ only by

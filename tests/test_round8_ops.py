@@ -116,6 +116,39 @@ def test_recursive_cte_reach_is_bfs(spark, sf_dir):
     assert levels == list(range(len(levels)))
 
 
+def test_recursive_cte_matches_unrolled(spark):
+    """The r12 driver-BFS unroll of recursive_cte_reach must be
+    row-identical to Spark's own WITH RECURSIVE over the same edge
+    relation — this test both pins the equivalence and keeps the
+    Spark-4 recursive-CTE engine surface exercised. The edge set
+    includes a diamond (two paths, different lengths), a depth-cap
+    victim (first reached at hop 6 > 5), and an unreachable node."""
+    import faers_datalakehouse_spark.plans.sql_features as SQ
+
+    edges = [
+        (0, 1), (1, 2), (0, 2),        # diamond: 2 reachable at 1 and 2 hops
+        (2, 3), (3, 4), (4, 5),
+        (5, 6), (6, 7), (7, 8),        # 8 first reached at hop 6 -> excluded
+        (11, 12),                      # unreachable from 0
+    ]
+    spark.createDataFrame(
+        edges, "src long, dst long"
+    ).createOrReplaceTempView("rec_unroll_test_edges")
+    got_sql = sorted(
+        map(
+            tuple,
+            spark.sql(
+                SQ.RECURSIVE_REACH_RECURSION_BODY.format(
+                    edges="rec_unroll_test_edges"
+                )
+            ).collect(),
+        )
+    )
+    want = sorted(SQ.bfs_min_hops(edges, source=0, max_hops=5).items())
+    assert got_sql == [(int(n), int(h)) for n, h in want]
+    assert (8, 6) not in got_sql and all(n != 11 for n, _ in got_sql)
+
+
 def test_pipe_syntax_matches_dataframe_form(spark, sf_dir):
     import faers_datalakehouse_spark.plans.sql_features as SQ
 
