@@ -31,15 +31,17 @@ from pyspark.sql import functions as F
 from .similarity import QUANT, _quantized
 
 
-def _d2_to_literal(qe, vec: list[int]):
-    # single list-literal (one JVM call) instead of len(vec) F.lit()
-    # calls — the k greedy rounds each rebuild this expression, and the
-    # per-literal form dominated plan-construction time (r12)
-    lit = F.lit([int(v) for v in vec])
-    return F.aggregate(
-        F.zip_with(qe, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+def _d2_to_literal(qe: str, vec: list[int]):
+    # ONE F.expr parse (one JVM call) instead of a literal + two py4j-built
+    # lambdas — the k greedy rounds each rebuild this expression, and the
+    # bridge-built form dominated plan-construction time (r12, guide §7.3).
+    # ``qe`` is the SQL name of the quantized-vector column; the parsed
+    # tree is the identical Catalyst expression (tests/test_sql_expr_parity).
+    arr = "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
+    return F.expr(
+        f"aggregate(zip_with({qe}, {arr}, "
+        f"(__a, __b) -> (__a - __b) * (__a - __b)), "
+        f"CAST(0 AS BIGINT), (__acc, __v) -> __acc + __v)"
     )
 
 
@@ -66,7 +68,7 @@ def kcenter_coreset(
     seed = seeds[0]
     picks = [(1, int(seed["vec_id"]), 0)]
     state = q.withColumn(
-        "mind", _d2_to_literal(F.col("qe"), list(seed["qe"]))
+        "mind", _d2_to_literal("qe", list(seed["qe"]))
     )
     for rank in range(2, k + 1):
         far = (
@@ -82,7 +84,7 @@ def kcenter_coreset(
         state = state.withColumn(
             "mind",
             F.least(
-                F.col("mind"), _d2_to_literal(F.col("qe"), list(far["qe"]))
+                F.col("mind"), _d2_to_literal("qe", list(far["qe"]))
             ),
         )
     spark = emb.sparkSession

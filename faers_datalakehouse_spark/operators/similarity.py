@@ -38,6 +38,27 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql_text(a: str, b: str) -> str:
+    """SQL text of ``_dot`` over two array-typed SQL fragments.
+
+    Plan-construction fast path (guide §7.3): building a zip_with/aggregate
+    lambda tree through py4j costs several bridge round-trips per node —
+    ~1.3 s per 16-centroid/16-plane builder at dim=64, measured r12 — while
+    ``F.expr`` on the equivalent SQL text is ONE bridge call and a JVM-side
+    parse to the identical Catalyst expression (verified result- and
+    type-identical by ``tests/test_sql_expr_parity.py``). Lambda variables
+    are double-underscored to avoid capturing caller column names."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (__x, __y) -> __x * __y), "
+        f"CAST(0 AS BIGINT), (__acc, __v) -> __acc + __v)"
+    )
+
+
+def _long_array_sql_text(vals) -> str:
+    """SQL text of ``F.lit([int, ...])`` — an array<bigint> literal."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
 def _cosine(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
     """Quantized cosine rounded to 6 dp — THE oracle-parity formula (the
     SQL twins restate it verbatim); one definition so quantization or
@@ -216,13 +237,13 @@ def lsh_bucketed_neighbors(
         fan_out(corpus.select(id_col, emb_col), id_col), emb_col
     ).select(
         F.col(id_col).alias("neighbor_id"),
-        _int_band_bucket(F.col("q_emb"), 0, n_planes, dim).alias("bucket"),
+        _int_band_bucket("q_emb", 0, n_planes, dim).alias("bucket"),
         F.col("q_emb").alias("c_emb"),
         F.col("q_norm2").alias("c_norm2"),
     )
     q = with_quantized_norm(queries.select(id_col, emb_col), emb_col).select(
         F.col(id_col).alias("query_id"),
-        _int_band_bucket(F.col("q_emb"), 0, n_planes, dim).alias("bucket"),
+        _int_band_bucket("q_emb", 0, n_planes, dim).alias("bucket"),
         F.col("q_emb").alias("qq_emb"),
         F.col("q_norm2").alias("qq_norm2"),
     )
@@ -269,7 +290,7 @@ def ivf_topk_neighbors(
     the corpus. A corpus row lives in exactly one cell, so probed cells
     never produce duplicate candidates.
     """
-    from .dedup import _let, _md5_hash64
+    from .dedup import _md5_hash64
 
     cents_rows = (
         corpus.select(id_col, emb_col)
@@ -282,42 +303,47 @@ def ivf_topk_neighbors(
         for r in cents_rows
     )
 
-    def cells_of(emb: Column, n: int) -> Column:
-        """Array of the ``n`` nearest centroid ids (dot DESC, cid ASC ties).
+    def cells_of(emb: str, n: int) -> Column:
+        """Array of the ``n`` nearest centroid ids (dot DESC, cid ASC ties)
+        for the embedding column named ``emb``.
 
         Built as array_sort over (-dot, cid) structs: a chained
         when(d > best, ...) ladder would reference the running best twice
-        per level — an exponential (2^n_cells) expression blow-up.
-        """
-
-        def build(q: Column) -> Column:
-            entries = F.array(
-                *[
-                    F.struct(
-                        (-_dot(q, F.lit([int(v) for v in cvec])))
-                        .alias("negdot"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, cvec in cent_q
-                ]
-            )
-            return F.transform(
-                F.slice(F.array_sort(entries), 1, n), lambda s: s["cid"]
-            )
-
-        return _let(_quantized(emb), build)
+        per level — an exponential (2^n_cells) expression blow-up. The whole
+        expression is ONE ``F.expr`` parse — n_cells × (array literal + two
+        dot lambdas + struct) built through py4j measured ~1.3 s of driver
+        time per call at 16×64 (r12, guide §7.3); the parse yields the
+        identical Catalyst tree (``tests/test_sql_expr_parity.py``). The
+        ``element_at(transform(array(<quantized>), __q -> ...), 1)`` shell
+        is ``_let``: it binds the quantized array once so the n_cells dot
+        products don't each re-quantize."""
+        structs = ", ".join(
+            f"named_struct('negdot', "
+            f"-{_dot_sql_text('__q', _long_array_sql_text(cvec))}, "
+            f"'cid', {int(cid)})"
+            for cid, cvec in cent_q
+        )
+        quant = (
+            f"transform(`{emb}`, __e -> "
+            f"CAST(round(__e * {QUANT}, 0) AS BIGINT))"
+        )
+        return F.expr(
+            f"element_at(transform(array({quant}), "
+            f"__q -> transform(slice(array_sort(array({structs})), 1, {n}), "
+            f"__s -> __s.cid)), 1)"
+        )
 
     c = with_quantized_norm(
         fan_out(corpus.select(id_col, emb_col), id_col), emb_col
     ).select(
         F.col(id_col).alias("neighbor_id"),
-        F.element_at(cells_of(F.col(emb_col), 1), 1).alias("cell"),
+        F.element_at(cells_of(emb_col, 1), 1).alias("cell"),
         F.col("q_emb").alias("c_emb"),
         F.col("q_norm2").alias("c_norm2"),
     )
     q = with_quantized_norm(queries.select(id_col, emb_col), emb_col).select(
         F.col(id_col).alias("query_id"),
-        F.explode(cells_of(F.col(emb_col), nprobe)).alias("cell"),
+        F.explode(cells_of(emb_col, nprobe)).alias("cell"),
         F.col("q_emb").alias("qq_emb"),
         F.col("q_norm2").alias("qq_norm2"),
     )
@@ -381,9 +407,15 @@ ORDER BY query_id, rank
 """
 
 
-def _int_band_bucket(emb_q: Column, band: int, n_planes: int, dim: int) -> Column:
+def _int_band_bucket(emb_q: str, band: int, n_planes: int, dim: int) -> Column:
     """Bucket id for one LSH band: n_planes sign bits of exact integer
     projections of the quantized embedding onto fixed integer hyperplanes.
+    ``emb_q`` is the SQL name of the quantized-embedding column — the whole
+    bucket expression is built as ONE ``F.expr`` parse instead of
+    n_planes × (literal + two lambdas + when) py4j constructions, which
+    measured ~1.1 s of pure driver time per 16-plane band (r12, guide
+    §7.3); the parsed tree is the identical Catalyst expression
+    (``tests/test_sql_expr_parity.py``).
 
     Guards embedding length == dim inside the expression: zip_with pads a
     length mismatch with NULLs, NULLing every projection, and the sign
@@ -391,25 +423,22 @@ def _int_band_bucket(emb_q: Column, band: int, n_planes: int, dim: int) -> Colum
     blocked join to a full cross product (and diverging from the DuckDB
     oracle, whose list_sum skips NULLs). assert_true fails the job
     instead."""
-    bits = []
+    terms = []
     for i in range(n_planes):
         p = band * n_planes + i
-        # one list-literal call, not dim F.lit() calls: plan construction
-        # crosses the Python/JVM bridge once per plane instead of once per
-        # weight (r12; 16 planes x 64 dims measured 2.4 s -> 0.5 s of pure
-        # py4j/analysis overhead per query build). Python ints map to
-        # LongType either way — identical array<bigint> literal.
-        plane = F.lit([_plane_weight_int(p, d) for d in range(dim)])
-        proj = _dot(emb_q, plane)
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**i))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    guard = F.assert_true(
-        F.size(emb_q) == dim,
-        F.lit(f"embedding length must equal dim={dim} for LSH planes"),
+        plane = _long_array_sql_text(
+            _plane_weight_int(p, d) for d in range(dim)
+        )
+        terms.append(
+            f"(CASE WHEN {_dot_sql_text(emb_q, plane)} >= 0 "
+            f"THEN 1 ELSE 0 END) * {2 ** i}"
+        )
+    out = " + ".join(terms)
+    guard = (
+        f"assert_true(size({emb_q}) = {dim}, "
+        f"'embedding length must equal dim={dim} for LSH planes')"
     )
-    return F.when(guard.isNull(), out)
+    return F.expr(f"CASE WHEN isnull({guard}) THEN {out} END")
 
 
 def lsh_bucketed_neardup(
@@ -452,7 +481,7 @@ def lsh_bucketed_neardup(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        _int_band_bucket(F.col("q_emb"), b, n_planes, dim).alias(
+                        _int_band_bucket("q_emb", b, n_planes, dim).alias(
                             "bucket"
                         ),
                     )
