@@ -72,7 +72,19 @@ def spearman_by_group(
     doubled tie-averaged ranks (NULL when either variance is zero or
     ``n < 2``)."""
     rx = _tie_avg_rank2(df, group_col, x_col, tiebreak_col, "rx2")
-    rxy = _tie_avg_rank2(rx, group_col, y_col, tiebreak_col, "ry2")
+    # Caller-side materialization between the two rank levels (r12, guide
+    # §3.3/§5): the y-rank level references rx ~4x (bucketed_global_rank
+    # consumes its input twice, the tie join twice more), and unchecked
+    # that re-derives the WHOLE x-rank subtree — and the upstream join/agg
+    # feeding it — per reference (64 scans / 136 exchanges in the before
+    # plan). The checkpoint truncates lineage at the group-count-sized rank
+    # frame. Deliberately here and NOT inside bucketed_global_rank: the
+    # light single-level consumers (theil_sen, gumbel_fit, record_days)
+    # measurably regressed when the shared primitive materialized (persist
+    # A/B, OPTIMIZATION_r12.md); only the nested-rank caller wins.
+    rxy = _tie_avg_rank2(
+        rx.localCheckpoint(eager=True), group_col, y_col, tiebreak_col, "ry2"
+    )
     # n^3-scaled moments overflow int64 past ~2M rows/group (the r9
     # overflow audit after the gini 5x-probe failure): sums and cross
     # products run in DECIMAL(38,0) (HUGEINT in the twin)
