@@ -31,7 +31,7 @@ No counterpart in the reference (LLM-pipeline extension surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -70,18 +70,25 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Monotone convergence probe: every round can only lower labels, so the
+    # label sum is strictly decreasing until fixpoint. decimal(38) keeps the
+    # probe overflow-free for 64-bit ids at any node count. The probe rides
+    # the checkpoint job itself via ``observe`` (r12): the eager
+    # localCheckpoint already materializes every row, so a CollectMetrics
+    # node on the pre-checkpoint plan collects the sum for free — the
+    # separate per-round probe job (a full pass over the labels frame at
+    # cluster scale) is gone. Verified: observations fire on eager
+    # localCheckpoint in Spark 4.1 (tests/test_advice_r12.py class of
+    # pins; test_clustering_probe_rides_checkpoint).
+    obs0 = Observation()
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .observe(obs0, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
         .localCheckpoint()
     )
-    # Monotone convergence probe: every round can only lower labels, so the
-    # label sum is strictly decreasing until fixpoint. decimal(38) keeps the
-    # probe overflow-free for 64-bit ids at any node count.
-    prev_sum = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    prev_sum = obs0.get["s"]
 
     for _ in range(max_iter):
         nbr_min = (
@@ -90,6 +97,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -98,11 +106,12 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
+            .observe(
+                obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            )
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == prev_sum:
             return labels
@@ -150,7 +159,12 @@ def connected_components_star(
     note in ``connected_components``; the plan would otherwise grow ~4x
     per round and drown the driver in re-analysis.
     """
-    # normalized undirected edges: (a, b) with a > b, no self-loops
+    # normalized undirected edges: (a, b) with a > b, no self-loops.
+    # Edge counts ride the checkpoint jobs via ``observe`` (r12) — the
+    # eager materialization already touches every row, so the separate
+    # count job per round is pure overhead (a full pass over the edge
+    # frame at cluster scale).
+    obs0 = Observation()
     cur = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
@@ -158,9 +172,10 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    cur_n = cur.count()
+    cur_n = obs0.get["n"]
     converged = False
     for _ in range(max_iter):
         # -- large-star --
@@ -181,6 +196,7 @@ def connected_components_star(
         # recomputes per branch — up to 3x the dominant per-round shuffle
         small = ls.distinct().persist()
         smins = small.groupBy("a").agg(F.min("b").alias("mn"))
+        obs = Observation()
         ss = (
             small.join(smins, "a")
             .filter(F.col("b") != F.col("mn"))
@@ -188,9 +204,10 @@ def connected_components_star(
             .union(smins.select(F.col("a"), F.col("mn").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        new_n = ss.count()
+        new_n = obs.get["n"]
         small.unpersist()  # ss is checkpointed; the cache served its round
         stable = (
             new_n == cur_n
