@@ -792,9 +792,21 @@ def _sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") + 1_000_000).alias("c"),
         (F.abs(F.datediff("l_shipdate", "o_orderdate")) + 1).alias("w"),
     )
-    edges = pairs.selectExpr("s AS src", "c AS dst", "w").unionByName(
-        pairs.selectExpr("c AS src", "s AS dst", "w")
-    )
+    # both lane directions in ONE pass (explode, r12): the mirror-union
+    # form executed the un-materialized lineitem x orders join once per
+    # branch — two full fact joins for one logical edge list
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("src"), F.col("c").alias("dst"), F.col("w")
+                ),
+                F.struct(
+                    F.col("c").alias("src"), F.col("s").alias("dst"), F.col("w")
+                ),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst", "ed.w")
     return sssp_weighted(edges, SSSP_SOURCES, rounds=SSSP_ROUNDS)
 
 

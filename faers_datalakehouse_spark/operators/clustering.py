@@ -64,9 +64,18 @@ def connected_components(
     # reliable-checkpoint deployment sets
     # ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to reap
     # the files.
+    # both orientations in ONE pass over ``edges`` (explode, r12): the
+    # self-union form executed the upstream edge subtree once per branch
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("ed")
+        )
+        .select("ed.a", "ed.b")
         .distinct()
         .localCheckpoint()
     )
@@ -180,9 +189,14 @@ def connected_components_star(
     for _ in range(max_iter):
         # -- large-star --
         # full neighborhood view: both orientations of every edge
-        nbrs = cur.select("a", "b").union(
-            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+        nbrs = cur.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("ed")
+        ).select("ed.a", "ed.b")
         mins = nbrs.groupBy("a").agg(F.min("b").alias("mn"))
         m = F.least(F.col("mn"), F.col("a"))
         ls = nbrs.join(mins, "a").filter(F.col("b") > F.col("a")).select(
@@ -233,8 +247,19 @@ def connected_components_star(
         .withColumn("comp", F.col("node"))
     )
     return (
-        cur.select(F.col("a").alias("node"), F.col("b").alias("comp"))
-        .union(cur.select(F.col("b").alias("node"), F.col("b").alias("comp")))
+        cur.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("node"), F.col("b").alias("comp")
+                    ),
+                    F.struct(
+                        F.col("b").alias("node"), F.col("b").alias("comp")
+                    ),
+                )
+            ).alias("ed")
+        )
+        .select("ed.node", "ed.comp")
         .union(loops)
         .groupBy("node")
         .agg(F.min("comp").alias("comp"))

@@ -41,18 +41,24 @@ def peak_concurrency(
     running sum is evaluated at boundaries only, which is where the
     maximum of a step function lives).
     """
-    starts = events.select(
-        F.col(ts_col).alias("t"), F.lit(1).alias("d")
-    )
-    ends = events.select(
-        (
-            F.col(ts_col)
-            + F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
-        ).alias("t"),
-        F.lit(-1).alias("d"),
-    )
+    # start (+1) and end (-1) boundary events in ONE pass over ``events``
+    # (explode, r12): the starts/ends self-union scanned the source twice
+    boundaries = events.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(ts_col).alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (
+                        F.col(ts_col)
+                        + F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
+                    ).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("ev")
+    ).select("ev.t", "ev.d")
     deltas = (
-        starts.unionByName(ends)
+        boundaries
         .groupBy("t")
         .agg(
             F.sum("d").cast("long").alias("net"),

@@ -63,8 +63,7 @@ def pagerank_lite(
         .localCheckpoint(eager=True)
     )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -197,11 +196,13 @@ def triangle_counts(
             F.explode(F.array_intersect("nbrs", "nbrs_v")).alias("w"),
         )
     )
-    members = (
-        tris.select(F.col("u").alias("node"))
-        .union(tris.select(F.col("v").alias("node")))
-        .union(tris.select(F.col("w").alias("node")))
-    )
+    # ONE pass over the triangle stream: each (u, v, w) row contributes
+    # its three corners via explode. The previous 3-way self-union
+    # re-executed the whole adjacency-join + array_intersect pipeline
+    # once per branch (the final plan carried 3 ArrayIntersect nodes /
+    # 12 joins — r12 plan audit); Spark does not de-duplicate common
+    # subtrees across union branches.
+    members = tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
     return (
         members.groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -52,9 +52,23 @@ def kcore_peel(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # symmetrize in ONE pass: explode both orientations per canonical
+    # edge — the self-union form executed the distinct-over-upstream
+    # subtree (a fact-table join in the bench entry) once per branch
     e = (
-        und.selectExpr("a AS src", "b AS dst")
-        .unionByName(und.selectExpr("b AS src", "a AS dst"))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"), F.col("b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    ),
+                )
+            ).alias("ed")
+        )
+        .select("ed.src", "ed.dst")
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):

@@ -87,8 +87,13 @@ def kmv_distinct(
     hashed = base.select("grp", _hex_int(F.col("v"), 1, 8).alias("h"))
     cands = hashed.mapInPandas(_bottomk_kernel(k), schema="grp string, h long")
     # the union row's bottom-k is recoverable from the per-group
-    # candidates (each global minimum is minimal within its group too)
-    allc = cands.union(cands.select(F.lit("ALL").alias("grp"), "h")).distinct()
+    # candidates (each global minimum is minimal within its group too).
+    # Emit (grp, h) and ('ALL', h) in ONE pass over the kernel output
+    # (explode, r12): the self-union form ran the Arrow bottom-k kernel
+    # — the whole corpus-hashing pass — once per branch.
+    allc = cands.select(
+        F.explode(F.array(F.col("grp"), F.lit("ALL"))).alias("grp"), "h"
+    ).distinct()
     w = Window.partitionBy("grp").orderBy("h")
     ranked = allc.select(
         "grp",

@@ -70,8 +70,7 @@ def clustering_coefficient(
     # the pre-r12 redundant distinct shuffle + second degree aggregate
     # inside it are gone (plan: 30 exchanges -> see _after plan).
     deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
