@@ -71,6 +71,17 @@ def kcore_peel(
         .select("ed.src", "ed.dst")
         .localCheckpoint(eager=True)
     )
+    # The eager checkpoint freezes the AQE-coalesced partition layout
+    # into the RDD and every peel sweep inherits it (the old symmetrize
+    # union incidentally doubled the layout by concatenating two
+    # branches' partitions). If the materialized frame landed below the
+    # session's parallelism, re-spread it once — the condition only
+    # fires when the frame is small (AQE coalesces by bytes), so the
+    # re-checkpoint is cheap exactly when it triggers and a no-op on
+    # any at-scale layout.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par).localCheckpoint(eager=True)
     for _ in range(rounds):
         keep = (
             e.groupBy("src")
