@@ -37,6 +37,19 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000  # micro-rank units
 
 
+# ADVICE r12 asked whether the pagerank/bfs/sssp edge checkpoints need
+# kcore's below-parallelism re-spread guard (their per-round joins
+# broadcast the small side and stream the frozen checkpoint layout).
+# Measured r13, paired same-window A/B at sf0.1 (3 runs + warmup each):
+# the guard REGRESSED all three — pagerank 2.42 -> 4.16 s min,
+# bfs_distances 3.03 -> 4.32, sssp_weighted 4.15 -> 5.60 — because the
+# extra repartition+re-checkpoint barrier costs more than the layout
+# pays: unlike kcore (2|E| rows streamed through 4 peel rounds), these
+# ops stream node- or relax-sized frames a handful of times, and their
+# per-round aggregations re-exchange anyway. Rejected; kcore keeps its
+# guard (r12: 5x corpus 12.1 -> 8.4 s, exponent 0.68 -> 0.43).
+
+
 def pagerank_lite(
     edges: DataFrame,
     iters: int = 2,
@@ -158,9 +171,12 @@ def triangle_counts(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    # both endpoints in ONE pass (explode, not a two-branch self-union):
+    # und is materialized, but the union form still read it twice —
+    # the same rewrite class as linkpred.clustering_coefficient's
+    # identical degree computation (ADVICE r12)
     deg = degrees if degrees is not None else (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )

@@ -72,16 +72,24 @@ def kcore_peel(
         .localCheckpoint(eager=True)
     )
     # The eager checkpoint freezes the AQE-coalesced partition layout
-    # into the RDD and every peel sweep inherits it (the old symmetrize
-    # union incidentally doubled the layout by concatenating two
-    # branches' partitions). If the materialized frame landed below the
-    # session's parallelism, re-spread it once — the condition only
-    # fires when the frame is small (AQE coalesces by bytes), so the
-    # re-checkpoint is cheap exactly when it triggers and a no-op on
-    # any at-scale layout.
+    # into the RDD and every peel sweep's broadcast joins STREAM that
+    # frozen layout (no re-exchange). If the materialized frame landed
+    # below the session's parallelism, re-spread it once — the
+    # condition only fires when the frame is small (AQE coalesces by
+    # bytes), so the re-checkpoint is cheap exactly when it triggers
+    # and a no-op on any at-scale layout.
     par = edges.sparkSession.sparkContext.defaultParallelism
     if e.rdd.getNumPartitions() < par:
         e = e.repartition(par).localCheckpoint(eager=True)
+    # ADVICE r12 asked for the same guard after EVERY round's checkpoint
+    # (the frame shrinks, so the condition can reappear). Measured r13,
+    # paired same-window A/B at sf0.1: per-round guard 16.0 s min vs
+    # 4.6 s for this round-1-only form — when it fires each round it
+    # adds a repartition job + second checkpoint barrier per round,
+    # which costs far more than the streaming parallelism it restores
+    # on the already-peeled (small) frame. Round-1 is where the guard
+    # pays: the full 2|E| frame is streamed through all subsequent
+    # rounds' broadcast joins.
     for _ in range(rounds):
         keep = (
             e.groupBy("src")

@@ -148,12 +148,27 @@ def train_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    quantized: DataFrame | None = None,
+    qv_col: str = "qv",
 ) -> list[tuple[int, list[int]]]:
     """Run ``iters`` Lloyd rounds from deterministic seeds and return the
     trained model: ``[(cid, quantized centroid vector)]`` — k·dims driver
-    integers, the bounded state callers turn into an ``assign_expr``."""
-    emb = ensure_compute_parallelism(emb)
-    q = emb.select(F.col(id_col), _quantized(F.col(emb_col)).alias("qv")).persist()
+    integers, the bounded state callers turn into an ``assign_expr``.
+
+    ``quantized``: a caller-held (persisted) frame with ``id_col`` and
+    ``qv_col`` = the QUANT-quantized vector. Callers that also need the
+    quantized corpus for their own assignment pass (``kmeans_assign``,
+    SemDeDup) share ONE quantize projection + cache instead of training
+    on a second scan-and-quantize of the corpus; the persist/unpersist
+    lifecycle is then theirs (guide §5 multi-consumer persist)."""
+    own = quantized is None
+    if own:
+        emb = ensure_compute_parallelism(emb)
+        q = emb.select(
+            F.col(id_col), _quantized(F.col(emb_col)).alias("qv")
+        ).persist()
+    else:
+        q = quantized.select(F.col(id_col), F.col(qv_col).alias("qv"))
     seeds = (
         q.select(
             id_col, "qv", _md5_hash64(F.col(id_col).cast("string")).alias("h")
@@ -225,7 +240,8 @@ def train_centroids(
             )
             for cid, vec in cents
         ]
-    q.unpersist()
+    if own:
+        q.unpersist()
     return cents
 
 
@@ -242,9 +258,18 @@ def kmeans_assign(
 
     ``cluster_id`` is the seed index (0..k-1), NOT a row id.
     """
-    cents = train_centroids(emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
-    q = ensure_compute_parallelism(emb).select(
-        F.col(id_col), _quantized(F.col(emb_col)).alias("qv")
+    # ONE quantize pass + cache for training AND assignment: the train
+    # rounds and the final assign kernel all read the persisted frame
+    # (before: training quantized its own copy, then the assign pass
+    # re-scanned and re-quantized the corpus). Run-internal cache, same
+    # policy as the minhash/allpairs frames (bench clearCache per run).
+    q = (
+        ensure_compute_parallelism(emb)
+        .select(F.col(id_col), _quantized(F.col(emb_col)).alias("qv"))
+        .persist()
+    )
+    cents = train_centroids(
+        emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col, quantized=q
     )
     return assign_kernel_frame(q, cents, id_col=id_col)
 

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .surprisal import corpus_tokens
@@ -286,11 +286,20 @@ def allpairs_similarity(
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    dfreq = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     nd = tf.agg(F.countDistinct("id").alias("n_docs"))
     idf_bits = F.length(F.bin(F.expr("n_docs div df"))).cast("long")
+    # document frequency via count-over-window on g, NOT groupBy +
+    # join-back (r13; the substring.py window-hash idiom): the join
+    # shape shuffled the cached postings AND the df aggregate on g and
+    # re-read the postings twice; the window is ONE exchange on g — and
+    # it leaves ``w`` hash-partitioned (and sorted) on g, which is
+    # exactly the pair self-join's key, so both self-join sides reuse
+    # the cached layout with no further exchange. Identical df values,
+    # identical weights.
     w = (
-        tf.join(dfreq, "g")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
         .crossJoin(F.broadcast(nd))
         .filter(F.col("df") * 100 <= F.col("n_docs") * max_df_pct)
         .select(

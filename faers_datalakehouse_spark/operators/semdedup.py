@@ -60,12 +60,23 @@ def semantic_neardup_pairs(
     # already in hand.
     from .kmeans import assign_kernel_frame
 
-    cents = train_centroids(
-        emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col
-    )
+    # ONE quantize pass + cache shared by the Lloyd rounds AND the
+    # assignment kernel (r13): training previously quantized its own
+    # copy of the corpus and the q_emb/q_norm2 projection below
+    # re-scanned and re-quantized it a second time. Run-internal cache
+    # (bench clearCache per run), kept until eviction — same policy as
+    # the assignment frame below.
     emb = ensure_compute_parallelism(emb)
-    qn = with_quantized_norm(emb.select(id_col, emb_col), emb_col).select(
-        F.col(id_col).alias("id"), "q_emb", "q_norm2"
+    qn = (
+        with_quantized_norm(emb.select(id_col, emb_col), emb_col)
+        .select(F.col(id_col).alias("id"), "q_emb", "q_norm2")
+        .persist()
+    )
+    # id_col="id": the shared frame aliases the id; seeding hashes the
+    # VALUES, so the seed set (and every centroid) is unchanged
+    cents = train_centroids(
+        emb, k=k, iters=iters, id_col="id", emb_col=emb_col,
+        quantized=qn, qv_col="q_emb",
     )
     # Persist the assignment frame: BOTH self-join sides consume it, and
     # mapInPandas is opaque to Catalyst (no subtree reuse across the

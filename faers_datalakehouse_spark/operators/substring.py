@@ -320,9 +320,17 @@ def fingerprint_containment(
     # checkpoint.
     sets_ = fp.select("doc_id", "fhash").distinct().persist()
     sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    fdf = sets_.groupBy("fhash").agg(F.count(F.lit(1)).alias("_fdf"))
+    # document frequency via count-over-window on fhash, NOT groupBy +
+    # join-back (r13; the same one-pass idiom duplicated_window_spans
+    # documents above): the join shape shuffled the cached set twice
+    # (agg side + probe side); the window is ONE exchange — and leaves
+    # ``keep`` partitioned/sorted on fhash, the pair self-join's equi
+    # key, so the join reuses the layout. Identical _fdf values.
     keep = (
-        sets_.join(fdf, "fhash").filter(F.col("_fdf") <= max_df)
+        sets_.withColumn(
+            "_fdf", F.count(F.lit(1)).over(Window.partitionBy("fhash"))
+        )
+        .filter(F.col("_fdf") <= max_df)
         .select("doc_id", "fhash")
     )
     shared = (

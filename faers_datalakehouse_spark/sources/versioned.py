@@ -384,13 +384,20 @@ class VersionedTable:
 
         ``partitionBy`` strips partition columns from the data files
         (they live in the directory name), so a partitioned read groups
-        entries by partition tuple, attaches each group's values as
-        typed literal columns — Catalyst constant-folds them, so the
-        per-row cost is zero — and unions the groups. One union branch
-        per distinct partition tuple in the snapshot: fine for the
-        day/region-grained partitioning this layout targets (hundreds of
-        branches), the same order as Delta's add-file grouping. Column
-        order is restored from the snapshot schema when recorded.
+        entries by file GENERATION (staging dir + partition keyset) and
+        issues ONE Hive-style ``basePath`` read per generation — Spark
+        reconstructs the partition columns from the ``col=value``
+        directory names of exactly the listed files, so manifest-level
+        pruning still works (only kept files are passed). Partition
+        TYPE INFERENCE is disabled for the read: values surface in the
+        directory-name string encoding the manifest itself records, and
+        are cast to the generation's recorded types — the identical
+        cast the previous literal-per-tuple form applied, without its
+        one-union-branch-per-distinct-tuple plan (34 relations in the
+        versioned_evolve bench entry; at day/region-grained
+        partitioning that shape is a driver-side planning blowup).
+        Column order is restored from the snapshot schema when
+        recorded.
 
         ``deletes``: merge-on-read tombstone entries (position deletes
         ``(file_path, row_index)``); live rows are the anti-join against
@@ -408,8 +415,28 @@ class VersionedTable:
 
         lineage = bool(deletes) or keep_lineage
 
-        def _scan(paths: list[str]) -> DataFrame:
-            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        _INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+        def _scan(paths: list[str], base_path: str | None = None) -> DataFrame:
+            reader = spark.read.option("mergeSchema", "true")
+            if base_path is not None:
+                # inference off: partition values must surface as the
+                # raw directory-name strings (the manifest's own
+                # encoding) so the recorded-type cast below reproduces
+                # the literal form exactly ("01" must not become 1).
+                # Partition discovery is eager (resolveRelation), so
+                # the set/restore window is sufficient.
+                prev = spark.conf.get(_INFER_KEY, None)
+                spark.conf.set(_INFER_KEY, "false")
+                try:
+                    df = reader.option("basePath", base_path).parquet(*paths)
+                finally:
+                    if prev is None:
+                        spark.conf.unset(_INFER_KEY)
+                    else:
+                        spark.conf.set(_INFER_KEY, prev)
+            else:
+                df = reader.parquet(*paths)
             if lineage:
                 # _metadata must be projected off the scan relation
                 # itself (it does not survive joins/aggregations)
@@ -423,31 +450,51 @@ class VersionedTable:
         if not any("partition" in e for e in entries):
             out = _scan([str(self.root / e["path"]) for e in entries])
         else:
-            # group by each entry's OWN partition tuple (not the live
-            # spec's columns): after partition-spec evolution a snapshot
+            # group by each entry's file GENERATION — staging dir plus
+            # its OWN partition keyset/types (not the live spec's
+            # columns): after partition-spec evolution a snapshot
             # legitimately mixes file generations laid out under
-            # different specs — each group attaches exactly the literal
-            # columns its directory layout stripped, and unionByName
-            # null-fills across generations
+            # different specs — each group's basePath read reconstructs
+            # exactly the columns its directory layout stripped, and
+            # unionByName null-fills across generations
             fallback = spec["types"] if spec else {}
-            groups: dict[tuple, tuple[dict, list[str]]] = {}
+
+            def _gen(e: dict) -> tuple:
+                segs = e["path"].split("/")
+                pre = len(segs) - 1
+                for i, s in enumerate(segs[:-1]):
+                    if "=" in s:
+                        pre = i
+                        break
+                return (
+                    "/".join(segs[:pre]),
+                    tuple(sorted(e.get("partition", {}))),
+                    tuple(sorted((e.get("partition_types") or {}).items())),
+                )
+
+            groups: dict[tuple, list[dict]] = {}
             for e in entries:
-                part = e.get("partition", {})
-                key = tuple(sorted(part.items()))
-                grp = groups.setdefault(key, (e, []))
-                grp[1].append(str(self.root / e["path"]))
+                groups.setdefault(_gen(e), []).append(e)
             parts = []
-            for key in sorted(
-                groups, key=lambda k: tuple(map(str, (x for kv in k for x in kv)))
-            ):
-                first, paths = groups[key]
-                types = {**fallback, **first.get("partition_types", {})}
-                part = _scan(paths)
-                for c, v in key:
-                    lit = F.lit(v)
+            for key in sorted(groups):
+                prefix, pcols, ptypes = key
+                paths = [str(self.root / e["path"]) for e in groups[key]]
+                if not pcols:
+                    parts.append(_scan(paths))
+                    continue
+                types = {**fallback, **dict(ptypes)}
+                part = _scan(paths, base_path=str(self.root / prefix))
+                for c in pcols:
                     if c in types:
-                        lit = lit.cast(types[c])
-                    part = part.withColumn(c, lit)
+                        part = part.withColumn(
+                            c, F.col(c).cast(types[c])
+                        )
+                # data columns first, then partition columns in name
+                # order — the layout the literal form produced
+                part = part.select(
+                    *[c for c in part.columns if c not in pcols],
+                    *pcols,
+                )
                 parts.append(part)
             out = parts[0]
             for p in parts[1:]:

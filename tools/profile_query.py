@@ -6,7 +6,7 @@ For each named bench query (or entry-map key) this times, separately:
               times — plus a noop-sink run (full-column materialization,
               guide §1.4) so column-pruning artifacts are visible
   - jobs:     Spark jobs triggered during the action (statusTracker delta)
-and writes ``plans/r12/<name>_<tag>.txt`` with ``explain('formatted')``
+and writes ``plans/r13/<name>_<tag>.txt`` with ``explain('formatted')``
 when --plans is passed.
 
 Usage:
@@ -73,7 +73,7 @@ def profile(spark, queries, key: str, action: str, runs: int, plan_tag):
     out["noop_s"] = round(sorted(noops)[len(noops) // 2], 3)
     out["n_jobs"] = jobs[len(jobs) // 2]
     if plan_tag:
-        plan_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+        plan_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
         plan_dir.mkdir(parents=True, exist_ok=True)
         df = queries[key](spark, SF_DIR)
         (plan_dir / f"{key}_{plan_tag}.txt").write_text(formatted_plan(df))
@@ -83,16 +83,18 @@ def profile(spark, queries, key: str, action: str, runs: int, plan_tag):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--plans", default=None, help="write plans/r12/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="write plans/r13/<q>_<TAG>.txt")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--top", type=int, default=0)
-    ap.add_argument("--bench-artifact", default="BENCH_local_r11_close2.json")
+    ap.add_argument("--bench-artifact", default="BENCH_r12.json")
     args = ap.parse_args()
 
     label_by_key = {v[1]: (k, v[0]) for k, v in benchmod.BENCH_QUERIES.items()}
     names = list(args.names)
     if args.top:
         art = json.load(open(Path(__file__).resolve().parent.parent / args.bench_artifact))
+        if "queries" not in art and "parsed" in art:
+            art = art["parsed"]
         by_label = {v[0]: (v[1], k) for k, v in
                     ((lbl, (benchmod.BENCH_QUERIES[lbl][1], benchmod.BENCH_QUERIES[lbl][0]))
                      for lbl in benchmod.BENCH_QUERIES if lbl in art["queries"])}
